@@ -1,0 +1,903 @@
+"""Paired (Spark DataFrame, DuckDB oracle SQL) query catalog.
+
+Every operator the engine claims (SURVEY.md §2 + the LLM-data-pipeline
+extensions) gets one entry here: a Spark-first implementation and — when the
+semantics are ANSI-SQL-expressible — a DuckDB oracle producing the same
+column names and (bit-identical where possible) values.
+
+Determinism rules used throughout:
+
+- distance arithmetic is a **left-associated fold over double-cast f32
+  elements** in both engines (Spark ``zip_with``+``aggregate`` vs a generated
+  left-assoc ``+`` chain), which makes the IEEE results bit-identical;
+- group aggregates of doubles (whose accumulation order is engine-dependent)
+  are rounded to a tolerance far above the float error;
+- every ORDER BY ... LIMIT has a full deterministic tie-break key;
+- timestamps are compared as strings after µs-epoch alignment (the events
+  table stores nanos, which Spark reads via ``nanosAsLong``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vectorchord_spark.functions import distances as D
+
+# ---------------------------------------------------------------------------
+# Deterministic query constants
+# ---------------------------------------------------------------------------
+
+DIM = 64
+QUERY_VEC = [float(x) for x in np.round(np.random.default_rng(7).uniform(-1, 1, DIM), 4)]
+MAXSIM_TOKENS = [
+    [float(x) for x in np.round(np.random.default_rng(8).uniform(-1, 1, DIM), 4)],
+    [float(x) for x in np.round(np.random.default_rng(9).uniform(-1, 1, DIM), 4)],
+]
+RANGE_RADIUS = 4.45
+NEARDUP_COS = 0.40
+JACCARD_THRESHOLD = 0.8
+MINHASH_HASHES = 8
+MINHASH_BAND_ROWS = 2
+
+LANG_WORDS = {
+    "de": ["data", "value", "window", "stream", "group"],
+    "en": ["the", "a", "fast", "slow", "big", "small"],
+    "es": ["table", "column", "row", "key", "line"],
+    "fr": ["join", "merge", "sort", "filter", "agg"],
+    "zh": ["vector", "batch", "query", "hash", "scan"],
+}
+
+
+@dataclass
+class Q:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None
+    headline: bool = False  # included in bench.py timing set
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts_us", F.expr("ts div 1000"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL chain generators (left-assoc; mirror Spark's fold order)
+# ---------------------------------------------------------------------------
+
+
+def _l2sq_chain(col: str, vec: list[float]) -> str:
+    terms = [
+        f"({col}[{i + 1}]::DOUBLE - ({v!r})) * ({col}[{i + 1}]::DOUBLE - ({v!r}))"
+        for i, v in enumerate(vec)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _dot_chain(col: str, vec: list[float]) -> str:
+    terms = [f"{col}[{i + 1}]::DOUBLE * ({v!r})" for i, v in enumerate(vec)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _norm2_chain(col: str, dim: int = DIM) -> str:
+    terms = [f"{col}[{i + 1}]::DOUBLE * {col}[{i + 1}]::DOUBLE" for i in range(dim)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pair_dot_chain(a: str, b: str, dim: int = DIM) -> str:
+    terms = [f"{a}[{i + 1}]::DOUBLE * {b}[{i + 1}]::DOUBLE" for i in range(dim)]
+    return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Vector search operators (SURVEY §2.1/§2.3 surface on the embeddings table)
+# ---------------------------------------------------------------------------
+
+
+def _knn_fn(metric: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = _read(spark, sf_dir, "embeddings")
+        dist = D.output_distance(metric, "embedding", D.vec_lit(QUERY_VEC))
+        return (
+            emb.select("vec_id", dist.alias("dist"))
+            .orderBy("dist", "vec_id")
+            .limit(10)
+        )
+
+    return fn
+
+
+def _knn_sql(metric: str) -> str:
+    if metric == "l2":
+        expr = f"sqrt({_l2sq_chain('embedding', QUERY_VEC)})"
+    elif metric == "dot":
+        expr = f"-{_dot_chain('embedding', QUERY_VEC)}"
+    else:
+        qn = float(np.sqrt(np.sum(np.float64(QUERY_VEC) ** 2)))
+        expr = (
+            f"1.0 - {_dot_chain('embedding', QUERY_VEC)}"
+            f" / (sqrt({_norm2_chain('embedding')}) * ({qn!r}))"
+        )
+    return f"""
+SELECT vec_id, {expr} AS dist
+FROM embeddings
+ORDER BY dist, vec_id
+LIMIT 10
+"""
+
+
+def _knn_cos_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mirror the oracle exactly: norm(q) precomputed as a double literal
+    emb = _read(spark, sf_dir, "embeddings")
+    qn = float(np.sqrt(np.sum(np.float64(QUERY_VEC) ** 2)))
+    dist = F.lit(1.0) - D.dot("embedding", D.vec_lit(QUERY_VEC)) / (
+        D.norm("embedding") * F.lit(qn)
+    )
+    return (
+        emb.select("vec_id", dist.alias("dist")).orderBy("dist", "vec_id").limit(10)
+    )
+
+
+def _range_l2_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sphere operator semantics: threshold on the *output* (sqrt'd) distance
+    # (/root/reference/src/index/vchordrq/scanners/default.rs:104-121)
+    emb = _read(spark, sf_dir, "embeddings")
+    dist = D.l2("embedding", D.vec_lit(QUERY_VEC))
+    return (
+        emb.select("vec_id", dist.alias("dist"))
+        .where(F.col("dist") < RANGE_RADIUS)
+        .orderBy("dist", "vec_id")
+    )
+
+
+_RANGE_L2_SQL = f"""
+SELECT vec_id, dist FROM (
+  SELECT vec_id, sqrt({_l2sq_chain("embedding", QUERY_VEC)}) AS dist FROM embeddings
+) WHERE dist < {RANGE_RADIUS}
+ORDER BY dist, vec_id
+"""
+
+
+def _maxsim_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxSim over synthetic multi-vector docs (doc = 5 consecutive vec_ids),
+    expressed relationally: per (doc, query-token) min of negated dot, then
+    sum over tokens (the same groupBy-min-sum shape as the reference's
+    maxsim aggregation, /root/reference/src/index/vchordrq/scanners/maxsim.rs:695-742)."""
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "doc_id", F.expr("vec_id div 5")
+    )
+    per_tok = []
+    for ti, tok in enumerate(MAXSIM_TOKENS):
+        per_tok.append(
+            emb.select(
+                "doc_id",
+                F.lit(ti).alias("tok"),
+                (-D.dot("embedding", D.vec_lit(tok))).alias("nd"),
+            )
+        )
+    un = per_tok[0].unionAll(per_tok[1])
+    return (
+        un.groupBy("doc_id", "tok")
+        .agg(F.min("nd").alias("mind"))
+        .groupBy("doc_id")
+        .agg(F.sum("mind").alias("score"))
+        .orderBy("score", "doc_id")
+        .limit(10)
+    )
+
+
+_MAXSIM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, tok, min(nd) AS mind FROM (
+    SELECT vec_id // 5 AS doc_id, 0 AS tok,
+           -{_dot_chain("embedding", MAXSIM_TOKENS[0])} AS nd FROM embeddings
+    UNION ALL
+    SELECT vec_id // 5 AS doc_id, 1 AS tok,
+           -{_dot_chain("embedding", MAXSIM_TOKENS[1])} AS nd FROM embeddings
+  ) GROUP BY doc_id, tok
+)
+SELECT doc_id, sum(mind) AS score FROM toks
+GROUP BY doc_id ORDER BY score, doc_id LIMIT 10
+"""
+
+
+def _knn_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch similarity join: top-3 cosine neighbors for each query row.
+
+    The query side is tiny → broadcast; ranking via window per query id.
+    """
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    qn = D.norm("qvec")
+    en = D.norm("embedding")
+    sim = D.dot("embedding", "qvec") / (en * qn)
+    pairs = (
+        emb.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("qid", "vec_id", "sim", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("qid", "rnk")
+    )
+
+
+_KNN_JOIN_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+pairs AS (
+  SELECT q.qid, e.vec_id,
+         {_pair_dot_chain("e.embedding", "q.qvec")}
+           / (sqrt({_norm2_chain("e.embedding")}) * sqrt({_norm2_chain("q.qvec")})) AS sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
+  FROM pairs
+)
+SELECT qid, vec_id, sim, rnk::INT AS rnk FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational benchmark queries (Spark SQL surface; TPC-H-shaped)
+# ---------------------------------------------------------------------------
+
+
+def _q1_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                (F.sum("l_quantity") / F.count(F.lit(1))), 4
+            ).alias("avg_qty"),
+            F.round(
+                (F.sum("l_extendedprice") / F.count(F.lit(1))), 4
+            ).alias("avg_price"),
+            F.round((F.sum("l_discount") / F.count(F.lit(1))), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_quantity) / count(*), 4) AS avg_qty,
+       round(sum(l_extendedprice) / count(*), 4) AS avg_price,
+       round(sum(l_discount) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q3_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _read(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def _q5_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    sup = _read(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            (F.col("s_nationkey") == F.col("n_nationkey"))
+            & (F.col("c_nationkey") == F.col("n_nationkey")),
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON s_nationkey = n_nationkey AND c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def _events_hourly_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    hour = F.date_format(
+        F.date_trunc("hour", F.timestamp_micros(F.col("ts_us"))),
+        "yyyy-MM-dd HH:mm:ss",
+    )
+    return (
+        ev.groupBy(hour.alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', make_timestamp(epoch_us(ts))), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+def _sessionize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via window lag + running sum —
+    the batch shape of the streaming session-window operator."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(
+                F.timestamp_micros(F.min("ts_us")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       strftime(make_timestamp(min(ts_us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def _top_orders_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.col("rnk").cast("int").alias("rnk")
+        )
+        .orderBy("o_custkey", "rnk")
+    )
+
+
+_TOP_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk::INT AS rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3 ORDER BY o_custkey, rnk
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis operators (LLM-pipeline surface over `documents`)
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _doc_stats_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring statistics: token counts, distinct ratio, mean word
+    length — the usual language-data quality filters."""
+    docs = _read(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    total_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    n_tokens = F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_words.cast("bigint").alias("n_words"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_distinct.cast("bigint").alias("n_distinct"),
+        (n_distinct.cast("double") / n_words.cast("double")).alias("distinct_ratio"),
+        (total_len.cast("double") / n_words.cast("double")).alias("avg_word_len"),
+    ).orderBy("doc_id")
+
+
+_DOC_STATS_SQL = f"""
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       len(string_split(text, ' '))::BIGINT AS n_words,
+       len(regexp_extract_all(text, '{_TOKEN_RE}'))::BIGINT AS n_tokens,
+       len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct,
+       len(list_distinct(string_split(text, ' ')))::DOUBLE
+         / len(string_split(text, ' '))::DOUBLE AS distinct_ratio,
+       list_sum(list_transform(string_split(text, ' '), w -> length(w)))::DOUBLE
+         / len(string_split(text, ' '))::DOUBLE AS avg_word_len
+FROM documents ORDER BY doc_id
+"""
+
+
+def _langid_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist-profile language ID: score = occurrences of each language's
+    profile words; argmax with lexicographic tie-break."""
+    docs = _read(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    scores = {
+        lang: F.size(F.filter(words, lambda w: w.isin(wl))).cast("bigint")
+        for lang, wl in LANG_WORDS.items()
+    }
+    df = docs.select("doc_id", *[scores[k].alias(f"s_{k}") for k in sorted(LANG_WORDS)])
+    m = F.greatest(*[F.col(f"s_{k}") for k in sorted(LANG_WORDS)])
+    pred = F.lit(None).cast("string")
+    expr = None
+    for lang in sorted(LANG_WORDS):
+        cond = F.col(f"s_{lang}") == m
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return df.select(
+        "doc_id", expr.alias("pred_lang"), m.alias("score")
+    ).orderBy("doc_id")
+
+
+def _langid_sql() -> str:
+    score_cols = []
+    for lang in sorted(LANG_WORDS):
+        wl = ", ".join(f"'{w}'" for w in LANG_WORDS[lang])
+        score_cols.append(
+            f"len(list_filter(string_split(text, ' '), w -> w IN ({wl})))::BIGINT AS s_{lang}"
+        )
+    langs = sorted(LANG_WORDS)
+    m = "greatest(" + ", ".join(f"s_{k}" for k in langs) + ")"
+    case = "CASE " + " ".join(f"WHEN s_{k} = m THEN '{k}'" for k in langs) + " END"
+    return f"""
+WITH s AS (SELECT doc_id, {", ".join(score_cols)} FROM documents),
+g AS (SELECT *, {m} AS m FROM s)
+SELECT doc_id, {case} AS pred_lang, m AS score FROM g ORDER BY doc_id
+"""
+
+
+def _fingerprint_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint: md5 over the sorted distinct token
+    set (the classic 'fingerprint clustering' normalization)."""
+    docs = _read(spark, sf_dir, "documents")
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+    return docs.select(
+        "doc_id", F.md5(canon).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def _dedup_exact_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one keeper (min doc_id) per distinct
+    text; hash-groupBy is the 100 TB-scale shape (single shuffle on the hash)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("text_hash")
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY text_hash
+"""
+
+
+# --- shingle helpers (word 3-grams) ---------------------------------------
+
+
+def _shingles_df(docs: DataFrame) -> DataFrame:
+    words = F.split("text", " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0)))
+    sh = F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(words, i + 1),
+                    F.element_at(words, i + 2),
+                    F.element_at(words, i + 3),
+                ),
+            )
+        ),
+    ).otherwise(F.array(F.col("text")))
+    _ = idx
+    return docs.select("doc_id", sh.alias("shingles"))
+
+
+_SHINGLES_SQL = """
+SELECT doc_id,
+       CASE WHEN len(w) >= 3 THEN
+         list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+       ELSE [text] END AS shingles
+FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+"""
+
+
+def _dedup_ngram_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup join: explode shingles → co-shingle pairs →
+    |∩| / |∪| ≥ τ. At scale the explode-join is the standard inverted-index
+    similarity join (shuffle keyed on shingle; hot shingles are the skew
+    risk, mitigated by AQE skew handling)."""
+    docs = _read(spark, sf_dir, "documents")
+    sh = _shingles_df(docs)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    a = ex.select(F.col("doc_id").alias("ida"), "sh")
+    b = ex.select(F.col("doc_id").alias("idb"), "sh")
+    pairs = (
+        a.join(b, "sh")
+        .where(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("ida"), F.col("n_sh").alias("na"))),
+            "ida",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("idb"), F.col("n_sh").alias("nb"))),
+            "idb",
+        )
+        .withColumn(
+            "jac",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+        )
+        .where(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("ida", "idb", "n_common", "jac")
+        .orderBy("ida", "idb")
+    )
+    return out
+
+
+_DEDUP_NGRAM_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS n_common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ida, idb, n_common,
+       n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE AS jac
+FROM pairs
+JOIN sizes sa ON ida = sa.doc_id
+JOIN sizes sb ON idb = sb.doc_id
+WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)::DOUBLE >= {JACCARD_THRESHOLD}
+ORDER BY ida, idb
+"""
+
+
+def _minhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: H md5-family minhashes per doc, banded into
+    (H / r) band keys; docs sharing any band key become candidate pairs,
+    verified with exact Jaccard. The band-key groupBy is the scale path: no
+    all-pairs comparison, one shuffle on band keys."""
+    docs = _read(spark, sf_dir, "documents")
+    sh = _shingles_df(docs)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"mh{j}")
+        for j in range(MINHASH_HASHES)
+    ]
+    sig = ex.groupBy("doc_id").agg(*aggs)
+    n_bands = MINHASH_HASHES // MINHASH_BAND_ROWS
+    band_cols = []
+    for b in range(n_bands):
+        parts = [
+            F.col(f"mh{b * MINHASH_BAND_ROWS + r}") for r in range(MINHASH_BAND_ROWS)
+        ]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("key"))
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(F.col("doc_id").alias("ida"), "band", "key")
+    b = banded.select(F.col("doc_id").alias("idb"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("ida") < F.col("idb"))
+        .select("ida", "idb")
+        .distinct()
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    common = (
+        sh.select(F.col("doc_id").alias("ida"), F.col("shingles").alias("sha"))
+        .join(cand, "ida")
+        .join(
+            sh.select(F.col("doc_id").alias("idb"), F.col("shingles").alias("shb")),
+            "idb",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sha", "shb")))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("ida"), F.col("n_sh").alias("na"))),
+            "ida",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("idb"), F.col("n_sh").alias("nb"))),
+            "idb",
+        )
+        .withColumn(
+            "jac",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+        )
+        .select("ida", "idb", "n_common", "jac")
+        .orderBy("ida", "idb")
+    )
+
+
+def _minhash_sql() -> str:
+    mh_cols = ", ".join(
+        f"min(md5('{j}|' || s)) AS mh{j}" for j in range(MINHASH_HASHES)
+    )
+    n_bands = MINHASH_HASHES // MINHASH_BAND_ROWS
+    band_rows = []
+    for b in range(n_bands):
+        parts = " || ".join(
+            f"mh{b * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS key FROM sig")
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sig AS (SELECT doc_id, {mh_cols} FROM ex GROUP BY doc_id),
+banded AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+withsets AS (
+  SELECT c.ida, c.idb,
+         len(list_intersect(sa.shingles, sb.shingles)) AS n_common
+  FROM cand c JOIN sh sa ON c.ida = sa.doc_id JOIN sh sb ON c.idb = sb.doc_id
+)
+SELECT w.ida, w.idb, w.n_common,
+       w.n_common::DOUBLE / (za.n_sh + zb.n_sh - w.n_common)::DOUBLE AS jac
+FROM withsets w
+JOIN sizes za ON w.ida = za.doc_id
+JOIN sizes zb ON w.idb = zb.doc_id
+ORDER BY w.ida, w.idb
+"""
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over word tokens (md5-derived per-word hash, per-bit
+    majority vote with multiplicity)."""
+    docs = _read(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    h = F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("bigint")
+    ex = ex.select("doc_id", h.alias("h"))
+    aggs = [
+        F.sum(
+            (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    per_doc = ex.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for j in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return per_doc.select(
+        "doc_id", sim.cast("bigint").alias("simhash")
+    ).orderBy("doc_id")
+
+
+def _simhash_sql() -> str:
+    bit_sums = ", ".join(
+        f"sum((((h >> {j}) & 1) * 2 - 1)) AS b{j}" for j in range(_SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH ex AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 4))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+),
+per_doc AS (SELECT doc_id, {bit_sums} FROM ex GROUP BY doc_id)
+SELECT doc_id, ({sim})::BIGINT AS simhash FROM per_doc ORDER BY doc_id
+"""
+
+
+def _embed_neardup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force all-pairs — the
+    small-side baseline; the LSH/IVF bucketed variant is the scale path)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"))
+    sim = D.dot("va", "vb") / (D.norm("va") * D.norm("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("ida") < F.col("idb"))
+        .select("ida", "idb", sim.alias("sim"))
+        .where(F.col("sim") >= NEARDUP_COS)
+        .orderBy("ida", "idb")
+    )
+
+
+_EMBED_NEARDUP_SQL = f"""
+SELECT a.vec_id AS ida, b.vec_id AS idb,
+       {_pair_dot_chain("a.embedding", "b.embedding")}
+         / (sqrt({_norm2_chain("a.embedding")}) * sqrt({_norm2_chain("b.embedding")})) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_pair_dot_chain("a.embedding", "b.embedding")}
+         / (sqrt({_norm2_chain("a.embedding")}) * sqrt({_norm2_chain("b.embedding")})) >= {NEARDUP_COS}
+ORDER BY ida, idb
+"""
+
+
+# ---------------------------------------------------------------------------
+# Catalog
+# ---------------------------------------------------------------------------
+
+
+def catalog() -> dict[str, Q]:
+    return {
+        "knn_l2": Q(_knn_fn("l2"), _knn_sql("l2"), headline=True),
+        "knn_ip": Q(_knn_fn("dot"), _knn_sql("dot"), headline=True),
+        "knn_cos": Q(_knn_cos_fn, _knn_sql("cos"), headline=True),
+        "range_l2": Q(_range_l2_fn, _RANGE_L2_SQL, headline=True),
+        "maxsim": Q(_maxsim_fn, _MAXSIM_SQL, headline=True),
+        "knn_join": Q(_knn_join_fn, _KNN_JOIN_SQL, headline=True),
+        "q1_pricing": Q(_q1_fn, _Q1_SQL, headline=True),
+        "q3_shipping": Q(_q3_fn, _Q3_SQL, headline=True),
+        "q5_revenue": Q(_q5_fn, _Q5_SQL, headline=True),
+        "events_hourly": Q(_events_hourly_fn, _EVENTS_HOURLY_SQL),
+        "sessionize": Q(_sessionize_fn, _SESSIONIZE_SQL, headline=True),
+        "top_orders_window": Q(_top_orders_fn, _TOP_ORDERS_SQL),
+        "doc_stats": Q(_doc_stats_fn, _DOC_STATS_SQL),
+        "langid": Q(_langid_fn, _langid_sql()),
+        "fingerprint": Q(_fingerprint_fn, _FINGERPRINT_SQL),
+        "dedup_exact": Q(_dedup_exact_fn, _DEDUP_EXACT_SQL),
+        "dedup_ngram": Q(_dedup_ngram_fn, _DEDUP_NGRAM_SQL, headline=True),
+        "dedup_minhash_lsh": Q(_minhash_fn, _minhash_sql(), headline=True),
+        "simhash": Q(_simhash_fn, _simhash_sql()),
+        "embed_neardup": Q(_embed_neardup_fn, _EMBED_NEARDUP_SQL, headline=True),
+    }
