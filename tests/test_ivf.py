@@ -1,0 +1,196 @@
+"""IVF index lifecycle tests (build → search → insert/delete/compact),
+mirroring the reference's vchordrq slt suites (recall.slt, vacuum.slt,
+filter_rerank_in_index.slt, internal_build_kmeans.slt)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
+
+
+@pytest.fixture(scope="module")
+def clustered_df(spark):
+    """FIXTURES.md F6: 33 Gaussian clusters in dim 8."""
+    rng = np.random.default_rng(7)
+    centers = rng.uniform(-1, 1, size=(33, 8))
+    rows = []
+    for i in range(5000):
+        c = int(rng.integers(0, 33))
+        v = centers[c] + rng.normal(0, 0.05, 8)
+        rows.append((i, [float(x) for x in v], c, i % 5 == 0))
+    return spark.createDataFrame(
+        rows, "id long, vec array<float>, label int, flag boolean"
+    ).cache()
+
+
+def brute_topk(df, q, k, metric="l2"):
+    from vectorchord_spark.functions import distances as D
+
+    dist = D.output_distance(metric, "vec", D.vec_lit(q))
+    return [
+        r.id for r in df.select("id", dist.alias("d")).orderBy("d", "id").limit(k).collect()
+    ]
+
+
+@pytest.mark.parametrize(
+    "opts",
+    [
+        IvfOptions(metric="l2", lists=[33]),
+        IvfOptions(metric="l2", lists=[33], residual_quantization=True),
+        IvfOptions(metric="l2", lists=[33], build_hierarchical=True),
+        IvfOptions(metric="l2", lists=[33], kmeans_dimension=4),
+        IvfOptions(metric="cos", lists=[33], spherical_centroids=True),
+        IvfOptions(metric="dot", lists=[33]),
+    ],
+    ids=["l2", "l2-residual", "l2-hier", "l2-kdim", "cos", "dot"],
+)
+def test_build_and_recall(spark, clustered_df, opts):
+    rng = np.random.default_rng(11)
+    q = [float(x) for x in rng.uniform(-1, 1, 8)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build(
+            spark, clustered_df, "id", "vec", os.path.join(tmp, "idx"), opts
+        )
+        exact = brute_topk(clustered_df, q, 10, opts.metric)
+        got = [r.id for r in idx.search(q, k=10, probes=[16], rerank_factor=8).collect()]
+        recall = len(set(got) & set(exact)) / 10.0
+        assert recall >= 0.9, f"recall {recall} too low for {opts}"
+        # exhaustive search must match brute force exactly
+        got_full = [r.id for r in idx.search(q, k=10, probes=None, rerank_factor=None).collect()]
+        assert got_full == exact
+
+
+def test_range_search(spark, clustered_df):
+    rng = np.random.default_rng(12)
+    q = [float(x) for x in rng.uniform(-1, 1, 8)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build(
+            spark, clustered_df, "id", "vec", os.path.join(tmp, "idx"),
+            IvfOptions(metric="l2", lists=[33]),
+        )
+        from vectorchord_spark.functions import distances as D
+
+        radius = 0.6
+        exact = {
+            r.id
+            for r in clustered_df.select(
+                "id", D.l2("vec", D.vec_lit(q)).alias("d")
+            ).where(F.col("d") < radius).collect()
+        }
+        got = {r.id for r in idx.range_search(q, radius, probes=None).collect()}
+        assert got == exact
+
+
+def test_prefilter(spark, clustered_df):
+    """Prefilter semantics: predicate applied before rerank (Q9)."""
+    rng = np.random.default_rng(13)
+    q = [float(x) for x in rng.uniform(-1, 1, 8)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build(
+            spark, clustered_df, "id", "vec", os.path.join(tmp, "idx"),
+            IvfOptions(metric="l2", lists=[33]),
+        )
+        allowed = clustered_df.where("flag").select("id")
+        exact = brute_topk(clustered_df.where("flag"), q, 10)
+        got = [
+            r.id
+            for r in idx.search(q, k=10, probes=None, rerank_factor=None, prefilter=allowed).collect()
+        ]
+        assert got == exact
+
+
+def test_insert_delete_compact(spark, clustered_df):
+    """FIXTURES.md F7 lifecycle: append, tombstone-delete, compact."""
+    rng = np.random.default_rng(14)
+    q = [float(x) for x in rng.uniform(-1, 1, 8)]
+    with tempfile.TemporaryDirectory() as tmp:
+        base = clustered_df.where("id < 4000")
+        idx = IvfIndex.build(
+            spark, base, "id", "vec", os.path.join(tmp, "idx"),
+            IvfOptions(metric="l2", lists=[33]),
+        )
+        extra = clustered_df.where("id >= 4000")
+        idx.insert(extra, "id", "vec")
+        deleted = [i for i in range(5000) if i % 7 == 0]
+        idx.delete(deleted)
+        surviving = clustered_df.where(F.col("id") % 7 != 0)
+        exact = brute_topk(surviving, q, 10)
+        got = [r.id for r in idx.search(q, k=10, probes=None, rerank_factor=None).collect()]
+        assert got == exact
+        idx.compact()
+        got2 = [r.id for r in idx.search(q, k=10, probes=None, rerank_factor=None).collect()]
+        assert got2 == exact
+        assert not os.path.exists(idx._tombstones_path)
+
+
+def test_rerank_in_table(spark, clustered_df):
+    rng = np.random.default_rng(15)
+    q = [float(x) for x in rng.uniform(-1, 1, 8)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build(
+            spark, clustered_df, "id", "vec", os.path.join(tmp, "idx"),
+            IvfOptions(metric="l2", lists=[33], rerank_in_index=False),
+        )
+        exact = brute_topk(clustered_df, q, 10)
+        got = [
+            r.id
+            for r in idx.search(
+                q, k=10, probes=None, rerank_factor=None,
+                base_df=clustered_df.select("id", "vec"),
+            ).collect()
+        ]
+        assert got == exact
+
+
+def test_multilevel_build(spark, clustered_df):
+    rng = np.random.default_rng(16)
+    q = [float(x) for x in rng.uniform(-1, 1, 8)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build(
+            spark, clustered_df, "id", "vec", os.path.join(tmp, "idx"),
+            IvfOptions(metric="l2", lists=[8, 64]),
+        )
+        assert len(idx.levels) == 2
+        exact = brute_topk(clustered_df, q, 10)
+        got = [r.id for r in idx.search(q, k=10, probes=[8, 32], rerank_factor=8).collect()]
+        recall = len(set(got) & set(exact)) / 10.0
+        assert recall >= 0.9
+
+
+def test_recall_evaluator(spark, clustered_df):
+    """S13: exhaustive config must report recall exactly 1.0; F2's NaN edge
+    is covered by the empty-result contract."""
+    rng = np.random.default_rng(17)
+    q = [float(x) for x in rng.uniform(-1, 1, 8)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build(
+            spark, clustered_df, "id", "vec", os.path.join(tmp, "idx"),
+            IvfOptions(metric="l2", lists=[33]),
+        )
+        r = idx.evaluate_query_recall(q, k=10, probes=None, rerank_factor=None)
+        assert r == 1.0
+        r16 = idx.evaluate_query_recall(q, k=10, probes=[16], rerank_factor=8)
+        assert r16 >= 0.9
+
+
+def test_external_build(spark, clustered_df):
+    """B7: prebuilt centroid table with validation."""
+    rng = np.random.default_rng(18)
+    centers = rng.uniform(-1, 1, size=(9, 8))
+    rows = [(0, None, [0.0] * 8)]
+    for i in range(9):
+        rows.append((i + 1, 0, [float(x) for x in centers[i]]))
+    cdf = spark.createDataFrame(rows, "id long, parent long, vector array<float>")
+    q = [float(x) for x in rng.uniform(-1, 1, 8)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.from_centroid_table(
+            spark, clustered_df, cdf, "id", "vec", os.path.join(tmp, "idx"),
+            IvfOptions(metric="l2"),
+        )
+        exact = brute_topk(clustered_df, q, 10)
+        got = [r.id for r in idx.search(q, k=10, probes=None, rerank_factor=None).collect()]
+        assert got == exact

@@ -1,0 +1,689 @@
+"""IVF (vchordrq-style) vector index as Parquet tables + DataFrame jobs.
+
+Spark-first re-expression of the reference's index lifecycle:
+
+- build = sample job → driver k-means over the bounded sample → broadcast
+  rotated centroid tree → one ``mapInPandas`` encode pass writing a Parquet
+  ``codes`` table partitioned by leaf cluster (replaces tapes/pages:
+  /root/reference/crates/vchordrq/src/build.rs:24-146); the single Spark
+  write job IS the reference's parallel build (am_build.rs:611-789).
+- search = driver tree descent over the (small, broadcast) centroid tree →
+  partition-pruned scan of the probed clusters → Arrow-batched rough
+  scoring with ε lower bounds (search.rs:95-196) → bounded candidate top-m
+  by lower bound → exact rerank join → ``ORDER BY dist LIMIT k``
+  (rerank.rs:53-137 re-expressed as TakeOrderedAndProject).
+- insert = encode+append (insert.rs:70-212); delete = tombstones
+  (bulkdelete.rs:24-183); compact = partition rewrite (maintain.rs:38-260).
+
+Scale notes (the design point is a 1000-executor cluster, not local[32]):
+the centroid tree is ≤ a few hundred MB even at 1M leaves → broadcast;
+``codes`` is partitioned by ``cluster_id`` so probes become partition
+pruning; the rough-score stage reads only (meta, code) columns (column
+pruning keeps the full vectors out of the Python exchange); the rerank join
+broadcasts the ≤ ``rerank_factor·k`` candidate ids, so the only shuffle in
+the whole query is the final top-k, which TakeOrderedAndProject does with
+per-partition heaps.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import asdict, dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectorchord_spark import kernels as K
+from vectorchord_spark.functions import distances as D
+from vectorchord_spark.operators import kmeans as KM
+
+CODES_SCHEMA = (
+    "id long, cluster_id int, dis_u_2 float, factor_cnt float, factor_ip float, "
+    "factor_err float, delta float, code binary, vec array<float>"
+)
+SCORE_SCHEMA = "id long, cluster_id int, lb double, rough double"
+
+
+@dataclass
+class IvfOptions:
+    """Build options (mirrors the reference's reloptions,
+    /root/reference/src/index/vchordrq/types.rs:40-106)."""
+
+    metric: str = "l2"  # l2 | dot | cos
+    lists: list[int] = field(default_factory=lambda: [64])
+    sampling_factor: int = 256
+    kmeans_iterations: int = 10
+    kmeans_dimension: int | None = None
+    spherical_centroids: bool = False
+    residual_quantization: bool = False
+    rerank_in_index: bool = True
+    build_hierarchical: bool = False
+    seed: int = 42
+
+    def validate(self) -> None:
+        assert self.metric in ("l2", "dot", "cos")
+        assert 1 <= len(self.lists) <= 8
+        assert all(a < b for a, b in zip(self.lists, self.lists[1:])), (
+            "lists must be ascending"
+        )
+
+
+class IvfIndex:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "meta.json")) as f:
+            self.meta = json.load(f)
+        cdf = pd.read_parquet(os.path.join(path, "centroids.parquet"))
+        self.levels: list[dict] = []
+        for lvl in sorted(cdf["level"].unique()):
+            sub = cdf[cdf["level"] == lvl].sort_values("cid")
+            self.levels.append(
+                {
+                    "vec": np.stack(sub["vec"].to_numpy()).astype(np.float32),
+                    "vec_rot": np.stack(sub["vec_rot"].to_numpy()).astype(np.float32),
+                    "parent": sub["parent"].to_numpy(np.int64),
+                }
+            )
+
+    # ------------------------------------------------------------------
+    # Build
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        id_col: str,
+        vec_col: str,
+        path: str,
+        options: IvfOptions | None = None,
+    ) -> "IvfIndex":
+        opts = options or IvfOptions()
+        opts.validate()
+        os.makedirs(path, exist_ok=True)
+
+        src = df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec"))
+        if opts.metric == "cos":
+            # cosine opclasses L2-normalize at store time and work in dot
+            # space (/root/reference/src/index/vchordrq/opclass.rs:49-68)
+            src = src.select("id", D.normalize("vec").cast("array<float>").alias("vec"))
+
+        n_leaves = opts.lists[-1]
+        cap = n_leaves * opts.sampling_factor
+        total = src.count()
+        fraction = min(1.0, (cap * 1.3) / max(total, 1))
+        sample_pd = (
+            src.select("vec").sample(fraction=fraction, seed=opts.seed).limit(cap).toPandas()
+        )
+        samples = np.stack(sample_pd["vec"].to_numpy()).astype(np.float32)
+        dim = samples.shape[1]
+
+        # --- centroid tree (driver; sample is bounded by construction) ---
+        if opts.kmeans_dimension and opts.kmeans_dimension < dim:
+            leaves = KM.reduced_dimension_kmeans(
+                samples,
+                n_leaves,
+                opts.kmeans_dimension,
+                opts.kmeans_iterations,
+                opts.seed,
+                opts.spherical_centroids,
+                use_hierarchical=opts.build_hierarchical,
+            )
+        elif opts.build_hierarchical:
+            leaves = KM.hierarchical(
+                samples, n_leaves, opts.kmeans_iterations, opts.seed, opts.spherical_centroids
+            )
+        else:
+            leaves = KM.lloyd(
+                samples, n_leaves, opts.kmeans_iterations, opts.seed, opts.spherical_centroids
+            )
+
+        level_vecs = [leaves]
+        for c in reversed(opts.lists[:-1]):
+            level_vecs.append(
+                KM.lloyd(
+                    level_vecs[-1],
+                    c,
+                    opts.kmeans_iterations,
+                    opts.seed,
+                    opts.spherical_centroids,
+                )
+            )
+        level_vecs.reverse()  # top → leaves
+
+        rows = []
+        for lvl, vecs in enumerate(level_vecs):
+            rot = K.rotate(vecs)
+            if lvl == 0:
+                parents = np.full(len(vecs), -1, np.int64)
+            else:
+                parents = KM._assign(
+                    np.asarray(vecs, np.float64), np.asarray(level_vecs[lvl - 1], np.float64)
+                )
+            for cid in range(len(vecs)):
+                rows.append(
+                    {
+                        "level": lvl,
+                        "cid": cid,
+                        "parent": int(parents[cid]),
+                        "vec": vecs[cid].astype(np.float32),
+                        "vec_rot": rot[cid].astype(np.float32),
+                    }
+                )
+        pd.DataFrame(rows).to_parquet(os.path.join(path, "centroids.parquet"))
+
+        meta = {
+            **asdict(opts),
+            "dim": int(dim),
+            "codes_version": 1,
+            "n_leaves": int(n_leaves),
+        }
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+        index = cls(spark, path)
+        index._encode_and_write(src, mode="overwrite")
+        return index
+
+    @classmethod
+    def from_centroid_table(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        centroids: DataFrame,
+        id_col: str,
+        vec_col: str,
+        path: str,
+        options: IvfOptions | None = None,
+    ) -> "IvfIndex":
+        """External build (B7): take a prebuilt centroid tree from a table
+        ``(id, parent, vector)`` with the reference's validation — single
+        root, uniform height ≤ 8, acyclic
+        (/root/reference/src/index/vchordrq/am/am_build.rs:1589-1752)."""
+        opts = options or IvfOptions()
+        cpd = centroids.select(
+            F.col("id").cast("long"), F.col("parent").cast("long"), F.col("vector")
+        ).toPandas()
+        by_id = {int(r.id): (None if pd.isna(r.parent) else int(r.parent), np.asarray(r.vector, np.float32)) for r in cpd.itertuples()}
+        roots = [i for i, (p, _) in by_id.items() if p is None]
+        if len(roots) != 1:
+            raise ValueError(f"external build requires exactly one root, got {len(roots)}")
+
+        depths = {}
+
+        def depth(i: int, seen: tuple = ()) -> int:
+            if i in seen:
+                raise ValueError("cycle detected in external centroid table")
+            if i in depths:
+                return depths[i]
+            p = by_id[i][0]
+            d = 0 if p is None else depth(p, seen + (i,)) + 1
+            depths[i] = d
+            return d
+
+        for i in by_id:
+            depth(i)
+        height = max(depths.values()) + 1
+        if not (1 <= height <= 8):
+            raise ValueError(f"external tree height {height} out of range 1..8")
+        leaves_ids = [i for i in by_id if depths[i] == height - 1]
+        if any(depths[i] != height - 1 for i in by_id if not any(p == i for p, _ in by_id.values())):
+            # all leaf nodes (no children) must be at uniform depth
+            childful = {p for p, _ in by_id.values() if p is not None}
+            for i in by_id:
+                if i not in childful and depths[i] != height - 1:
+                    raise ValueError("external tree is not height-balanced")
+
+        os.makedirs(path, exist_ok=True)
+        # renumber per level
+        per_level: list[list[int]] = [[] for _ in range(height)]
+        for i, d in depths.items():
+            per_level[d].append(i)
+        id_to_cid = {}
+        rows = []
+        for lvl, ids in enumerate(per_level):
+            ids.sort()
+            for cid, i in enumerate(ids):
+                id_to_cid[i] = cid
+        for lvl, ids in enumerate(per_level):
+            vecs = np.stack([by_id[i][1] for i in ids])
+            rot = K.rotate(vecs)
+            for cid, i in enumerate(ids):
+                p = by_id[i][0]
+                rows.append(
+                    {
+                        "level": lvl,
+                        "cid": cid,
+                        "parent": -1 if p is None else id_to_cid[p],
+                        "vec": vecs[cid].astype(np.float32),
+                        "vec_rot": rot[cid].astype(np.float32),
+                    }
+                )
+        pd.DataFrame(rows).to_parquet(os.path.join(path, "centroids.parquet"))
+        dim = len(next(iter(by_id.values()))[1])
+        meta = {
+            **asdict(opts),
+            "lists": [len(x) for x in per_level],
+            "dim": int(dim),
+            "codes_version": 1,
+            "n_leaves": len(per_level[-1]),
+        }
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        index = cls(spark, path)
+        src = df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec"))
+        if opts.metric == "cos":
+            src = src.select("id", D.normalize("vec").cast("array<float>").alias("vec"))
+        index._encode_and_write(src, mode="overwrite")
+        return index
+
+    # ------------------------------------------------------------------
+
+    @property
+    def codes_path(self) -> str:
+        return os.path.join(self.path, f"codes_v{self.meta['codes_version']}")
+
+    @property
+    def _tombstones_path(self) -> str:
+        return os.path.join(self.path, "tombstones")
+
+    def _encode_and_write(self, src: DataFrame, mode: str) -> None:
+        meta = self.meta
+        leaf_rot = self.levels[-1]["vec_rot"]
+        metric = meta["metric"]
+        residual = meta["residual_quantization"]
+        keep_vec = meta["rerank_in_index"]
+        bc = self.spark.sparkContext.broadcast(leaf_rot)
+
+        def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            centroids = bc.value  # (L, d) f32, rotated space
+            c64 = np.asarray(centroids, np.float64)
+            c2 = np.einsum("ij,ij->i", c64, c64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.stack([np.asarray(v, np.float32) for v in pdf["vec"]])
+                rot = K.rotate(mat)
+                r64 = np.asarray(rot, np.float64)
+                if metric == "l2" or metric == "cos":
+                    d = c2[None, :] - 2.0 * (r64 @ c64.T)
+                else:  # dot routing: most-aligned centroid
+                    d = -(r64 @ c64.T)
+                assign = np.argmin(d, axis=1)
+                if residual:
+                    target = rot - centroids[assign]
+                else:
+                    target = rot
+                cm = K.bit_code(target)
+                if residual:
+                    if metric == "l2":
+                        delta = np.empty(len(mat), np.float32)
+                        for cid in np.unique(assign):
+                            m = assign == cid
+                            sub = {k: v[m] for k, v in cm.items()}
+                            delta[m] = K.residual_delta_l2(
+                                cm["signs"][m], sub, centroids[cid]
+                            )
+                    else:
+                        delta = np.empty(len(mat), np.float32)
+                        for cid in np.unique(assign):
+                            m = assign == cid
+                            sub = {k: v[m] for k, v in cm.items()}
+                            delta[m] = K.residual_delta_dot(
+                                cm["signs"][m], sub, target[m], centroids[cid]
+                            )
+                else:
+                    delta = np.zeros(len(mat), np.float32)
+                out = pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy(np.int64),
+                        "cluster_id": assign.astype(np.int32),
+                        "dis_u_2": cm["dis_u_2"],
+                        "factor_cnt": cm["factor_cnt"],
+                        "factor_ip": cm["factor_ip"],
+                        "factor_err": cm["factor_err"],
+                        "delta": delta,
+                        "code": K.pack_bits(cm["signs"]),
+                        "vec": list(mat) if keep_vec else None,
+                    }
+                )
+                yield out
+
+        encoded = src.mapInPandas(encode, schema=CODES_SCHEMA)
+        # co-locate each cluster's codes (one shuffle; at scale this is what
+        # gives probe-time partition pruning its locality)
+        (
+            encoded.repartition(F.col("cluster_id"))
+            .write.mode(mode)
+            .partitionBy("cluster_id")
+            .parquet(self.codes_path)
+        )
+
+    # ------------------------------------------------------------------
+    # Search
+    # ------------------------------------------------------------------
+
+    def _descend(self, q_rot: np.ndarray, probes: list[int] | None) -> np.ndarray:
+        """Centroid-tree descent on the driver (the tree is small/broadcast;
+        mirrors /root/reference/crates/vchordrq/src/search.rs:95-157)."""
+        metric = self.meta["metric"]
+        if probes is not None and len(probes) != len(self.levels):
+            raise ValueError(
+                f"probes must have {len(self.levels)} entries (one per level)"
+            )
+        keep = np.arange(len(self.levels[0]["vec_rot"]))
+        for lvl, level in enumerate(self.levels):
+            if lvl > 0:
+                mask = np.isin(level["parent"], keep)
+                cand = np.where(mask)[0]
+            else:
+                cand = keep
+            vecs = level["vec_rot"][cand].astype(np.float64)
+            if metric in ("l2", "cos"):
+                dist = ((vecs - q_rot.astype(np.float64)) ** 2).sum(axis=1)
+            else:
+                dist = -(vecs @ q_rot.astype(np.float64))
+            if probes is not None and probes[lvl] < len(cand):
+                order = np.argpartition(dist, probes[lvl])[: probes[lvl]]
+                keep = cand[order]
+            else:
+                keep = cand
+        return keep
+
+    def _codes_df(self, probed: np.ndarray, columns: list[str]) -> DataFrame:
+        df = self.spark.read.parquet(self.codes_path)
+        if len(probed) < self.meta["n_leaves"]:
+            df = df.where(F.col("cluster_id").isin([int(c) for c in probed]))
+        df = df.select(*columns)
+        if os.path.exists(self._tombstones_path):
+            tomb = self.spark.read.parquet(self._tombstones_path)
+            df = df.join(F.broadcast(tomb), "id", "left_anti")
+        return df
+
+    def search(
+        self,
+        query: "np.ndarray | list[float]",
+        k: int = 10,
+        probes: list[int] | int | None = None,
+        epsilon: float = 1.9,
+        rerank_factor: int = 4,
+        max_scan_tuples: int | None = None,
+        prefilter: DataFrame | None = None,
+        base_df: DataFrame | None = None,
+        guarantee: bool = True,
+    ) -> DataFrame:
+        """k-NN search returning a DataFrame (id, dist) ordered by distance.
+
+        ``guarantee=True`` reproduces the reference's lazy-rerank contract
+        (exact within the probed cells, up to estimator-bound validity): after
+        reranking the top ``rerank_factor·k`` candidates by lower bound, every
+        remaining candidate whose lower bound is ≤ the k-th exact distance is
+        reranked too (the batch analogue of popping the candidate heap until
+        no lower bound can improve the result —
+        /root/reference/crates/vchordrq/src/rerank.rs:53-101).
+
+        ``prefilter``: optional DataFrame of allowed ``id`` values applied
+        BEFORE rerank (the reference's prefilter semantics, Q9).
+        ``base_df``: rerank against this (id, vec) table instead of the
+        index-stored vectors (``rerank_in_table`` mode, Q5).
+        """
+        meta = self.meta
+        metric = meta["metric"]
+        q = np.asarray(query, np.float32)
+        if metric == "cos":
+            n = float(np.linalg.norm(np.asarray(q, np.float64)))
+            if n > 0:
+                q = (np.asarray(q, np.float64) / n).astype(np.float32)
+        q_rot = K.rotate(q)
+        if isinstance(probes, int):
+            probes = [len(lv["parent"]) for lv in self.levels[:-1]] + [probes]
+        probed = self._descend(q_rot, probes)
+        if len(probed) == 0:
+            return self._empty_result()
+
+        internal = "l2" if metric == "l2" else "dot"
+        lut = K.binary_lut(q_rot)
+        residual = meta["residual_quantization"]
+        dim = meta["dim"]
+        if residual:
+            leaf_rot = self.levels[-1]["vec_rot"].astype(np.float64)
+            if internal == "l2":
+                dis_f_all = (
+                    ((leaf_rot - q_rot.astype(np.float64)) ** 2).sum(axis=1)
+                ).astype(np.float32)
+                norm_all = None
+            else:
+                dis_f_all = (-(leaf_rot @ q_rot.astype(np.float64))).astype(np.float32)
+                norm_all = np.linalg.norm(leaf_rot, axis=1).astype(np.float32)
+        else:
+            dis_f_all = None
+            norm_all = None
+        eps = float(epsilon)
+
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                bits = K.unpack_bits(list(pdf["code"]), dim)
+                sums = bits.astype(np.int64) @ lut["qvector"].astype(np.int64)
+                m = {
+                    "dis_u_2": pdf["dis_u_2"].to_numpy(np.float32),
+                    "factor_cnt": pdf["factor_cnt"].to_numpy(np.float32),
+                    "factor_ip": pdf["factor_ip"].to_numpy(np.float32),
+                    "factor_err": pdf["factor_err"].to_numpy(np.float32),
+                }
+                cids = pdf["cluster_id"].to_numpy(np.int64)
+                if residual:
+                    delta = pdf["delta"].to_numpy(np.float32)
+                    if internal == "l2":
+                        rough, err = K.rough_l2(
+                            sums, m, lut, dis_f=dis_f_all[cids], delta=delta
+                        )
+                    else:
+                        rough, err = K.rough_dot(
+                            sums,
+                            m,
+                            lut,
+                            dis_f=dis_f_all[cids],
+                            delta=delta,
+                            norm=norm_all[cids],
+                        )
+                else:
+                    if internal == "l2":
+                        rough, err = K.rough_l2(sums, m, lut)
+                    else:
+                        rough, err = K.rough_dot(sums, m, lut)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy(np.int64),
+                        "cluster_id": cids.astype(np.int32),
+                        "lb": (rough - eps * err).astype(np.float64),
+                        "rough": rough.astype(np.float64),
+                    }
+                )
+
+        meta_cols = [
+            "id",
+            "cluster_id",
+            "dis_u_2",
+            "factor_cnt",
+            "factor_ip",
+            "factor_err",
+            "delta",
+            "code",
+        ]
+        scored = self._codes_df(probed, meta_cols).mapInPandas(score, SCORE_SCHEMA)
+        if prefilter is not None:
+            scored = scored.join(prefilter.select("id"), "id", "left_semi")
+
+        # exact-rerank vector source (original-space vectors; Q4/Q5)
+        if base_df is not None:
+            vec_src = base_df
+            if metric == "cos":
+                vec_src = vec_src.select(
+                    "id", D.normalize("vec").cast("array<float>").alias("vec")
+                )
+        else:
+            if not meta["rerank_in_index"]:
+                raise ValueError(
+                    "index built with rerank_in_index=False: pass base_df"
+                )
+            vec_src = self._codes_df(probed, ["id", "vec"])
+        qv = D.vec_lit([float(x) for x in q])
+        if metric == "l2":
+            dist = D.l2("vec", qv)
+        elif metric == "dot":
+            dist = D.ip("vec", qv)
+        else:
+            dist = F.lit(1.0) + D.ip("vec", qv)
+
+        def rerank(cand: DataFrame) -> DataFrame:
+            return (
+                vec_src.join(F.broadcast(cand.select("id")), "id")
+                .select("id", dist.alias("dist"))
+                .orderBy("dist", "id")
+            )
+
+        m_cand = rerank_factor * k if rerank_factor is not None else None
+        if max_scan_tuples is not None:
+            m_cand = min(m_cand, max_scan_tuples) if m_cand else max_scan_tuples
+        if m_cand is None:
+            # exhaustive: rerank everything that was scored
+            return rerank(scored).limit(int(k))
+
+        scored = scored.persist()
+        pass1 = scored.orderBy("lb").limit(int(m_cand))
+        if not guarantee or max_scan_tuples is not None:
+            return rerank(pass1).limit(int(k))
+        top = rerank(pass1).limit(int(k)).collect()
+        if len(top) < k:
+            return rerank(scored).limit(int(k))
+        d_k = top[-1].dist
+        # internal-space threshold: lb is in squared-l2 / negated-dot space
+        if metric == "l2":
+            thresh = float(d_k) ** 2
+        elif metric == "cos":
+            thresh = float(d_k) - 1.0
+        else:
+            thresh = float(d_k)
+        final_cand = scored.where(F.col("lb") <= thresh)
+        return rerank(final_cand).limit(int(k))
+
+    def range_search(
+        self,
+        center: "np.ndarray | list[float]",
+        radius: float,
+        probes: list[int] | int | None = None,
+        epsilon: float = 1.9,
+        max_scan_tuples: int | None = None,
+    ) -> DataFrame:
+        """Sphere search: all ids with output-space distance < radius
+        (strategy-2 semantics, threshold on the sqrt'd/+1 distance —
+        /root/reference/src/index/vchordrq/scanners/default.rs:104-121)."""
+        meta = self.meta
+        metric = meta["metric"]
+        # internal-space threshold for candidate pruning
+        if metric == "l2":
+            internal_r = float(radius) ** 2
+        else:
+            internal_r = float(radius) - 1.0 if metric == "cos" else float(radius)
+        q = np.asarray(center, np.float32)
+        if metric == "cos":
+            n = float(np.linalg.norm(np.asarray(q, np.float64)))
+            if n > 0:
+                q = (np.asarray(q, np.float64) / n).astype(np.float32)
+        q_rot = K.rotate(q)
+        if isinstance(probes, int):
+            probes = [len(lv["parent"]) for lv in self.levels[:-1]] + [probes]
+        probed = self._descend(q_rot, probes)
+        if len(probed) == 0:
+            return self._empty_result()
+        full = self.search(
+            center,
+            k=max_scan_tuples or 2**31 - 1,
+            probes=probes,
+            epsilon=epsilon,
+            rerank_factor=None,
+            max_scan_tuples=max_scan_tuples,
+        )
+        _ = internal_r
+        return full.where(F.col("dist") < float(radius))
+
+    def _empty_result(self) -> DataFrame:
+        return self.spark.createDataFrame([], "id long, dist double")
+
+    # ------------------------------------------------------------------
+    # Lifecycle (insert / delete / compact / prewarm / recall)
+    # ------------------------------------------------------------------
+
+    def insert(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> None:
+        """Append new rows (encode with the existing centroid tree — the
+        batch analogue of the appendable-tape insert path)."""
+        src = df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec"))
+        if self.meta["metric"] == "cos":
+            src = src.select("id", D.normalize("vec").cast("array<float>").alias("vec"))
+        self._encode_and_write(src, mode="append")
+
+    def delete(self, ids: "list[int] | DataFrame") -> None:
+        """Logical delete via tombstones (vacuum happens in compact())."""
+        if isinstance(ids, DataFrame):
+            tomb = ids.select(F.col(ids.columns[0]).cast("long").alias("id"))
+        else:
+            tomb = self.spark.createDataFrame([(int(i),) for i in ids], "id long")
+        tomb.write.mode("append").parquet(self._tombstones_path)
+
+    def compact(self) -> None:
+        """Rewrite codes without tombstoned rows and re-coalesce files
+        (the reference's maintain/vacuum pass as an OPTIMIZE-style job)."""
+        old_version = self.meta["codes_version"]
+        new_version = old_version + 1
+        df = self.spark.read.parquet(self.codes_path)
+        if os.path.exists(self._tombstones_path):
+            tomb = self.spark.read.parquet(self._tombstones_path)
+            df = df.join(F.broadcast(tomb), "id", "left_anti")
+        new_path = os.path.join(self.path, f"codes_v{new_version}")
+        (
+            df.repartition(F.col("cluster_id"))
+            .write.mode("overwrite")
+            .partitionBy("cluster_id")
+            .parquet(new_path)
+        )
+        self.meta["codes_version"] = new_version
+        with open(os.path.join(self.path, "meta.json"), "w") as f:
+            json.dump(self.meta, f)
+        shutil.rmtree(os.path.join(self.path, f"codes_v{old_version}"), ignore_errors=True)
+        shutil.rmtree(self._tombstones_path, ignore_errors=True)
+
+    def prewarm(self) -> int:
+        """Cache the codes table in executor memory (S11)."""
+        df = self.spark.read.parquet(self.codes_path)
+        df.cache()
+        return df.count()
+
+    def evaluate_query_recall(
+        self,
+        query: "np.ndarray | list[float]",
+        k: int = 10,
+        probes: list[int] | int | None = None,
+        epsilon: float = 1.9,
+        rerank_factor: int = 4,
+    ) -> float:
+        """recall@k of the ANN configuration vs exhaustive search (S13,
+        /root/reference/sql/install/vchord--1.1.1.sql:1021-1092). Returns
+        NaN when the exhaustive result is empty (reference edge case)."""
+        ann = self.search(
+            query, k=k, probes=probes, epsilon=epsilon, rerank_factor=rerank_factor
+        )
+        accu = self.search(query, k=k, probes=None, epsilon=1.9, rerank_factor=None)
+        ann_ids = {r.id for r in ann.collect()}
+        accu_ids = {r.id for r in accu.collect()}
+        if not accu_ids:
+            return float("nan")
+        return len(ann_ids & accu_ids) / float(len(accu_ids))

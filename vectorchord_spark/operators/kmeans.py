@@ -1,0 +1,155 @@
+"""Driver-side k-means for centroid-tree construction.
+
+The reference builds its IVF structure from a bounded sample
+(``lists[-1] × sampling_factor`` rows — /root/reference/src/index/vchordrq/
+am/am_build.rs:1306-1311), so the clustering input is small by construction
+even when the table is 100 TB; running Lloyd on the driver over that sample
+is the same design, with Spark doing the (scalable) sampling and the
+(scalable) encode pass. Re-expressed semantics:
+
+- Lloyd iterations (default 10): /root/reference/crates/k_means/src/lib.rs:56-73
+- hierarchical two-stage variant with Sainte-Laguë/Webster seat allocation:
+  /root/reference/crates/k_means/src/hierarchical.rs:109-221
+- k-means dimensionality reduction (cluster in rotated+truncated space, then
+  re-estimate full-dim centroids): /root/reference/src/index/vchordrq/am/
+  am_build.rs:1280-1291,1437-1551
+- spherical (cosine) renormalization of centroids after each update step.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vectorchord_spark import kernels as K
+
+
+def _assign(samples: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """argmin squared-L2 assignment, blocked to bound memory."""
+    n = samples.shape[0]
+    out = np.empty(n, np.int64)
+    c2 = np.einsum("ij,ij->i", centroids, centroids)
+    step = max(1, int(2e8 // max(1, centroids.shape[0] * 8)))
+    for s in range(0, n, step):
+        blk = samples[s : s + step]
+        d = c2[None, :] - 2.0 * (blk @ centroids.T)
+        out[s : s + step] = np.argmin(d, axis=1)
+    return out
+
+
+def lloyd(
+    samples: np.ndarray,
+    c: int,
+    iterations: int = 10,
+    seed: int = 42,
+    spherical: bool = False,
+) -> np.ndarray:
+    """Classic Lloyd k-means; deterministic; empty clusters refilled with
+    uniform-random samples (mirroring the reference's refill behavior)."""
+    samples = np.asarray(samples, np.float64)
+    n, d = samples.shape
+    rng = np.random.default_rng(seed)
+    if n <= c:
+        # 'quick' path: each sample is its own centroid, pad with duplicates
+        pad = samples[rng.integers(0, max(n, 1), size=c - n)] if n else np.zeros((c, d))
+        return np.concatenate([samples, pad])[:c].astype(np.float32)
+    centroids = samples[rng.choice(n, size=c, replace=False)].copy()
+    for _ in range(iterations):
+        labels = _assign(samples, centroids)
+        counts = np.bincount(labels, minlength=c)
+        sums = np.zeros((c, d))
+        np.add.at(sums, labels, samples)
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+        n_empty = int((~nonempty).sum())
+        if n_empty:
+            centroids[~nonempty] = samples[rng.integers(0, n, size=n_empty)]
+        if spherical:
+            norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            centroids = centroids / norms
+    return centroids.astype(np.float32)
+
+
+def sainte_lague_seats(weights: np.ndarray, total_seats: int) -> np.ndarray:
+    """Webster/Sainte-Laguë highest-averages apportionment of ``total_seats``
+    across partitions proportional to ``weights`` (each partition with
+    weight > 0 gets ≥ 1 seat, as in the reference's hierarchical build)."""
+    w = np.asarray(weights, np.float64)
+    k = len(w)
+    seats = np.zeros(k, np.int64)
+    live = w > 0
+    seats[live] = 1
+    remaining = total_seats - int(seats.sum())
+    if remaining < 0:
+        # more partitions than seats: give to largest weights
+        seats[:] = 0
+        order = np.argsort(-w, kind="stable")[:total_seats]
+        seats[order] = 1
+        return seats
+    for _ in range(remaining):
+        quot = np.where(live, w / (2 * seats + 1), -np.inf)
+        seats[int(np.argmax(quot))] += 1
+    return seats
+
+
+def hierarchical(
+    samples: np.ndarray,
+    c: int,
+    iterations: int = 10,
+    seed: int = 42,
+    spherical: bool = False,
+) -> np.ndarray:
+    """Two-stage k-means: coarse √c clustering over a √c×256 sub-sample,
+    partition by coarse assignment, Sainte-Laguë-allocate per-partition leaf
+    counts, Lloyd per partition, concatenate."""
+    samples = np.asarray(samples, np.float64)
+    n = samples.shape[0]
+    coarse_k = max(1, int(np.sqrt(c)))
+    rng = np.random.default_rng(seed)
+    sub_n = min(n, coarse_k * 256)
+    sub = samples[rng.choice(n, size=sub_n, replace=False)]
+    coarse = lloyd(sub, coarse_k, iterations, seed, spherical)
+    labels = _assign(samples, np.asarray(coarse, np.float64))
+    counts = np.bincount(labels, minlength=coarse_k)
+    seats = sainte_lague_seats(counts, c)
+    outs = []
+    for g in range(coarse_k):
+        if seats[g] == 0:
+            continue
+        part = samples[labels == g]
+        outs.append(lloyd(part, int(seats[g]), iterations, seed + 1 + g, spherical))
+    return np.concatenate(outs).astype(np.float32)
+
+
+def reduced_dimension_kmeans(
+    samples: np.ndarray,
+    c: int,
+    kmeans_dimension: int,
+    iterations: int = 10,
+    seed: int = 42,
+    spherical: bool = False,
+    use_hierarchical: bool = False,
+) -> np.ndarray:
+    """Cluster in rotated+truncated space, then re-estimate centroids in the
+    full dimension by averaging the full-dim samples per assigned cluster."""
+    samples = np.asarray(samples, np.float32)
+    reduced = K.rotate(samples)[:, :kmeans_dimension].astype(np.float64)
+    algo = hierarchical if use_hierarchical else lloyd
+    red_centroids = algo(reduced, c, iterations, seed, spherical)
+    labels = _assign(reduced, np.asarray(red_centroids, np.float64))
+    d = samples.shape[1]
+    sums = np.zeros((c, d))
+    np.add.at(sums, labels, np.asarray(samples, np.float64))
+    counts = np.bincount(labels, minlength=c)
+    rng = np.random.default_rng(seed)
+    centroids = np.empty((c, d))
+    nonempty = counts > 0
+    centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+    n_empty = int((~nonempty).sum())
+    if n_empty:
+        centroids[~nonempty] = samples[rng.integers(0, len(samples), size=n_empty)]
+    if spherical:
+        norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        centroids = centroids / norms
+    return centroids.astype(np.float32)
