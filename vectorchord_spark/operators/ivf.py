@@ -436,11 +436,14 @@ class IvfIndex:
         """
         meta = self.meta
         metric = meta["metric"]
-        q = np.asarray(query, np.float32)
+        # keep the query in full double precision for the exact rerank
+        # expression; the f32 copy is only for rotation / LUT quantization
+        q_exact = np.asarray(query, np.float64)
         if metric == "cos":
-            n = float(np.linalg.norm(np.asarray(q, np.float64)))
+            n = float(np.linalg.norm(q_exact))
             if n > 0:
-                q = (np.asarray(q, np.float64) / n).astype(np.float32)
+                q_exact = q_exact / n
+        q = q_exact.astype(np.float32)
         q_rot = K.rotate(q)
         if isinstance(probes, int):
             probes = [len(lv["parent"]) for lv in self.levels[:-1]] + [probes]
@@ -536,7 +539,7 @@ class IvfIndex:
                     "index built with rerank_in_index=False: pass base_df"
                 )
             vec_src = self._codes_df(probed, ["id", "vec"])
-        qv = D.vec_lit([float(x) for x in q])
+        qv = D.vec_lit([float(x) for x in q_exact])
         if metric == "l2":
             dist = D.l2("vec", qv)
         elif metric == "dot":

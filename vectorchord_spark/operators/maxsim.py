@@ -1,0 +1,90 @@
+"""Index-backed multi-vector MaxSim retrieval (Q10).
+
+Re-expresses the reference's maxsim scan
+(/root/reference/crates/vchordrq/src/search.rs:199-380 and the groupBy-min-
+sum aggregation in src/index/vchordrq/scanners/maxsim.rs:695-742) as a pure
+DataFrame pipeline:
+
+  explode query tokens → per-token ANN candidates (IVF search) →
+  union → groupBy(doc) with per-token min distance, missing tokens imputed
+  by the token's estimation floor → sum across tokens → ORDER BY LIMIT k.
+
+The per-token "estimation" mirrors ``estimation_by_threshold``: once a token
+has consumed its candidate budget, unseen documents are scored with the
+token's observed distance frontier (the max candidate distance), a lower
+bound on what an unvisited document could contribute.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectorchord_spark.operators.ivf import IvfIndex
+
+
+def maxsim_search(
+    index: IvfIndex,
+    doc_of_id,
+    query_tokens: "list[list[float]] | np.ndarray",
+    k: int = 10,
+    per_token_candidates: int = 100,
+    probes: list[int] | int | None = None,
+    epsilon: float = 1.9,
+) -> DataFrame:
+    """Top-k documents by MaxSim score against ``query_tokens``.
+
+    ``doc_of_id``: a pyspark Column expression mapping the indexed row ``id``
+    to its document id (e.g. ``F.col("id") / lit(5)`` for fixed-size docs, or
+    a join key the caller prepared when building the index over exploded
+    (doc, token) rows).
+    """
+    spark = index.spark
+    per_token = []
+    estimations = []
+    for ti, tok in enumerate(query_tokens):
+        res = index.search(
+            list(map(float, tok)),
+            k=per_token_candidates,
+            probes=probes,
+            epsilon=epsilon,
+            rerank_factor=None,
+        )
+        res = res.select(
+            F.lit(ti).alias("tok"),
+            doc_of_id(F.col("id")).cast("long").alias("doc_id"),
+            F.col("dist"),
+        )
+        per_token.append(res)
+    un = per_token[0]
+    for df in per_token[1:]:
+        un = un.unionAll(df)
+    un = un.persist()
+
+    # per-token estimation floor for unseen (doc, token) pairs
+    est_rows = (
+        un.groupBy("tok").agg(F.max("dist").alias("est")).collect()
+    )
+    est = {r.tok: r.est for r in est_rows}
+    n_tokens = len(query_tokens)
+    estimations = [est.get(ti, 0.0) for ti in range(n_tokens)]
+
+    per_doc_tok = un.groupBy("doc_id", "tok").agg(F.min("dist").alias("mind"))
+    # score = Σ present mind + Σ est over *missing* tokens, computed as
+    # sum(mind) + (Σ_all est − Σ_present est) so that a document seen by
+    # every token scores exactly sum(mind) (the missing-token adjustment
+    # cancels to +0.0)
+    base = float(np.sum(np.float64(estimations)))
+    est_arr = F.array(*[F.lit(float(e)) for e in estimations])
+    per_doc = per_doc_tok.groupBy("doc_id").agg(
+        F.sum("mind").alias("s"),
+        F.sum(F.element_at(est_arr, F.col("tok") + 1)).alias("se"),
+    )
+    return (
+        per_doc.select(
+            "doc_id", (F.col("s") + (F.lit(base) - F.col("se"))).alias("score")
+        )
+        .orderBy("score", "doc_id")
+        .limit(int(k))
+    )

@@ -874,6 +874,84 @@ ORDER BY ida, idb
 
 
 # ---------------------------------------------------------------------------
+# IVF-index-backed operators (the engine's core product)
+# ---------------------------------------------------------------------------
+
+_IVF_CACHE: dict = {}
+
+
+def _get_ivf_index(spark: SparkSession, sf_dir: str, metric: str):
+    """Build (once per process) an IVF index over the embeddings table."""
+    import tempfile
+
+    from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
+
+    key = (sf_dir, metric)
+    idx = _IVF_CACHE.get(key)
+    if idx is not None:
+        return idx
+    path = tempfile.mkdtemp(prefix=f"vc_ivf_{metric}_")
+    emb = _read(spark, sf_dir, "embeddings")
+    idx = IvfIndex.build(
+        spark,
+        emb,
+        "vec_id",
+        "embedding",
+        path,
+        IvfOptions(metric=metric, lists=[16]),
+    )
+    _IVF_CACHE[key] = idx
+    return idx
+
+
+def _ann_ivf_exhaustive_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF pipeline (build → encode → probe all → rerank): with
+    exhaustive probes the result equals brute-force k-NN, so the brute-force
+    SQL is a valid oracle for the whole index machinery."""
+    idx = _get_ivf_index(spark, sf_dir, "l2")
+    res = idx.search(QUERY_VEC, k=10, probes=None, rerank_factor=None)
+    return res.select(F.col("id").alias("vec_id"), "dist")
+
+
+def _ann_ivf_probes_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN configuration (probes=4/16, ε=1.9, guaranteed rerank) — the
+    actual approximate search path; rows-only check (no SQL oracle for an
+    approximate result)."""
+    idx = _get_ivf_index(spark, sf_dir, "l2")
+    res = idx.search(QUERY_VEC, k=10, probes=[4], epsilon=1.9, rerank_factor=4)
+    return res.select(F.col("id").alias("vec_id"), "dist")
+
+
+def _ivf_recall_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 recall evaluator: exhaustive config must report exactly 1.0."""
+    idx = _get_ivf_index(spark, sf_dir, "l2")
+    r = idx.evaluate_query_recall(
+        QUERY_VEC, k=10, probes=None, rerank_factor=None
+    )
+    return spark.createDataFrame([(float(r),)], "recall double")
+
+
+_IVF_RECALL_SQL = "SELECT CAST(1.0 AS DOUBLE) AS recall"
+
+
+def _maxsim_ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed MaxSim (Q10): per-token IVF search → groupBy-min-sum.
+    With exhaustive per-token candidates it equals brute-force MaxSim, so
+    the grouped-SQL oracle applies to the full index pipeline."""
+    from vectorchord_spark.operators.maxsim import maxsim_search
+
+    idx = _get_ivf_index(spark, sf_dir, "dot")
+    return maxsim_search(
+        idx,
+        lambda c: F.floor(c / 5),
+        MAXSIM_TOKENS,
+        k=10,
+        per_token_candidates=1 << 30,
+        probes=None,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
 
@@ -900,4 +978,8 @@ def catalog() -> dict[str, Q]:
         "dedup_minhash_lsh": Q(_minhash_fn, _minhash_sql(), headline=True),
         "simhash": Q(_simhash_fn, _simhash_sql()),
         "embed_neardup": Q(_embed_neardup_fn, _EMBED_NEARDUP_SQL, headline=True),
+        "ann_ivf_exhaustive": Q(_ann_ivf_exhaustive_fn, _knn_sql("l2"), headline=True),
+        "ann_ivf_probes": Q(_ann_ivf_probes_fn, None, headline=True),
+        "ivf_recall_exhaustive": Q(_ivf_recall_fn, _IVF_RECALL_SQL),
+        "maxsim_ivf": Q(_maxsim_ivf_fn, _MAXSIM_SQL),
     }
