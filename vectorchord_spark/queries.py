@@ -617,6 +617,10 @@ FROM documents GROUP BY 1 ORDER BY text_hash
 
 
 def _shingles_df(docs: DataFrame) -> DataFrame:
+    # the documents table arrives as a single small parquet file → one input
+    # partition; spread the (CPU-heavy) shingling + explode across the
+    # cluster before fanning out
+    docs = docs.repartition(max(docs.rdd.getNumPartitions(), 32), "doc_id")
     words = F.split("text", " ")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0)))
@@ -656,7 +660,12 @@ def _dedup_ngram_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     sh = _shingles_df(docs)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    # join on a 64-bit hash of the shingle instead of the string: same pairs
+    # (modulo astronomically unlikely collisions changing n_common, which the
+    # exact-jaccard verify would still filter), much narrower shuffle
+    ex = sh.select(
+        "doc_id", F.explode("shingles").alias("sh")
+    ).select("doc_id", F.xxhash64("sh").alias("sh"))
     a = ex.select(F.col("doc_id").alias("ida"), "sh")
     b = ex.select(F.col("doc_id").alias("idb"), "sh")
     pairs = (
@@ -848,16 +857,55 @@ SELECT doc_id, ({sim})::BIGINT AS simhash FROM per_doc ORDER BY doc_id
 
 def _embed_neardup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (brute-force all-pairs — the
-    small-side baseline; the LSH/IVF bucketed variant is the scale path)."""
+    small-side baseline; the LSH/IVF bucketed variant is the scale path).
+
+    Executed as a broadcast block-matrix job: the right side is broadcast
+    once, each Arrow batch of the left side scores against the whole block
+    with a sequential per-dimension fold (bit-identical to the oracle's
+    left-associated ``+`` chain), and only pairs ≥ τ are emitted — no 2M-row
+    cross-join materialization, no shuffle except the final tiny sort."""
+    from typing import Iterator
+
+    import pandas as pd
+
     emb = _read(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"))
-    sim = D.dot("va", "vb") / (D.norm("va") * D.norm("vb"))
+    rows = emb.select("vec_id", "embedding").collect()
+    ids_all = np.array([r.vec_id for r in rows], np.int64)
+    mat_all = np.array([r.embedding for r in rows], np.float32).astype(np.float64)
+    bc = spark.sparkContext.broadcast((ids_all, mat_all))
+    dim = mat_all.shape[1]
+
+    def fold_norm(m: np.ndarray) -> np.ndarray:
+        acc = np.zeros(m.shape[0])
+        for i in range(dim):
+            acc = acc + m[:, i] * m[:, i]
+        return np.sqrt(acc)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_b, mat_b = bc.value
+        nb = fold_norm(mat_b)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_ids = pdf["vec_id"].to_numpy(np.int64)
+            a_mat = np.stack([np.asarray(v, np.float32) for v in pdf["embedding"]]).astype(np.float64)
+            dot = np.zeros((len(a_ids), len(ids_b)))
+            for i in range(dim):
+                dot = dot + a_mat[:, i : i + 1] * mat_b[None, :, i][0][None, :]
+            na = fold_norm(a_mat)
+            sim = dot / (na[:, None] * nb[None, :])
+            ii, jj = np.where((sim >= NEARDUP_COS) & (a_ids[:, None] < ids_b[None, :]))
+            yield pd.DataFrame(
+                {
+                    "ida": a_ids[ii],
+                    "idb": ids_b[jj],
+                    "sim": sim[ii, jj],
+                }
+            )
+
     return (
-        a.crossJoin(b)
-        .where(F.col("ida") < F.col("idb"))
-        .select("ida", "idb", sim.alias("sim"))
-        .where(F.col("sim") >= NEARDUP_COS)
+        emb.select("vec_id", "embedding")
+        .mapInPandas(score, "ida long, idb long, sim double")
         .orderBy("ida", "idb")
     )
 
