@@ -1,0 +1,171 @@
+"""LLM-data-pipeline operator tests (dedup families, text analysis,
+multimodal plumbing) against brute-force Python oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectorchord_spark.pipeline import dedup, multimodal, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_pd(docs):
+    return docs.toPandas()
+
+
+def _py_shingles(t, n=3):
+    w = t.split(" ")
+    if len(w) < n:
+        return {t}
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def _py_jaccard_pairs(docs_pd, threshold):
+    sets = {r.doc_id: _py_shingles(r.text) for r in docs_pd.itertuples()}
+    out = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter and inter / len(sets[a] | sets[b]) >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_jaccard_join_matches_bruteforce(docs, docs_pd):
+    got = {
+        (r.ida, r.idb)
+        for r in dedup.jaccard_similarity_join(docs, threshold=0.8).collect()
+    }
+    want = _py_jaccard_pairs(docs_pd, 0.8)
+    assert got == want
+    assert len(want) > 0  # the driver plants near-dups
+
+
+def test_minhash_lsh_recall(docs, docs_pd):
+    cand = {
+        (r.ida, r.idb) for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    want = _py_jaccard_pairs(docs_pd, 0.8)
+    # banding (8 hashes, 4 bands of 2) must recall nearly all 0.8-jaccard
+    # pairs: P(candidate) = 1-(1-j^2)^4 ≈ 0.99 at j=0.8
+    assert len(want - cand) <= max(1, int(0.1 * len(want)))
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c d")], "doc_id long, text string"
+    )
+    got = {
+        (r.keeper_id, r.n_copies)
+        for r in dedup.exact_dedup(df, ["text"]).collect()
+    }
+    assert got == {(1, 2), (3, 1)}
+
+
+def test_simhash_near_pairs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different content about spark engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.ida, r.idb)
+        for r in dedup.simhash_near_pairs(df, max_hamming=6).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_embedding_lsh_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    sims = (mat @ mat.T) / (
+        np.linalg.norm(mat, axis=1)[:, None] * np.linalg.norm(mat, axis=1)[None, :]
+    )
+    thr = 0.35
+    want = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if sims[i, j] >= thr
+    }
+    # sim≈0.35 is a *low*-similarity target: collision prob per 4-plane
+    # table is (1-θ/π)^4 ≈ 0.14, so 16 tables give ≈ 0.91 recall at the
+    # threshold and more above it
+    got = {
+        (r.ida, r.idb)
+        for r in dedup.embedding_lsh_pairs(
+            emb, threshold=thr, n_planes=4, n_tables=16
+        ).collect()
+    }
+    assert got <= want  # verification step admits no false positives
+    if want:
+        assert len(got) / len(want) >= 0.6
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 1)], "ida long, idb long"
+    )
+    got = {
+        (r.id, r.component)
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (9, 1), (8, 1), (5, 5), (6, 5)}
+
+
+def test_text_operators(spark):
+    df = spark.createDataFrame(
+        [(1, "the fast fox and the slow dog")], "doc_id long, text string"
+    )
+    row = text.doc_stats(df).first()
+    assert row.n_words == 7
+    assert row.n_distinct == 6
+    assert row.n_chars == 29
+    lang = df.select(
+        text.detect_language(
+            "text", {"en": ["the", "and"], "xx": ["zzz"]}
+        ).alias("lang")
+    ).first()
+    assert lang.lang == "en"
+    fp1 = df.select(text.fingerprint("text").alias("f")).first().f
+    df2 = spark.createDataFrame(
+        [(2, "slow dog and the fast fox the")], "doc_id long, text string"
+    )
+    fp2 = df2.select(text.fingerprint("text").alias("f")).first().f
+    assert fp1 == fp2  # reordering collapses to the same fingerprint
+    q = df.select(text.quality_score("text").alias("q")).first().q
+    assert 0.0 <= q <= 1.0
+    rf = df.select(text.rolling_fingerprints("text", k=2, window=2).alias("r")).first().r
+    assert len(rf) >= 1
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"fake-image-bytes-1")), (2, bytearray(b"fake-image-bytes-2"))],
+        "id long, data binary",
+    )
+    feats = multimodal.decode_image_features(df, dim=8)
+    rows = {r.id: r for r in feats.collect()}
+    assert rows[1].n_bytes == 18
+    assert len(rows[1].embedding) == 8
+    # deterministic: same bytes → same features
+    again = {r.id: r for r in multimodal.decode_image_features(df, dim=8).collect()}
+    assert list(rows[1].embedding) == list(again[1].embedding)
+    assert rows[1].embedding != rows[2].embedding
+    with pytest.raises(Exception):
+        multimodal.decode_image_features(df, strict=True).collect()
+    frames = multimodal.frame_sample(
+        spark.createDataFrame([(1, bytearray(b"x" * 6400))], "id long, data binary"),
+        every_n=10,
+    )
+    assert frames.count() == 10

@@ -1,0 +1,101 @@
+"""Streaming insert / windowed rollup and vector source/sink tests."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
+from vectorchord_spark.sources import parse_vector, read_vectors, vector_to_text, write_vectors
+from vectorchord_spark.streaming import (
+    hourly_event_counts_stream,
+    streaming_index_insert,
+)
+
+
+def test_parse_vector_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("[1, 2.5, -3]",), ("[0,0,1e2]",)], "s string"
+    )
+    out = df.select(parse_vector("s").alias("v")).collect()
+    assert out[0].v == [1.0, 2.5, -3.0]
+    assert out[1].v == [0.0, 0.0, 100.0]
+    back = (
+        df.select(parse_vector("s").alias("v"))
+        .select(vector_to_text("v").alias("s"))
+        .collect()
+    )
+    assert back[0].s == "[1.0,2.5,-3.0]"
+
+
+def test_csv_vector_roundtrip(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "id long, vec array<float>"
+        )
+        write_vectors(df, f"{tmp}/v", fmt="csv")
+        back = read_vectors(
+            spark, f"{tmp}/v", fmt="csv", text_encoded=True,
+            schema="id long, vec string",
+        )
+        rows = {r.id: r.vec for r in back.collect()}
+        assert rows[1] == [1.0, 2.0] and rows[2] == [3.0, 4.0]
+
+
+def test_streaming_index_insert(spark):
+    rng = np.random.default_rng(0)
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(500)],
+        "id long, vec array<float>",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build(
+            spark, base, "id", "vec", f"{tmp}/idx", IvfOptions(metric="l2", lists=[8])
+        )
+        src = f"{tmp}/incoming"
+        os.makedirs(src)
+        extra = spark.createDataFrame(
+            [(1000 + i, [float(x) for x in rng.normal(size=8)]) for i in range(100)],
+            "id long, vec array<float>",
+        )
+        extra.write.mode("append").parquet(src)
+        q = streaming_index_insert(
+            idx, src, f"{tmp}/ckpt", schema="id long, vec array<float>"
+        )
+        q.awaitTermination(120)
+        got = idx.search([0.0] * 8, k=600, probes=None, rerank_factor=None).count()
+        assert got == 600  # all 500 base + 100 streamed rows indexed
+
+
+def test_hourly_stream_matches_batch(spark, sf_dir):
+    with tempfile.TemporaryDirectory() as tmp:
+        q = hourly_event_counts_stream(
+            spark, sf_dir, f"{tmp}/ckpt", query_name="hourly_test"
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "SELECT count(*) AS n, sum(n) AS total FROM hourly_test"
+        ).first()
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        batch = (
+            ev.withColumn("t", F.timestamp_micros(F.expr("ts div 1000")))
+            .groupBy(F.date_trunc("hour", "t"), "event_type")
+            .count()
+        )
+        # watermark drops nothing in availableNow mode over sorted history
+        # except possibly the trailing open window; allow ≤ #types slack
+        assert abs(got.n - batch.count()) <= 5
+        assert got.total <= ev.count()
+
+
+def test_prewarm(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build(
+            spark, emb, "vec_id", "embedding", f"{tmp}/idx",
+            IvfOptions(metric="l2", lists=[8]),
+        )
+        assert idx.prewarm() == emb.count()

@@ -1,0 +1,318 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, each designed around its 100 TB shuffle shape:
+
+- **exact**: one hash-groupBy on a content hash (single shuffle).
+- **n-gram Jaccard**: inverted-index similarity join (explode shingles,
+  join on shingle hash, count co-occurrences). Hot shingles are the skew
+  risk → AQE skew handling + optional doc-frequency cap.
+- **MinHash + LSH**: banding turns the all-pairs problem into a groupBy on
+  band keys; only same-bucket pairs are verified.
+- **SimHash**: per-bit majority vote; near-pairs by Hamming distance over
+  bucketed chunks.
+- **embedding cosine**: brute block-matrix for bounded sides; sign-random-
+  projection LSH buckets as the scale path.
+
+Dedup *groups* come from connected components over the near-dup pair edges
+(iterative DataFrame label propagation — small diameter graphs converge in
+a few rounds).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectorchord_spark.pipeline.text import words
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per distinct value of ``cols``; returns the
+    keeper assignment (hash, keeper_id, n_copies)."""
+    h = F.md5(F.concat_ws("\x1f", *cols))
+    return (
+        df.groupBy(h.alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column (array<string>).
+    Documents shorter than ``n`` words shingle to the whole text."""
+    w = words(text)
+    cnt = F.size(w)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), cnt - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    return F.when(cnt >= n, grams).otherwise(F.array(F.col("text") if isinstance(text, str) else text))
+
+
+def jaccard_similarity_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All near-dup pairs with n-gram Jaccard ≥ threshold.
+
+    ``max_doc_freq`` optionally drops ultra-common shingles before the join
+    (stop-shingle pruning) — the standard skew mitigation at scale; it can
+    only lose pairs whose overlap is dominated by stop-shingles.
+    """
+    sh = df.select(F.col(id_col).alias("_id"), shingles(text_col, n).alias("sh"))
+    sizes = sh.select("_id", F.size("sh").alias("n_sh"))
+    ex = sh.select("_id", F.explode("sh").alias("s")).select(
+        "_id", F.xxhash64("s").alias("s")
+    )
+    if max_doc_freq is not None:
+        freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        ex = ex.join(freq.where(F.col("df") <= max_doc_freq), "s", "left_semi")
+    a = ex.select(F.col("_id").alias("ida"), "s")
+    b = ex.select(F.col("_id").alias("idb"), "s")
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("_id").alias("ida"), F.col("n_sh").alias("na"))),
+            "ida",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("_id").alias("idb"), F.col("n_sh").alias("nb"))),
+            "idb",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("ida", "idb", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """MinHash signature per document: min of the md5 hash family over the
+    shingle set, one column per hash."""
+    sh = df.select(F.col(id_col).alias("_id"), shingles(text_col, n).alias("sh"))
+    ex = sh.select("_id", F.explode("sh").alias("s"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    return ex.groupBy("_id").agg(*aggs).withColumnRenamed("_id", id_col)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_rows: int = 2,
+) -> DataFrame:
+    """LSH candidate pairs: band the signatures, pair docs sharing any band
+    key. Verification (exact Jaccard) is the caller's choice — compose with
+    :func:`jaccard_similarity_join` semantics via a join on the pair."""
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    n_bands = num_hashes // band_rows
+    band_cols = []
+    for b in range(n_bands):
+        parts = [F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("key"))
+        )
+    banded = sig.select(
+        F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("_id", "bk.band", "bk.key")
+    a = banded.select(F.col("_id").alias("ida"), "band", "key")
+    b = banded.select(F.col("_id").alias("idb"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("ida") < F.col("idb"))
+        .select("ida", "idb")
+        .distinct()
+    )
+
+
+def simhash(text: Column | str, bits: int = 16) -> Column:
+    """SimHash of the word tokens: md5-derived per-word hash, per-bit
+    majority vote with multiplicity, packed into a ``bits``-wide integer."""
+    assert 1 <= bits <= 32
+    hexchars = (bits + 3) // 4
+    w = words(text)
+    h_of = lambda x: F.conv(F.substring(F.md5(x), 1, hexchars), 16, 10).cast("bigint")  # noqa: E731
+    total = None
+    for j in range(bits):
+        contrib = F.aggregate(
+            w,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc
+            + (F.shiftright(h_of(x), j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+        term = F.when(contrib > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        total = term if total is None else total + term
+    return total.cast("bigint")
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    max_hamming: int = 3,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Scale path: band the hash into ``bits/band_bits`` chunks — any pair
+    within the Hamming budget must agree on ≥ 1 chunk when
+    ``bits/band_bits > max_hamming`` (pigeonhole), so candidate generation is
+    a groupBy on chunk values, not an all-pairs scan."""
+    sigs = df.select(
+        F.col(id_col).alias("_id"), simhash(text_col, bits).alias("sh")
+    )
+    n_chunks = bits // band_bits
+    chunk_cols = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("sh"), c * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
+            .alias("v"),
+        )
+        for c in range(n_chunks)
+    ]
+    banded = sigs.select(
+        "_id", "sh", F.explode(F.array(*chunk_cols)).alias("ck")
+    ).select("_id", "sh", "ck.chunk", "ck.v")
+    a = banded.select(F.col("_id").alias("ida"), F.col("sh").alias("sha"), "chunk", "v")
+    b = banded.select(F.col("_id").alias("idb"), F.col("sh").alias("shb"), "chunk", "v")
+    cand = (
+        a.join(b, ["chunk", "v"])
+        .where(F.col("ida") < F.col("idb"))
+        .select("ida", "idb", "sha", "shb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return cand.select(
+        "ida", "idb", ham.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Embedding near-dup pairs via sign-random-projection LSH.
+
+    ``n_tables`` independent hash tables of ``n_planes`` hyperplane sign
+    bits; same-bucket pairs are verified with exact cosine. This is the
+    100 TB path for embedding dedup (bucket groupBy instead of all-pairs).
+    """
+    from vectorchord_spark.functions import distances as D
+
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_tables, n_planes, dim))
+    table_cols = []
+    for t in range(n_tables):
+        bits = None
+        for p in range(n_planes):
+            plane = D.dot(vec_col, D.vec_lit([float(x) for x in planes[t, p]]))
+            bit = F.when(plane >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        table_cols.append(F.struct(F.lit(t).alias("t"), bits.alias("bucket")))
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(F.array(*table_cols)).alias("tb"),
+    ).select("_id", "_v", "tb.t", "tb.bucket")
+    a = banded.select(F.col("_id").alias("ida"), F.col("_v").alias("va"), "t", "bucket")
+    b = banded.select(F.col("_id").alias("idb"), F.col("_v").alias("vb"), "t", "bucket")
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .where(F.col("ida") < F.col("idb"))
+        .select("ida", "idb", "va", "vb")
+        .distinct()
+    )
+    sim = D.dot("va", "vb") / (D.norm("va") * D.norm("vb"))
+    return cand.select("ida", "idb", sim.alias("sim")).where(
+        F.col("sim") >= threshold
+    )
+
+
+def connected_components(
+    edges: DataFrame, a_col: str = "ida", b_col: str = "idb", max_iter: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation (the dedup
+    *grouping* step: near-dup pairs → duplicate clusters → one keeper each).
+
+    Returns (id, component) with component = min id reachable. Each round is
+    one join + groupBy; rounds needed = graph diameter (near-dup clusters
+    are shallow). DataFrames are persisted per round and the loop exits on a
+    fixpoint count check.
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

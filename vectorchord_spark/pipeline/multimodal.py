@@ -1,0 +1,163 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media is carried as opaque ``binary`` columns with typed metadata structs;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages. The container image has no media codecs, so the
+actual decoders are STUBBED: each operator tries the real library
+(PIL/soundfile) and otherwise falls back to a clearly-marked deterministic
+fake (or raises ``NotImplementedError`` when ``strict=True``). The Spark
+side — schema, batch shape, partitioning, UDF signatures — is real and
+tested; swapping in a real decoder changes only the numpy body.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),  # image/jpeg, audio/wav, ...
+        StructField("data", StringType()),  # placeholder; real col is binary
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def media_column(data: Column, media_type: str, meta: dict[str, str] | None = None) -> Column:
+    """Wrap a binary column into the engine's typed media struct."""
+    meta = meta or {}
+    return F.struct(
+        F.lit(media_type).alias("media_type"),
+        data.alias("data"),
+        F.create_map(
+            *[x for kv in meta.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+        ).cast(MapType(StringType(), StringType())).alias("meta"),
+    )
+
+
+def _fake_decode(buf: bytes, dim: int) -> tuple[int, int, np.ndarray]:
+    """Deterministic stand-in for an image decoder: derives a pseudo
+    width/height and feature vector from the byte content. STUB — replace
+    with PIL/torchvision in a codec-enabled environment."""
+    h = hashlib.md5(buf).digest()
+    width = 1 + h[0] % 64
+    height = 1 + h[1] % 64
+    seed = int.from_bytes(h[2:10], "little", signed=False) % (2**32)
+    rng = np.random.default_rng(seed)
+    emb = rng.standard_normal(dim).astype(np.float32)
+    return width, height, emb
+
+
+def _try_real_decode(buf: bytes):
+    try:  # pragma: no cover - codec libs absent in this container
+        import io
+
+        from PIL import Image  # noqa: F401
+
+        img = Image.open(io.BytesIO(buf))
+        return img.size
+    except Exception:
+        return None
+
+
+def decode_image_features(
+    df: DataFrame,
+    binary_col: str = "data",
+    dim: int = 16,
+    strict: bool = False,
+) -> DataFrame:
+    """Decode images and emit (width, height, n_bytes, embedding).
+
+    ``strict=True`` raises ``NotImplementedError`` when no real codec is
+    available instead of using the deterministic fake.
+    """
+    other_cols = [c for c in df.columns if c != binary_col]
+    out_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in other_cols
+    )
+    out_schema += ", width int, height int, n_bytes int, embedding array<float>"
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            feats = []
+            for buf in pdf[binary_col]:
+                raw = bytes(buf) if buf is not None else b""
+                if _try_real_decode(raw) is not None:
+                    w, h = _try_real_decode(raw)
+                    _, _, emb = _fake_decode(raw, dim)
+                elif strict:
+                    raise NotImplementedError(
+                        "no image codec available in this environment"
+                    )
+                else:
+                    w, h, emb = _fake_decode(raw, dim)
+                feats.append((w, h, len(raw), emb))
+            out = pdf[other_cols].copy()
+            out["width"] = [f[0] for f in feats]
+            out["height"] = [f[1] for f in feats]
+            out["n_bytes"] = [f[2] for f in feats]
+            out["embedding"] = [f[3] for f in feats]
+            yield out
+
+    return df.mapInPandas(decode, out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    binary_col: str = "data",
+    every_n: int = 10,
+    strict: bool = False,
+) -> DataFrame:
+    """Sample every ``every_n``-th frame of a video column → one row per
+    frame (frame_no, frame binary). STUB decoder: frames are deterministic
+    slices of the input bytes; the explode/fan-out plumbing is real."""
+    other_cols = [c for c in df.columns if c != binary_col]
+    out_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in other_cols
+    )
+    out_schema += ", frame_no int, frame binary"
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                raw = bytes(r[binary_col]) if r[binary_col] is not None else b""
+                if strict:
+                    raise NotImplementedError(
+                        "no video codec available in this environment"
+                    )
+                n_frames = max(1, len(raw) // 64)
+                for fno in range(0, n_frames, every_n):
+                    frame = raw[fno * 64 : (fno + 1) * 64]
+                    rows.append(
+                        {**{c: r[c] for c in other_cols}, "frame_no": fno, "frame": frame}
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(sample, out_schema)

@@ -1,0 +1,105 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Spark column expressions / DataFrame transforms (JVM-side, no
+Python in the hot path): language ID by wordlist profile, quality-scoring
+statistics, regex token counting, canonical fingerprints. These are the
+beyond-the-reference LLM-pipeline operators requested by the BASELINE north
+star; each has an oracle-matched entry in the query catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: whitespace + BPE-ish token pattern: word pieces, digit runs, punctuation
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def words(text: Column | str) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(text: Column | str, pattern: str = TOKEN_RE) -> Column:
+    """Regex token count (whitespace + BPE-ish split)."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("bigint")
+
+
+def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality statistics (the usual pre-training filters)."""
+    w = words(text_col)
+    n_words = F.size(w)
+    n_distinct = F.size(F.array_distinct(w))
+    total_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return df.withColumns(
+        {
+            "n_chars": F.length(text_col).cast("bigint"),
+            "n_words": n_words.cast("bigint"),
+            "n_tokens": token_count(text_col),
+            "n_distinct": n_distinct.cast("bigint"),
+            "distinct_ratio": n_distinct.cast("double") / n_words.cast("double"),
+            "avg_word_len": total_len.cast("double") / n_words.cast("double"),
+        }
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Scalar [0,1] quality heuristic combining length and repetition."""
+    w = words(text)
+    n_words = F.size(w).cast("double")
+    distinct_ratio = F.size(F.array_distinct(w)).cast("double") / n_words
+    length_score = F.least(n_words / F.lit(100.0), F.lit(1.0))
+    return (length_score + distinct_ratio) / F.lit(2.0)
+
+
+def detect_language(
+    text: Column | str, profiles: dict[str, list[str]]
+) -> Column:
+    """Wordlist-profile language ID: occurrences of each language's profile
+    words, argmax with lexicographic tie-break. ``profiles`` maps language
+    code → profile word list (n-gram profiles work the same way with a
+    shingle column as input)."""
+    w = words(text)
+    langs = sorted(profiles)
+    scores = {
+        lang: F.size(F.filter(w, lambda x: x.isin(profiles[lang]))).cast("bigint")
+        for lang in langs
+    }
+    m = F.greatest(*[scores[lang] for lang in langs])
+    expr = None
+    for lang in langs:
+        cond = scores[lang] == m
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Canonical content fingerprint: md5 of the sorted distinct token set
+    (fingerprint-clustering normalization; near-identical reorderings of the
+    same vocabulary collapse to one key)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words(text)))))
+
+
+def rolling_fingerprints(
+    text: Column | str, k: int = 5, window: int = 4
+) -> Column:
+    """Winnowing-style document fingerprints: k-word shingle hashes, then
+    the minimum hash of every ``window`` consecutive shingles (deduplicated).
+    Returns an array<bigint> of selected fingerprints."""
+    w = words(text)
+    n = F.size(w)
+    shingle_at = lambda i: F.xxhash64(  # noqa: E731
+        F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)])
+    )
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))), shingle_at
+    )
+    mins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(shingles) - window, F.lit(0))),
+        lambda i: F.array_min(F.slice(shingles, i + 1, window)),
+    )
+    return F.array_distinct(mins)

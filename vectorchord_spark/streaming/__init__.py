@@ -1,0 +1,6 @@
+from vectorchord_spark.streaming.jobs import (
+    hourly_event_counts_stream,
+    streaming_index_insert,
+)
+
+__all__ = ["streaming_index_insert", "hourly_event_counts_stream"]
