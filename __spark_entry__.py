@@ -17,10 +17,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship: the full IVF pipeline (sample → k-means → rotate → encode →
+    partition-pruned probe → guaranteed rerank) on /root/testdata/sf0.001."""
     from vectorchord_spark.queries import catalog
 
-    return catalog()["knn_l2"].fn(spark, "/root/testdata/sf0.001")
+    return catalog()["ann_ivf_exhaustive"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -39,6 +39,9 @@ MAXSIM_TOKENS = [
     [float(x) for x in np.round(np.random.default_rng(9).uniform(-1, 1, DIM), 4)],
 ]
 RANGE_RADIUS = 4.45
+RANGE_IP_RADIUS = -1.0
+RANGE_COS_RADIUS = 0.85
+SIMHASH_MAX_HAMMING = 3
 NEARDUP_COS = 0.40
 JACCARD_THRESHOLD = 0.8
 MINHASH_HASHES = 8
@@ -921,6 +924,185 @@ ORDER BY ida, idb
 """
 
 
+def _range_ip_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    dist = D.ip("embedding", D.vec_lit(QUERY_VEC))
+    return (
+        emb.select("vec_id", dist.alias("dist"))
+        .where(F.col("dist") < RANGE_IP_RADIUS)
+        .orderBy("dist", "vec_id")
+    )
+
+
+def _range_cos_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    qn = float(np.sqrt(np.sum(np.float64(QUERY_VEC) ** 2)))
+    dist = F.lit(1.0) - D.dot("embedding", D.vec_lit(QUERY_VEC)) / (
+        D.norm("embedding") * F.lit(qn)
+    )
+    return (
+        emb.select("vec_id", dist.alias("dist"))
+        .where(F.col("dist") < RANGE_COS_RADIUS)
+        .orderBy("dist", "vec_id")
+    )
+
+
+def _range_ip_sql() -> str:
+    return f"""
+SELECT vec_id, dist FROM (
+  SELECT vec_id, -{_dot_chain("embedding", QUERY_VEC)} AS dist FROM embeddings
+) WHERE dist < {RANGE_IP_RADIUS}
+ORDER BY dist, vec_id
+"""
+
+
+def _range_cos_sql() -> str:
+    qn = float(np.sqrt(np.sum(np.float64(QUERY_VEC) ** 2)))
+    return f"""
+SELECT vec_id, dist FROM (
+  SELECT vec_id,
+         1.0 - {_dot_chain("embedding", QUERY_VEC)}
+           / (sqrt({_norm2_chain("embedding")}) * ({qn!r})) AS dist
+  FROM embeddings
+) WHERE dist < {RANGE_COS_RADIUS}
+ORDER BY dist, vec_id
+"""
+
+
+def _simhash_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All near-dup pairs by SimHash Hamming distance ≤ 3 (exact all-pairs
+    over the signature table; the banded variant is the scale path and is
+    covered by pipeline tests)."""
+    sigs = _simhash_fn(spark, sf_dir)
+    a = sigs.select(F.col("doc_id").alias("ida"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("idb"), F.col("simhash").alias("sb"))
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        a.crossJoin(b)
+        .where(F.col("ida") < F.col("idb"))
+        .select("ida", "idb", ham.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("ida", "idb")
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    inner = _simhash_sql().replace("ORDER BY doc_id", "")
+    return f"""
+WITH sigs AS ({inner})
+SELECT a.doc_id AS ida, b.doc_id AS idb,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY ida, idb
+"""
+
+
+def _dedup_groups_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup *clusters*: connected components over the near-dup pair graph
+    (iterative DataFrame min-label propagation; the oracle re-derives the
+    same components with a recursive transitive-closure CTE)."""
+    from vectorchord_spark.pipeline.dedup import connected_components
+
+    pairs = _dedup_ngram_fn(spark, sf_dir).select("ida", "idb")
+    return connected_components(pairs).orderBy("id")
+
+
+def _dedup_groups_sql() -> str:
+    return f"""
+WITH RECURSIVE base AS ({_DEDUP_NGRAM_SQL.replace("ORDER BY ida, idb", "")}),
+edges AS (
+  SELECT ida AS a, idb AS b FROM base
+  UNION
+  SELECT idb AS a, ida AS b FROM base
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT x.id, e.b FROM reach x JOIN edges e ON e.a = x.r
+)
+SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id
+"""
+
+
+_LSH_TABLES = 8
+_LSH_PLANES = 4
+_LSH_SEED = 42
+
+
+def _lsh_planes() -> np.ndarray:
+    return np.random.default_rng(_LSH_SEED).normal(size=(_LSH_TABLES, _LSH_PLANES, DIM))
+
+
+def _embed_neardup_lsh_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-scale embedding dedup path: sign-random-projection LSH
+    buckets → same-bucket candidate pairs → exact cosine verify. Fully
+    deterministic (fixed hyperplanes), so SQL can reproduce it exactly."""
+    from vectorchord_spark.pipeline.dedup import embedding_lsh_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return (
+        embedding_lsh_pairs(
+            emb,
+            dim=DIM,
+            n_planes=_LSH_PLANES,
+            n_tables=_LSH_TABLES,
+            seed=_LSH_SEED,
+            threshold=NEARDUP_COS,
+        )
+        .orderBy("ida", "idb")
+    )
+
+
+def _embed_neardup_lsh_sql() -> str:
+    planes = _lsh_planes()
+    bucket_exprs = []
+    for t in range(_LSH_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN {_dot_chain('embedding', [float(x) for x in planes[t, p]])} >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(_LSH_PLANES)
+        )
+        bucket_exprs.append(f"SELECT vec_id, embedding, {t} AS t, ({bits}) AS bucket FROM embeddings")
+    banded = " UNION ALL ".join(bucket_exprs)
+    return f"""
+WITH banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb, a.embedding AS va, b.embedding AS vb
+  FROM banded a JOIN banded b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT ida, idb,
+       {_pair_dot_chain("va", "vb")}
+         / (sqrt({_norm2_chain("va")}) * sqrt({_norm2_chain("vb")})) AS sim
+FROM cand
+WHERE {_pair_dot_chain("va", "vb")}
+         / (sqrt({_norm2_chain("va")}) * sqrt({_norm2_chain("vb")})) >= {NEARDUP_COS}
+ORDER BY ida, idb
+"""
+
+
+def _quantize_roundtrip_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rabitq8/rabitq4 quantize→dequantize round-trip error per vector
+    (S7/S8); not SQL-expressible (FHT rotation + bit packing) → rows-only
+    driver check; the numeric error contracts are asserted in pytest."""
+    from vectorchord_spark.functions import quantize as Qz
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = emb.select(
+        "vec_id",
+        D.l2(
+            Qz.dequantize_to_vector(Qz.quantize_to_rabitq("embedding", bits=8), bits=8),
+            "embedding",
+        ).alias("err8"),
+        D.l2(
+            Qz.dequantize_to_vector(Qz.quantize_to_rabitq("embedding", bits=4), bits=4),
+            "embedding",
+        ).alias("err4"),
+    )
+    return out.orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # IVF-index-backed operators (the engine's core product)
 # ---------------------------------------------------------------------------
@@ -1030,4 +1212,10 @@ def catalog() -> dict[str, Q]:
         "ann_ivf_probes": Q(_ann_ivf_probes_fn, None, headline=True),
         "ivf_recall_exhaustive": Q(_ivf_recall_fn, _IVF_RECALL_SQL),
         "maxsim_ivf": Q(_maxsim_ivf_fn, _MAXSIM_SQL),
+        "range_ip": Q(_range_ip_fn, _range_ip_sql()),
+        "range_cos": Q(_range_cos_fn, _range_cos_sql()),
+        "simhash_pairs": Q(_simhash_pairs_fn, _simhash_pairs_sql()),
+        "dedup_groups": Q(_dedup_groups_fn, _dedup_groups_sql()),
+        "embed_neardup_lsh": Q(_embed_neardup_lsh_fn, _embed_neardup_lsh_sql(), headline=True),
+        "quantize_roundtrip": Q(_quantize_roundtrip_fn, None),
     }
