@@ -247,18 +247,28 @@ def embedding_lsh_pairs(
             bit = F.when(plane >= 0, F.lit(1 << p)).otherwise(F.lit(0))
             bits = bit if bits is None else bits + bit
         table_cols.append(F.struct(F.lit(t).alias("t"), bits.alias("bucket")))
+    # candidate generation on narrow (id, bucket) rows; vectors re-joined
+    # once per *distinct* pair — buckets are coarse, so keeping the arrays
+    # out of the bucket join/distinct is the difference between shuffling
+    # ids and shuffling the whole embedding table many times over
     banded = df.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
         F.explode(F.array(*table_cols)).alias("tb"),
-    ).select("_id", "_v", "tb.t", "tb.bucket")
-    a = banded.select(F.col("_id").alias("ida"), F.col("_v").alias("va"), "t", "bucket")
-    b = banded.select(F.col("_id").alias("idb"), F.col("_v").alias("vb"), "t", "bucket")
+    ).select("_id", "tb.t", "tb.bucket")
+    a = banded.select(F.col("_id").alias("ida"), "t", "bucket")
+    b = banded.select(F.col("_id").alias("idb"), "t", "bucket")
     cand = (
         a.join(b, ["t", "bucket"])
         .where(F.col("ida") < F.col("idb"))
-        .select("ida", "idb", "va", "vb")
+        .select("ida", "idb")
         .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    cand = (
+        cand.join(F.broadcast(vecs), cand["ida"] == vecs["_vid"])
+        .select("ida", "idb", F.col("_v").alias("va"))
+        .join(F.broadcast(vecs), F.col("idb") == vecs["_vid"])
+        .select("ida", "idb", "va", F.col("_v").alias("vb"))
     )
     sim = D.dot("va", "vb") / (D.norm("va") * D.norm("vb"))
     return cand.select("ida", "idb", sim.alias("sim")).where(
