@@ -1,0 +1,78 @@
+"""Vamana graph index tests (vchordg parity: build → search recall,
+multi-shard layout, cosine/dot metrics)."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from vectorchord_spark.operators.graph import VamanaIndex, VamanaOptions, _build_vamana
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rng = np.random.default_rng(3)
+    centers = rng.uniform(-1, 1, size=(20, 16))
+    rows = []
+    for i in range(3000):
+        c = centers[i % 20] + rng.normal(0, 0.1, 16)
+        rows.append((i, [float(x) for x in c]))
+    return spark.createDataFrame(rows, "id long, vec array<float>").cache()
+
+
+def brute_topk(df, q, k, metric="l2"):
+    from vectorchord_spark.functions import distances as D
+
+    dist = D.output_distance(metric, "vec", D.vec_lit(q))
+    return [
+        r.id
+        for r in df.select("id", dist.alias("d")).orderBy("d", "id").limit(k).collect()
+    ]
+
+
+def test_vamana_unit_build():
+    """Graph invariants: degree ≤ m, connectivity from medoid."""
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(500, 8)).astype(np.float32)
+    opts = VamanaOptions(m=16, ef_construction=32)
+    adj, medoid = _build_vamana(vecs, opts, np.random.default_rng(42))
+    assert all(len(a) <= 16 for a in adj)
+    # BFS from medoid reaches (almost) everything
+    seen = {medoid}
+    frontier = [medoid]
+    while frontier:
+        u = frontier.pop()
+        for v in adj[u]:
+            if v not in seen:
+                seen.add(v)
+                frontier.append(v)
+    assert len(seen) >= 495
+
+
+@pytest.mark.parametrize("metric", ["l2", "cos", "dot"])
+def test_graph_search_recall(spark, vec_df, metric):
+    rng = np.random.default_rng(5)
+    q = [float(x) for x in rng.uniform(-1, 1, 16)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = VamanaIndex.build(
+            spark, vec_df, "id", "vec", os.path.join(tmp, "g"),
+            VamanaOptions(metric=metric, m=24, ef_construction=48, n_shards=4),
+        )
+        exact = brute_topk(vec_df, q, 10, metric)
+        got = [r.id for r in idx.search(q, k=10, ef_search=64).collect()]
+        recall = len(set(got) & set(exact)) / 10.0
+        assert recall >= 0.9, f"{metric} recall {recall}"
+
+
+def test_graph_sharding_layout(spark, vec_df):
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = VamanaIndex.build(
+            spark, vec_df, "id", "vec", os.path.join(tmp, "g"),
+            VamanaOptions(n_shards=4),
+        )
+        shards = [
+            d for d in os.listdir(idx.graph_path) if d.startswith("shard=")
+        ]
+        assert len(shards) == 4
+        assert idx.prewarm() == 3000

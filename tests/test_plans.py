@@ -1,0 +1,70 @@
+"""Plan-shape assertions (the Spark analogue of the reference's
+pushdown_plan.slt): partition pruning on probed searches, column pruning on
+scoring scans, broadcast reranks, predicate pushdown on relational queries."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
+from vectorchord_spark.plans import explain as P
+
+
+@pytest.fixture(scope="module")
+def small_index(spark):
+    rng = np.random.default_rng(1)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(2000)],
+        "id long, vec array<float>",
+    )
+    tmp = tempfile.mkdtemp(prefix="vc_plan_idx_")
+    idx = IvfIndex.build(
+        spark, df, "id", "vec", os.path.join(tmp, "idx"),
+        IvfOptions(metric="l2", lists=[16]),
+    )
+    return idx
+
+
+def test_probe_scan_is_partition_pruned(spark, small_index):
+    q = [0.0] * 8
+    res = small_index.search(q, k=5, probes=[4], guarantee=False)
+    parts = P.partition_filters(res)
+    assert any("cluster_id" in p for p in parts), parts
+
+
+def test_rerank_join_is_broadcast(spark, small_index):
+    q = [0.0] * 8
+    res = small_index.search(q, k=5, probes=[4], guarantee=False)
+    assert P.has_broadcast_join(res)
+
+
+def test_scoring_scan_prunes_vec_column(spark, small_index):
+    """The rough-score stage must not read the stored vectors: its scan's
+    ReadSchema excludes `vec` (the widest column)."""
+    q = [0.0] * 8
+    res = small_index.search(q, k=5, probes=[4], guarantee=False)
+    schemas = P.read_schemas(res)
+    scoring = [s for s in schemas if "code" in s]
+    assert scoring and all("vec" not in s for s in scoring), schemas
+
+
+def test_parquet_filter_pushdown_on_relational(spark, sf_dir):
+    from vectorchord_spark.queries import catalog
+
+    df = catalog()["q3_shipping"].fn(spark, sf_dir)
+    pushed = P.pushed_filters(df)
+    assert any("l_shipdate" in f for f in pushed), pushed
+    assert any("c_mktsegment" in f for f in pushed), pushed
+    assert P.has_broadcast_join(df)
+
+
+def test_knn_is_take_ordered(spark, sf_dir):
+    from vectorchord_spark.queries import catalog
+
+    df = catalog()["knn_l2"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in P.explain_str(df)
+    # column pruning: only vec_id + embedding read
+    schemas = P.read_schemas(df)
+    assert any("embedding" in s and "label" not in s for s in schemas), schemas
