@@ -177,6 +177,40 @@ def test_recall_evaluator(spark, clustered_df):
         assert r16 >= 0.9
 
 
+# the F6 fixture is adversarial for 4-bit codes: cluster spread (σ=0.05·√8)
+# is comparable to the rabitq4 reconstruction error at dim 8, so half the
+# top-10 order is genuinely indistinguishable after quantization
+@pytest.mark.parametrize("storage,min_recall", [("rabitq8", 0.9), ("rabitq4", 0.4)])
+def test_quantized_storage(spark, clustered_df, storage, min_recall):
+    """rabitq8/rabitq4 stored-vector index: rerank against the dequantized
+    estimate; RaBitQ8 claims <1% recall loss (/root/reference/README.md:45)."""
+    rng = np.random.default_rng(19)
+    q = [float(x) for x in rng.uniform(-1, 1, 8)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build(
+            spark, clustered_df, "id", "vec", os.path.join(tmp, "idx"),
+            IvfOptions(metric="l2", lists=[33], storage=storage),
+        )
+        exact = brute_topk(clustered_df, q, 10)
+        got = [
+            r.id for r in idx.search(q, k=10, probes=None, rerank_factor=None).collect()
+        ]
+        recall = len(set(got) & set(exact)) / 10.0
+        assert recall >= min_recall, f"{storage} recall {recall}"
+        # quantized rerank distances stay close to the true distances
+        d_true = dict(
+            (r.id, r.d)
+            for r in clustered_df.select(
+                "id",
+                __import__("vectorchord_spark.functions", fromlist=["distances"])
+                .distances.l2("vec", __import__("vectorchord_spark.functions", fromlist=["distances"]).distances.vec_lit(q))
+                .alias("d"),
+            ).collect()
+        )
+        for r in idx.search(q, k=10, probes=None, rerank_factor=None).collect():
+            assert abs(r.dist - d_true[r.id]) < (0.1 if storage == "rabitq8" else 0.8)
+
+
 def test_external_build(spark, clustered_df):
     """B7: prebuilt centroid table with validation."""
     rng = np.random.default_rng(18)

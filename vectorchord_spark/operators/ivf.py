@@ -44,7 +44,8 @@ from vectorchord_spark.operators import kmeans as KM
 
 CODES_SCHEMA = (
     "id long, cluster_id int, dis_u_2 float, factor_cnt float, factor_ip float, "
-    "factor_err float, delta float, code binary, vec array<float>"
+    "factor_err float, delta float, code binary, vec array<float>, "
+    "sq_dis_u_2 float, sq_nol float, sq_code binary"
 )
 SCORE_SCHEMA = "id long, cluster_id int, lb double, rough double"
 
@@ -63,14 +64,26 @@ class IvfOptions:
     residual_quantization: bool = False
     rerank_in_index: bool = True
     build_hierarchical: bool = False
+    #: stored-vector format for rerank: "f32" keeps the full vector (exact
+    #: rerank); "rabitq8"/"rabitq4" store the extended lattice code instead
+    #: (4-8x smaller, rerank against the dequantized estimate — the
+    #: reference's quantized-column index mode, <1% recall loss at 8 bits
+    #: per /root/reference/README.md:45)
+    storage: str = "f32"
     seed: int = 42
 
     def validate(self) -> None:
         assert self.metric in ("l2", "dot", "cos")
+        assert self.storage in ("f32", "rabitq8", "rabitq4")
         assert 1 <= len(self.lists) <= 8
         assert all(a < b for a, b in zip(self.lists, self.lists[1:])), (
             "lists must be ascending"
         )
+        if self.storage != "f32":
+            assert not self.residual_quantization, (
+                "residual quantization is unsupported for quantized storage "
+                "types (matches the reference: am_build.rs:221-227)"
+            )
 
 
 class IvfIndex:
@@ -299,7 +312,9 @@ class IvfIndex:
         leaf_rot = self.levels[-1]["vec_rot"]
         metric = meta["metric"]
         residual = meta["residual_quantization"]
-        keep_vec = meta["rerank_in_index"]
+        storage = meta.get("storage", "f32")
+        keep_vec = meta["rerank_in_index"] and storage == "f32"
+        sq_bits = {"rabitq8": 8, "rabitq4": 4}.get(storage)
         bc = self.spark.sparkContext.broadcast(leaf_rot)
 
         def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -341,6 +356,19 @@ class IvfIndex:
                             )
                 else:
                     delta = np.zeros(len(mat), np.float32)
+                if sq_bits is not None:
+                    ext = K.extended_code(rot, sq_bits)
+                    sq_code = (
+                        [r.tobytes() for r in ext["code"]]
+                        if sq_bits == 8
+                        else K.pack_nibbles(ext["code"])
+                    )
+                    sq_du2 = ext["dis_u_2"]
+                    sq_nol = ext["norm_of_lattice"]
+                else:
+                    sq_code = None
+                    sq_du2 = None
+                    sq_nol = None
                 out = pd.DataFrame(
                     {
                         "id": pdf["id"].to_numpy(np.int64),
@@ -352,6 +380,9 @@ class IvfIndex:
                         "delta": delta,
                         "code": K.pack_bits(cm["signs"]),
                         "vec": list(mat) if keep_vec else None,
+                        "sq_dis_u_2": sq_du2,
+                        "sq_nol": sq_nol,
+                        "sq_code": sq_code,
                     }
                 )
                 yield out
@@ -526,33 +557,89 @@ class IvfIndex:
         if prefilter is not None:
             scored = scored.join(prefilter.select("id"), "id", "left_semi")
 
-        # exact-rerank vector source (original-space vectors; Q4/Q5)
+        # exact-rerank vector source (original-space vectors; Q4/Q5) — or,
+        # for quantized storage, the dequantized-estimate rerank (the
+        # reference's rabitq8/rabitq4 opclass behavior)
+        storage = meta.get("storage", "f32")
         if base_df is not None:
             vec_src = base_df
             if metric == "cos":
                 vec_src = vec_src.select(
                     "id", D.normalize("vec").cast("array<float>").alias("vec")
                 )
-        else:
+        elif storage == "f32":
             if not meta["rerank_in_index"]:
                 raise ValueError(
                     "index built with rerank_in_index=False: pass base_df"
                 )
             vec_src = self._codes_df(probed, ["id", "vec"])
-        qv = D.vec_lit([float(x) for x in q_exact])
-        if metric == "l2":
-            dist = D.l2("vec", qv)
-        elif metric == "dot":
-            dist = D.ip("vec", qv)
         else:
-            dist = F.lit(1.0) + D.ip("vec", qv)
+            vec_src = None
 
-        def rerank(cand: DataFrame) -> DataFrame:
-            return (
-                vec_src.join(F.broadcast(cand.select("id")), "id")
-                .select("id", dist.alias("dist"))
-                .orderBy("dist", "id")
-            )
+        if vec_src is not None:
+            qv = D.vec_lit([float(x) for x in q_exact])
+            if metric == "l2":
+                dist = D.l2("vec", qv)
+            elif metric == "dot":
+                dist = D.ip("vec", qv)
+            else:
+                dist = F.lit(1.0) + D.ip("vec", qv)
+
+            def rerank(cand: DataFrame) -> DataFrame:
+                return (
+                    vec_src.join(F.broadcast(cand.select("id")), "id")
+                    .select("id", dist.alias("dist"))
+                    .orderBy("dist", "id")
+                )
+
+        else:
+            # quantized storage: rerank against the dequantized estimate in
+            # rotated space (distances are rotation-invariant); stays in
+            # numpy because it's bit unpacking + one matmul per batch
+            sq_bits = {"rabitq8": 8, "rabitq4": 4}[storage]
+            q_rot64 = np.asarray(q_rot, np.float64)
+            base_off = np.float64(-0.5 * ((1 << sq_bits) - 1))
+            q_norm2 = float(q_rot64 @ q_rot64)
+
+            def sq_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    codes = list(pdf["sq_code"])
+                    code = (
+                        np.frombuffer(b"".join(codes), np.uint8).reshape(
+                            len(codes), -1
+                        )[:, :dim]
+                        if sq_bits == 8
+                        else K.unpack_nibbles(codes, dim)
+                    )
+                    scale = (
+                        np.sqrt(pdf["sq_dis_u_2"].to_numpy(np.float64))
+                        / pdf["sq_nol"].to_numpy(np.float64)
+                    )
+                    centered = code.astype(np.float64) + base_off
+                    dotq = (centered @ q_rot64) * scale
+                    if metric == "l2":
+                        deq_n2 = (
+                            np.einsum("ij,ij->i", centered, centered) * scale * scale
+                        )
+                        d = np.sqrt(np.maximum(q_norm2 + deq_n2 - 2.0 * dotq, 0.0))
+                    elif metric == "dot":
+                        d = -dotq
+                    else:
+                        d = 1.0 - dotq
+                    yield pd.DataFrame(
+                        {"id": pdf["id"].to_numpy(np.int64), "dist": d}
+                    )
+
+            sq_src = self._codes_df(probed, ["id", "sq_dis_u_2", "sq_nol", "sq_code"])
+
+            def rerank(cand: DataFrame) -> DataFrame:
+                return (
+                    sq_src.join(F.broadcast(cand.select("id")), "id")
+                    .mapInPandas(sq_score, "id long, dist double")
+                    .orderBy("dist", "id")
+                )
 
         m_cand = rerank_factor * k if rerank_factor is not None else None
         if max_scan_tuples is not None:
