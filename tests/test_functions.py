@@ -49,6 +49,33 @@ def test_maxsim_expression(spark):
     assert abs(got - (-3.0)) < 1e-9
 
 
+def test_maxsim_reference_golden(spark):
+    """The reference's own multivector fixture at full size: 10k rows of
+    3x dim-2 cos/sin tokens; the expected 18-id order is copied verbatim
+    from /root/reference/tests/vchordrq/multivector.slt:30-49."""
+    import math
+
+    n = 10000
+    rows = []
+    for i in range(1, n + 1):
+        toks = []
+        for j in (0, 22, 777):
+            ang = ((i + j) % n) / float(n) * 6.283185307179586
+            toks.append([float(np.float32(math.cos(ang))), float(np.float32(math.sin(ang)))])
+        rows.append((i, toks))
+    df = spark.createDataFrame(rows, "id int, val array<array<float>>")
+    q = [
+        [0.7197411498053302, 0.6942425205048314],
+        [0.10645067063129976, 0.9943179847122079],
+    ]
+    got = [r.id for r in df.orderBy(V.maxsim("val", q), "id").limit(18).collect()]
+    expected = [
+        1387, 1388, 1386, 1389, 1385, 1390, 1384, 1391, 1383,
+        1392, 1382, 1393, 1381, 1394, 1380, 1395, 1379, 1396,
+    ]
+    assert got == expected
+
+
 def test_maxsim_fixture_order(spark):
     """FIXTURES.md F4 (tests/vchordrq/multivector.slt:30-49): exact id order
     for the cos/sin constructed fixture, scaled down to 2k rows."""

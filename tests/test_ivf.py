@@ -211,6 +211,41 @@ def test_quantized_storage(spark, clustered_df, storage, min_recall):
             assert abs(r.dist - d_true[r.id]) < (0.1 if storage == "rabitq8" else 0.8)
 
 
+def test_f16_storage(spark, clustered_df):
+    """halfvec opclass semantics: store f16-truncated, compute in f32."""
+    rng = np.random.default_rng(20)
+    q = [float(x) for x in rng.uniform(-1, 1, 8)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build(
+            spark, clustered_df, "id", "vec", os.path.join(tmp, "idx"),
+            IvfOptions(metric="l2", lists=[33], storage="f16"),
+        )
+        exact = brute_topk(clustered_df, q, 10)
+        got = [
+            r.id for r in idx.search(q, k=10, probes=None, rerank_factor=None).collect()
+        ]
+        recall = len(set(got) & set(exact)) / 10.0
+        assert recall >= 0.9
+
+
+def test_query_sampling(spark, clustered_df):
+    """S14: Bernoulli query recorder with max_records cap."""
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build(
+            spark, clustered_df.limit(200), "id", "vec", os.path.join(tmp, "idx"),
+            IvfOptions(metric="l2", lists=[4]),
+        )
+        assert idx.sampled_queries().count() == 0
+        idx.enable_query_sampling(rate=1.0, max_records=2)
+        rng = np.random.default_rng(21)
+        for _ in range(3):
+            q = [float(x) for x in rng.uniform(-1, 1, 8)]
+            idx.search(q, k=3, probes=[2], guarantee=False).collect()
+        assert idx.sampled_queries().count() == 2  # capped
+        got = idx.sampled_queries().first().query
+        assert len(got) == 8
+
+
 def test_external_build(spark, clustered_df):
     """B7: prebuilt centroid table with validation."""
     rng = np.random.default_rng(18)

@@ -65,8 +65,10 @@ class IvfOptions:
     rerank_in_index: bool = True
     build_hierarchical: bool = False
     #: stored-vector format for rerank: "f32" keeps the full vector (exact
-    #: rerank); "rabitq8"/"rabitq4" store the extended lattice code instead
-    #: (4-8x smaller, rerank against the dequantized estimate — the
+    #: rerank); "f16" stores half-precision-truncated vectors (the halfvec
+    #: opclasses — compute still widens to f32, crates/vector/src/vect.rs
+    #: with S=f16); "rabitq8"/"rabitq4" store the extended lattice code
+    #: instead (4-8x smaller, rerank against the dequantized estimate — the
     #: reference's quantized-column index mode, <1% recall loss at 8 bits
     #: per /root/reference/README.md:45)
     storage: str = "f32"
@@ -74,7 +76,7 @@ class IvfOptions:
 
     def validate(self) -> None:
         assert self.metric in ("l2", "dot", "cos")
-        assert self.storage in ("f32", "rabitq8", "rabitq4")
+        assert self.storage in ("f32", "f16", "rabitq8", "rabitq4")
         assert 1 <= len(self.lists) <= 8
         assert all(a < b for a, b in zip(self.lists, self.lists[1:])), (
             "lists must be ascending"
@@ -313,7 +315,8 @@ class IvfIndex:
         metric = meta["metric"]
         residual = meta["residual_quantization"]
         storage = meta.get("storage", "f32")
-        keep_vec = meta["rerank_in_index"] and storage == "f32"
+        keep_vec = meta["rerank_in_index"] and storage in ("f32", "f16")
+        f16_store = storage == "f16"
         sq_bits = {"rabitq8": 8, "rabitq4": 4}.get(storage)
         bc = self.spark.sparkContext.broadcast(leaf_rot)
 
@@ -379,7 +382,11 @@ class IvfIndex:
                         "factor_err": cm["factor_err"],
                         "delta": delta,
                         "code": K.pack_bits(cm["signs"]),
-                        "vec": list(mat) if keep_vec else None,
+                        "vec": (
+                            list(mat.astype(np.float16).astype(np.float32))
+                            if keep_vec and f16_store
+                            else (list(mat) if keep_vec else None)
+                        ),
                         "sq_dis_u_2": sq_du2,
                         "sq_nol": sq_nol,
                         "sq_code": sq_code,
@@ -475,6 +482,7 @@ class IvfIndex:
             if n > 0:
                 q_exact = q_exact / n
         q = q_exact.astype(np.float32)
+        self._maybe_record_query(q)
         q_rot = K.rotate(q)
         if isinstance(probes, int):
             probes = [len(lv["parent"]) for lv in self.levels[:-1]] + [probes]
@@ -567,7 +575,7 @@ class IvfIndex:
                 vec_src = vec_src.select(
                     "id", D.normalize("vec").cast("array<float>").alias("vec")
                 )
-        elif storage == "f32":
+        elif storage in ("f32", "f16"):
             if not meta["rerank_in_index"]:
                 raise ValueError(
                     "index built with rerank_in_index=False: pass base_df"
@@ -756,6 +764,49 @@ class IvfIndex:
         df = self.spark.read.parquet(self.codes_path)
         df.cache()
         return df.count()
+
+    # ------------------------------------------------------------------
+    # Query sampling / monitoring (S14 — vchordrq_sampled_queries:
+    # /root/reference/sql/install/vchord--1.1.1.sql:936-1013; Bernoulli
+    # sampling rate + max_records cap per src/index/gucs.rs:30-34)
+    # ------------------------------------------------------------------
+
+    def enable_query_sampling(self, rate: float = 1.0, max_records: int = 1000) -> None:
+        self.meta["sampling_rate"] = float(rate)
+        self.meta["sampling_max_records"] = int(max_records)
+        with open(os.path.join(self.path, "meta.json"), "w") as f:
+            json.dump(self.meta, f)
+
+    @property
+    def _queries_log_path(self) -> str:
+        return os.path.join(self.path, "sampled_queries")
+
+    def _maybe_record_query(self, q: np.ndarray) -> None:
+        rate = self.meta.get("sampling_rate")
+        if not rate:
+            return
+        # deterministic Bernoulli draw from the query content
+        h = int.from_bytes(
+            __import__("hashlib").md5(np.asarray(q, np.float32).tobytes()).digest()[:8],
+            "little",
+        )
+        if (h % 10_000) / 10_000.0 >= rate:
+            return
+        existing = 0
+        if os.path.exists(self._queries_log_path):
+            existing = self.spark.read.parquet(self._queries_log_path).count()
+        if existing >= self.meta.get("sampling_max_records", 1000):
+            return
+        row = [( [float(x) for x in q], )]
+        self.spark.createDataFrame(row, "query array<float>").write.mode(
+            "append"
+        ).parquet(self._queries_log_path)
+
+    def sampled_queries(self) -> DataFrame:
+        """The recorded query vectors (empty DataFrame when none logged)."""
+        if not os.path.exists(self._queries_log_path):
+            return self.spark.createDataFrame([], "query array<float>")
+        return self.spark.read.parquet(self._queries_log_path)
 
     def evaluate_query_recall(
         self,

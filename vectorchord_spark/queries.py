@@ -1164,6 +1164,48 @@ def _ivf_recall_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_RECALL_SQL = "SELECT CAST(1.0 AS DOUBLE) AS recall"
 
 
+def _ann_ivf_rabitq8_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with rabitq8 quantized storage (8x smaller rerank payload;
+    dequantized-estimate rerank → approximate ⇒ rows-only check)."""
+    import tempfile
+
+    from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
+
+    key = (sf_dir, "l2-rabitq8")
+    idx = _IVF_CACHE.get(key)
+    if idx is None:
+        path = tempfile.mkdtemp(prefix="vc_ivf_rq8_")
+        emb = _read(spark, sf_dir, "embeddings")
+        idx = IvfIndex.build(
+            spark, emb, "vec_id", "embedding", path,
+            IvfOptions(metric="l2", lists=[16], storage="rabitq8"),
+        )
+        _IVF_CACHE[key] = idx
+    res = idx.search(QUERY_VEC, k=10, probes=[4], rerank_factor=4)
+    return res.select(F.col("id").alias("vec_id"), "dist")
+
+
+def _ann_graph_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vamana graph index (vchordg): sharded build + per-shard beam search
+    (approximate ⇒ rows-only check; recall contracts live in pytest)."""
+    import tempfile
+
+    from vectorchord_spark.operators.graph import VamanaIndex, VamanaOptions
+
+    key = (sf_dir, "graph-l2")
+    idx = _IVF_CACHE.get(key)
+    if idx is None:
+        path = tempfile.mkdtemp(prefix="vc_graph_")
+        emb = _read(spark, sf_dir, "embeddings")
+        idx = VamanaIndex.build(
+            spark, emb, "vec_id", "embedding", path,
+            VamanaOptions(metric="l2", m=24, ef_construction=48, n_shards=4),
+        )
+        _IVF_CACHE[key] = idx
+    res = idx.search(QUERY_VEC, k=10, ef_search=64)
+    return res.select(F.col("id").alias("vec_id"), "dist")
+
+
 def _maxsim_ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-backed MaxSim (Q10): per-token IVF search → groupBy-min-sum.
     With exhaustive per-token candidates it equals brute-force MaxSim, so
@@ -1218,4 +1260,6 @@ def catalog() -> dict[str, Q]:
         "dedup_groups": Q(_dedup_groups_fn, _dedup_groups_sql()),
         "embed_neardup_lsh": Q(_embed_neardup_lsh_fn, _embed_neardup_lsh_sql(), headline=True),
         "quantize_roundtrip": Q(_quantize_roundtrip_fn, None),
+        "ann_ivf_rabitq8": Q(_ann_ivf_rabitq8_fn, None, headline=True),
+        "ann_graph": Q(_ann_graph_fn, None, headline=True),
     }
