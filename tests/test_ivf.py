@@ -211,6 +211,31 @@ def test_quantized_storage(spark, clustered_df, storage, min_recall):
             assert abs(r.dist - d_true[r.id]) < (0.1 if storage == "rabitq8" else 0.8)
 
 
+def test_search_batch(spark, clustered_df):
+    """Batch multi-query search: exhaustive config equals per-query brute
+    force; probed config hits recall."""
+    rng = np.random.default_rng(22)
+    qs = [[float(x) for x in rng.uniform(-1, 1, 8)] for _ in range(4)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build(
+            spark, clustered_df, "id", "vec", os.path.join(tmp, "idx"),
+            IvfOptions(metric="l2", lists=[33]),
+        )
+        res = idx.search_batch(qs, k=10, probes=None, rerank_factor=None).collect()
+        by_q = {}
+        for r in res:
+            by_q.setdefault(r.qid, []).append(r.id)
+        for qi, q in enumerate(qs):
+            assert by_q[qi] == brute_topk(clustered_df, q, 10)
+        res2 = idx.search_batch(qs, k=10, probes=[16], rerank_factor=8).collect()
+        by_q2 = {}
+        for r in res2:
+            by_q2.setdefault(r.qid, []).append(r.id)
+        for qi, q in enumerate(qs):
+            rec = len(set(by_q2[qi]) & set(brute_topk(clustered_df, q, 10))) / 10
+            assert rec >= 0.8, (qi, rec)
+
+
 def test_f16_storage(spark, clustered_df):
     """halfvec opclass semantics: store f16-truncated, compute in f32."""
     rng = np.random.default_rng(20)

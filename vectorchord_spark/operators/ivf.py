@@ -674,6 +674,199 @@ class IvfIndex:
         final_cand = scored.where(F.col("lb") <= thresh)
         return rerank(final_cand).limit(int(k))
 
+    def search_batch(
+        self,
+        queries: "list[list[float]] | np.ndarray",
+        k: int = 10,
+        probes: list[int] | int | None = None,
+        epsilon: float = 1.9,
+        rerank_factor: int | None = 4,
+        guarantee: bool = True,
+    ) -> DataFrame:
+        """Multi-query k-NN in ONE pass over the codes table.
+
+        The Spark-native serving shape: all queries descend on the driver
+        (one vectorized matmul), the union of probed clusters is scanned
+        once, the Python scoring stage computes every query's rough
+        estimates from a single ``bits @ QQᵀ`` matmul, and the rerank is a
+        JVM expression indexing a broadcast literal array of query vectors.
+        Returns (qid, id, dist, rank) with rank ≤ k per query.
+        """
+        meta = self.meta
+        metric = meta["metric"]
+        dim = meta["dim"]
+        Qe = np.asarray(queries, np.float64)
+        if metric == "cos":
+            norms = np.linalg.norm(Qe, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            Qe = Qe / norms
+        Q32 = Qe.astype(np.float32)
+        Q_rot = K.rotate(Q32)
+        nq = len(Q32)
+        if isinstance(probes, int):
+            probes = [len(lv["parent"]) for lv in self.levels[:-1]] + [probes]
+
+        n_leaves = self.meta["n_leaves"]
+        probe_mask = np.zeros((n_leaves, nq), bool)
+        union_probed: set[int] = set()
+        for qi in range(nq):
+            probed = self._descend(Q_rot[qi], probes)
+            probe_mask[probed, qi] = True
+            union_probed.update(int(c) for c in probed)
+        if not union_probed:
+            return self.spark.createDataFrame([], "qid int, id long, dist double, rank int")
+
+        internal = "l2" if metric == "l2" else "dot"
+        luts = [K.binary_lut(Q_rot[qi]) for qi in range(nq)]
+        QQ = np.stack([lut["qvector"] for lut in luts]).astype(np.int64)  # (nq, d)
+        residual = meta["residual_quantization"]
+        if residual:
+            leaf_rot = self.levels[-1]["vec_rot"].astype(np.float64)
+            if internal == "l2":
+                dis_f_all = np.stack(
+                    [
+                        ((leaf_rot - Q_rot[qi].astype(np.float64)) ** 2).sum(axis=1)
+                        for qi in range(nq)
+                    ]
+                ).astype(np.float32)  # (nq, L)
+                norm_all = None
+            else:
+                dis_f_all = np.stack(
+                    [-(leaf_rot @ Q_rot[qi].astype(np.float64)) for qi in range(nq)]
+                ).astype(np.float32)
+                norm_all = np.linalg.norm(leaf_rot, axis=1).astype(np.float32)
+        else:
+            dis_f_all = None
+            norm_all = None
+        eps = float(epsilon)
+
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                bits = K.unpack_bits(list(pdf["code"]), dim)
+                sums_all = bits.astype(np.int64) @ QQ.T  # (m, nq)
+                m = {
+                    "dis_u_2": pdf["dis_u_2"].to_numpy(np.float32),
+                    "factor_cnt": pdf["factor_cnt"].to_numpy(np.float32),
+                    "factor_ip": pdf["factor_ip"].to_numpy(np.float32),
+                    "factor_err": pdf["factor_err"].to_numpy(np.float32),
+                }
+                cids = pdf["cluster_id"].to_numpy(np.int64)
+                ids = pdf["id"].to_numpy(np.int64)
+                delta = pdf["delta"].to_numpy(np.float32) if residual else None
+                out_id, out_qid, out_lb = [], [], []
+                for qi in range(nq):
+                    mask = probe_mask[cids, qi]
+                    if not mask.any():
+                        continue
+                    mm = {kk: vv[mask] for kk, vv in m.items()}
+                    sums = sums_all[mask, qi]
+                    if residual:
+                        if internal == "l2":
+                            rough, err = K.rough_l2(
+                                sums, mm, luts[qi],
+                                dis_f=dis_f_all[qi][cids[mask]],
+                                delta=delta[mask],
+                            )
+                        else:
+                            rough, err = K.rough_dot(
+                                sums, mm, luts[qi],
+                                dis_f=dis_f_all[qi][cids[mask]],
+                                delta=delta[mask],
+                                norm=norm_all[cids[mask]],
+                            )
+                    else:
+                        if internal == "l2":
+                            rough, err = K.rough_l2(sums, mm, luts[qi])
+                        else:
+                            rough, err = K.rough_dot(sums, mm, luts[qi])
+                    out_id.append(ids[mask])
+                    out_qid.append(np.full(mask.sum(), qi, np.int32))
+                    out_lb.append((rough - eps * err).astype(np.float64))
+                if not out_id:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_qid),
+                        "id": np.concatenate(out_id),
+                        "lb": np.concatenate(out_lb),
+                    }
+                )
+
+        meta_cols = [
+            "id", "cluster_id", "dis_u_2", "factor_cnt",
+            "factor_ip", "factor_err", "delta", "code",
+        ]
+        probed_arr = np.array(sorted(union_probed))
+        scored = self._codes_df(probed_arr, meta_cols).mapInPandas(
+            score, "qid int, id long, lb double"
+        )
+        from pyspark.sql import Window
+
+        if meta.get("storage", "f32") not in ("f32", "f16") or not meta["rerank_in_index"]:
+            raise NotImplementedError(
+                "search_batch currently requires f32/f16 rerank_in_index storage"
+            )
+        vec_src = self._codes_df(probed_arr, ["id", "vec"])
+        q_arr = F.array(*[D.vec_lit([float(x) for x in Qe[qi]]) for qi in range(nq)])
+        qv = F.element_at(q_arr, F.col("qid") + 1)
+        if metric == "l2":
+            dist = D.l2("vec", qv)
+        elif metric == "dot":
+            dist = D.ip("vec", qv)
+        else:
+            dist = F.lit(1.0) + D.ip("vec", qv)
+        w2 = Window.partitionBy("qid").orderBy("dist", "id")
+
+        def rerank(cand: DataFrame) -> DataFrame:
+            return (
+                vec_src.join(F.broadcast(cand), "id")
+                .select("qid", "id", dist.alias("dist"))
+                .withColumn("rank", F.row_number().over(w2))
+                .where(F.col("rank") <= k)
+                .orderBy("qid", "rank")
+            )
+
+        if rerank_factor is None:
+            return rerank(scored.select("qid", "id"))
+
+        scored = scored.persist()
+        w = Window.partitionBy("qid").orderBy("lb", "id")
+        pass1 = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= rerank_factor * k)
+            .select("qid", "id")
+        )
+        if not guarantee:
+            return rerank(pass1)
+        # per-query guarantee pass (the batch analogue of the single-query
+        # lazy-rerank contract): rerank everything with lb ≤ the query's
+        # k-th exact distance from pass 1
+        top = rerank(pass1).collect()
+        kth: dict[int, float] = {}
+        counts: dict[int, int] = {}
+        for r in top:
+            counts[r.qid] = counts.get(r.qid, 0) + 1
+            kth[r.qid] = max(kth.get(r.qid, -np.inf), float(r.dist))
+        thresh = []
+        for qi in range(nq):
+            if counts.get(qi, 0) < k:
+                thresh.append(np.inf)
+                continue
+            d_k = kth[qi]
+            if metric == "l2":
+                thresh.append(d_k * d_k)
+            elif metric == "cos":
+                thresh.append(d_k - 1.0)
+            else:
+                thresh.append(d_k)
+        thresh_arr = F.array(*[F.lit(float(t)) for t in thresh])
+        final_cand = scored.where(
+            F.col("lb") <= F.element_at(thresh_arr, F.col("qid") + 1)
+        ).select("qid", "id")
+        return rerank(final_cand)
+
     def range_search(
         self,
         center: "np.ndarray | list[float]",

@@ -1164,6 +1164,39 @@ def _ivf_recall_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_RECALL_SQL = "SELECT CAST(1.0 AS DOUBLE) AS recall"
 
 
+_BATCH_QUERIES = [QUERY_VEC, MAXSIM_TOKENS[0], MAXSIM_TOKENS[1]]
+
+
+def _knn_batch_ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-query search through the IVF index in one codes pass;
+    exhaustive config equals per-query brute force → SQL oracle applies."""
+    idx = _get_ivf_index(spark, sf_dir, "l2")
+    res = idx.search_batch(_BATCH_QUERIES, k=10, probes=None, rerank_factor=None)
+    return res.select(
+        "qid", F.col("id").alias("vec_id"), "dist", F.col("rank").alias("rnk")
+    )
+
+
+def _knn_batch_sql() -> str:
+    parts = []
+    for qi, qv in enumerate(_BATCH_QUERIES):
+        parts.append(
+            f"SELECT {qi} AS qid, vec_id, sqrt({_l2sq_chain('embedding', qv)}) AS dist "
+            "FROM embeddings"
+        )
+    un = " UNION ALL ".join(parts)
+    return f"""
+WITH allq AS ({un}),
+ranked AS (
+  SELECT qid, vec_id, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+  FROM allq
+)
+SELECT qid, vec_id, dist, rnk::INT AS rnk FROM ranked WHERE rnk <= 10
+ORDER BY qid, rnk
+"""
+
+
 def _ann_ivf_rabitq8_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with rabitq8 quantized storage (8x smaller rerank payload;
     dequantized-estimate rerank → approximate ⇒ rows-only check)."""
@@ -1262,4 +1295,5 @@ def catalog() -> dict[str, Q]:
         "quantize_roundtrip": Q(_quantize_roundtrip_fn, None),
         "ann_ivf_rabitq8": Q(_ann_ivf_rabitq8_fn, None, headline=True),
         "ann_graph": Q(_ann_graph_fn, None, headline=True),
+        "knn_batch_ivf": Q(_knn_batch_ivf_fn, _knn_batch_sql(), headline=True),
     }
