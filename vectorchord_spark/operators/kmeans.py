@@ -78,13 +78,15 @@ def sainte_lague_seats(weights: np.ndarray, total_seats: int) -> np.ndarray:
     k = len(w)
     seats = np.zeros(k, np.int64)
     live = w > 0
+    if not live.any():
+        return seats
     seats[live] = 1
     remaining = total_seats - int(seats.sum())
     if remaining < 0:
         # more partitions than seats: give to largest weights
         seats[:] = 0
         order = np.argsort(-w, kind="stable")[:total_seats]
-        seats[order] = 1
+        seats[order[w[order] > 0]] = 1
         return seats
     for _ in range(remaining):
         quot = np.where(live, w / (2 * seats + 1), -np.inf)

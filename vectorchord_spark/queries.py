@@ -471,6 +471,31 @@ ORDER BY user_id, session_id
 """
 
 
+def _events_rollup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface: ROLLUP over (event_type, hour-of-day)."""
+    ev = _read(spark, sf_dir, "events")
+    hod = F.hour(F.timestamp_micros(F.col("ts_us"))).cast("int")
+    return (
+        ev.withColumn("hod", hod)
+        .rollup("event_type", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+_EVENTS_ROLLUP_SQL = """
+SELECT event_type, hod, count(*) AS n, round(sum(value), 2) AS total_value
+FROM (
+  SELECT event_type, hour(make_timestamp(epoch_us(ts)))::INT AS hod, value FROM events
+)
+GROUP BY ROLLUP (event_type, hod)
+ORDER BY event_type, hod
+"""
+
+
 def _top_orders_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _read(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -1273,6 +1298,7 @@ def catalog() -> dict[str, Q]:
         "q3_shipping": Q(_q3_fn, _Q3_SQL, headline=True),
         "q5_revenue": Q(_q5_fn, _Q5_SQL, headline=True),
         "events_hourly": Q(_events_hourly_fn, _EVENTS_HOURLY_SQL),
+        "events_rollup": Q(_events_rollup_fn, _EVENTS_ROLLUP_SQL),
         "sessionize": Q(_sessionize_fn, _SESSIONIZE_SQL, headline=True),
         "top_orders_window": Q(_top_orders_fn, _TOP_ORDERS_SQL),
         "doc_stats": Q(_doc_stats_fn, _DOC_STATS_SQL),
