@@ -91,6 +91,45 @@ def test_hourly_stream_matches_batch(spark, sf_dir):
         assert got.total <= ev.count()
 
 
+def test_streaming_sessionize_stateful(spark, sf_dir):
+    """applyInPandasWithState sessionization: emitted (closed) sessions must
+    agree with the batch sessionizer for the same gap."""
+    from vectorchord_spark.streaming import streaming_sessionize
+
+    with tempfile.TemporaryDirectory() as tmp:
+        q = streaming_sessionize(
+            spark, sf_dir, f"{tmp}/ckpt", gap_minutes=30, query_name="sess_test"
+        )
+        q.awaitTermination(180)
+        got = spark.sql(
+            "SELECT user_id, session_start, n_events, round(total_value, 2) AS tv "
+            "FROM sess_test"
+        ).collect()
+        got_set = {(r.user_id, r.session_start, r.n_events, r.tv) for r in got}
+        # batch oracle
+        from vectorchord_spark.queries import catalog
+
+        batch = catalog()["sessionize"].fn(spark, sf_dir).collect()
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        import datetime
+
+        batch_set = set()
+        for r in batch:
+            start_us = int(
+                datetime.datetime.strptime(
+                    r.session_start, "%Y-%m-%d %H:%M:%S"
+                ).replace(tzinfo=datetime.timezone.utc).timestamp()
+            )
+            batch_set.add((r.user_id, start_us, r.n_events, r.total_value))
+        got_trunc = {(u, s // 1_000_000, n, v) for (u, s, n, v) in got_set}
+        # the stream can only emit *closed* sessions (the last session per
+        # user may still be open at end-of-input), so stream ⊆ batch and
+        # covers all but ≤ 1 session per user
+        assert got_trunc <= batch_set
+        n_users = len({u for (u, *_rest) in batch_set})
+        assert len(got_trunc) >= len(batch_set) - n_users
+
+
 def test_prewarm(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with tempfile.TemporaryDirectory() as tmp:

@@ -1,0 +1,36 @@
+"""vectorchord-spark: a PySpark-native vector analytics engine.
+
+Quickstart::
+
+    from vectorchord_spark import get_spark, IvfIndex, IvfOptions, functions as vf
+
+    spark = get_spark()
+    df = spark.read.parquet(".../embeddings.parquet")
+
+    # exact k-NN (pure Catalyst expression)
+    df.orderBy(vf.l2("embedding", vf.vec_lit(q))).limit(10)
+
+    # indexed ANN
+    idx = IvfIndex.build(spark, df, "vec_id", "embedding", "/path/idx",
+                         IvfOptions(metric="l2", lists=[4096]))
+    idx.search(q, k=10, probes=[64])
+"""
+
+from vectorchord_spark import functions
+from vectorchord_spark.operators.graph import VamanaIndex, VamanaOptions
+from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
+from vectorchord_spark.operators.knn import knn_exact
+from vectorchord_spark.operators.maxsim import maxsim_search
+from vectorchord_spark.session import get_spark, load_tables
+
+__all__ = [
+    "get_spark",
+    "load_tables",
+    "functions",
+    "IvfIndex",
+    "IvfOptions",
+    "VamanaIndex",
+    "VamanaOptions",
+    "knn_exact",
+    "maxsim_search",
+]

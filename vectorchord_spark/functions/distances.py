@@ -117,6 +117,19 @@ def sphere_contains(metric: str, a, center, radius: float) -> Column:
     return output_distance(metric, a, center) < F.lit(float(radius))
 
 
+def sphere(center, radius: float) -> Column:
+    """``sphere(v, r)`` constructor (S6): the composite sphere literal used
+    by the range operators (/root/reference/sql/install/vchord--1.1.1.sql:900-910)."""
+    return F.struct(
+        _as_col(center).alias("center"), F.lit(float(radius)).alias("radius")
+    )
+
+
+def sphere_contains_struct(metric: str, a, sphere_col: Column) -> Column:
+    """Sphere operator against a sphere struct column (center, radius)."""
+    return output_distance(metric, a, sphere_col["center"]) < sphere_col["radius"]
+
+
 def maxsim(doc_vecs, query_vecs) -> Column:
     """``@#`` late-interaction MaxSim: Σ over query tokens of the minimum
     negated dot against the document's tokens (lower = more similar)."""

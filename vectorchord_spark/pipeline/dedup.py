@@ -70,7 +70,10 @@ def jaccard_similarity_join(
     (stop-shingle pruning) — the standard skew mitigation at scale; it can
     only lose pairs whose overlap is dominated by stop-shingles.
     """
-    sh = df.select(F.col(id_col).alias("_id"), shingles(text_col, n).alias("sh"))
+    # consumed by sizes + explode: persist so shingling computes once
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingles(text_col, n).alias("sh")
+    ).persist()
     sizes = sh.select("_id", F.size("sh").alias("n_sh"))
     ex = sh.select("_id", F.explode("sh").alias("s")).select(
         "_id", F.xxhash64("s").alias("s")

@@ -650,8 +650,9 @@ def _shingles_df(docs: DataFrame) -> DataFrame:
     # cluster before fanning out
     docs = docs.repartition(max(docs.rdd.getNumPartitions(), 32), "doc_id")
     words = F.split("text", " ")
+    # NB: callers consume this 3+ times (sizes, explode, set-intersect);
+    # persist so the shingling computes once (see perf note below)
     n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0)))
     sh = F.when(
         n >= 3,
         F.array_distinct(
@@ -666,8 +667,7 @@ def _shingles_df(docs: DataFrame) -> DataFrame:
             )
         ),
     ).otherwise(F.array(F.col("text")))
-    _ = idx
-    return docs.select("doc_id", sh.alias("shingles"))
+    return docs.select("doc_id", sh.alias("shingles")).persist()
 
 
 _SHINGLES_SQL = """
@@ -933,6 +933,7 @@ def _embed_neardup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         emb.select("vec_id", "embedding")
+        .repartition(32)  # one small input file → spread the matmul blocks
         .mapInPandas(score, "ida long, idb long, sim double")
         .orderBy("ida", "idb")
     )

@@ -1,6 +1,11 @@
 from vectorchord_spark.streaming.jobs import (
     hourly_event_counts_stream,
     streaming_index_insert,
+    streaming_sessionize,
 )
 
-__all__ = ["streaming_index_insert", "hourly_event_counts_stream"]
+__all__ = [
+    "streaming_index_insert",
+    "hourly_event_counts_stream",
+    "streaming_sessionize",
+]

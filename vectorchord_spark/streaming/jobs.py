@@ -54,6 +54,111 @@ def streaming_index_insert(
     return writer.start()
 
 
+def streaming_sessionize(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_path: str,
+    gap_minutes: int = 30,
+    query_name: str = "sessions",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Custom stateful streaming operator: gap-based sessionization with
+    ``applyInPandasWithState`` (arbitrary per-key state + event-time
+    timeout). The state per user is the open session (start, last-seen,
+    count, value sum); a session closes — and emits one row — when a new
+    event arrives more than ``gap_minutes`` after the last one, or when the
+    watermark times the key out. The batch twin is the ``sessionize``
+    catalog query."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_path)
+    ev = stream.withColumn(
+        "t", F.timestamp_micros(F.expr("ts div 1000"))
+    ).withWatermark("t", f"{gap_minutes * 2} minutes")
+
+    out_schema = (
+        "user_id long, session_start long, session_end long, "
+        "n_events long, total_value double"
+    )
+    state_schema = "start long, last long, n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd  # noqa: PLC0415
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "session_start": start,
+                        "session_end": last,
+                        "n_events": n,
+                        "total_value": total,
+                    }
+                ]
+            )
+            return
+        rows = []
+        events = []
+        for pdf in pdfs:
+            # the state-protocol Arrow transfer can pad chunks with all-null
+            # rows (and a NaN key); drop them before processing
+            pdf = pdf.dropna(subset=["ts"])
+            for ts_v, val in zip(pdf["ts"].to_numpy(), pdf["value"].to_numpy()):
+                events.append((int(ts_v) // 1000, float(val)))
+        events.sort()
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start = last = None
+            n, total = 0, 0.0
+        for ts_us, val in events:
+            if start is None:
+                start, last, n, total = ts_us, ts_us, 1, val
+            elif ts_us - last > gap_us:
+                rows.append(
+                    {
+                        "user_id": user_id,
+                        "session_start": start,
+                        "session_end": last,
+                        "n_events": n,
+                        "total_value": total,
+                    }
+                )
+                start, last, n, total = ts_us, ts_us, 1, val
+            else:
+                last = ts_us
+                n += 1
+                total += val
+        if start is not None:
+            state.update((start, last, n, total))
+            state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60 * 1000)
+        yield pd.DataFrame(rows)
+
+    import pandas as pd  # noqa: F401
+
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    writer = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def hourly_event_counts_stream(
     spark: SparkSession,
     source_path: str,
