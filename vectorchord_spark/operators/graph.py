@@ -196,6 +196,9 @@ def _build_vamana(
 
 class VamanaIndex:
     def __init__(self, spark: SparkSession, path: str):
+        from vectorchord_spark.session import ensure_worker_imports
+
+        ensure_worker_imports(spark)
         self.spark = spark
         self.path = path
         with open(os.path.join(path, "meta.json")) as f:
@@ -215,6 +218,9 @@ class VamanaIndex:
         path: str,
         options: VamanaOptions | None = None,
     ) -> "VamanaIndex":
+        from vectorchord_spark.session import ensure_worker_imports
+
+        ensure_worker_imports(spark)
         opts = options or VamanaOptions()
         opts.validate()
         os.makedirs(path, exist_ok=True)

@@ -90,6 +90,9 @@ class IvfOptions:
 
 class IvfIndex:
     def __init__(self, spark: SparkSession, path: str):
+        from vectorchord_spark.session import ensure_worker_imports
+
+        ensure_worker_imports(spark)
         self.spark = spark
         self.path = path
         with open(os.path.join(path, "meta.json")) as f:

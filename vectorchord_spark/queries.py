@@ -64,6 +64,9 @@ class Q:
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from vectorchord_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -3,8 +3,43 @@
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_PYFILES_ADDED: set[int] = set()
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    UDF closures reference ``vectorchord_spark`` modules; when the driving
+    process wasn't launched from the repo root (e.g. an external harness),
+    worker processes can't import them from the filesystem. Zipping the
+    package once per session and distributing it makes every entry point
+    self-contained regardless of the caller's environment.
+    """
+    key = id(spark.sparkContext)
+    if key in _PYFILES_ADDED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    # rebuild once per process (cheap) so a stale zip never shadows edits
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"vectorchord_spark_pkg_{os.getuid()}_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + f".{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+        os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+    _PYFILES_ADDED.add(key)
 
 
 def get_spark(
@@ -44,7 +79,9 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ensure_worker_imports(spark)
+    return spark
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
