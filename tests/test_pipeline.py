@@ -149,6 +149,33 @@ def test_text_operators(spark):
     assert len(rf) >= 1
 
 
+def test_embedding_transforms(spark, sf_dir):
+    from vectorchord_spark.pipeline import embed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    normed = embed.normalize_embeddings(emb)
+    from vectorchord_spark.functions import distances as D
+
+    norms = [r.n for r in normed.select(D.norm("embedding").alias("n")).take(5)]
+    assert all(abs(n - 1.0) < 1e-6 for n in norms)
+
+    model = embed.fit_pca(emb, out_dim=8)
+    proj = embed.project_embeddings(emb, model)
+    rows = proj.take(3)
+    assert all(len(r.projected) == 8 for r in rows)
+    # PCA projection must match the numpy computation
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    want = (mat - model["mean"]) @ model["components"].T
+    got = {r.vec_id: r.projected for r in proj.collect()}
+    ids = pdf["vec_id"].to_numpy()
+    for i in range(5):
+        np.testing.assert_allclose(got[ids[i]], want[i], rtol=1e-4, atol=1e-4)
+
+    rp = embed.random_projection(emb, out_dim=4)
+    assert len(rp.first().projected) == 4
+
+
 def test_multimodal_plumbing(spark):
     df = spark.createDataFrame(
         [(1, bytearray(b"fake-image-bytes-1")), (2, bytearray(b"fake-image-bytes-2"))],

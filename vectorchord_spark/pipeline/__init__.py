@@ -1,3 +1,3 @@
-from vectorchord_spark.pipeline import dedup, multimodal, text
+from vectorchord_spark.pipeline import dedup, embed, multimodal, text
 
-__all__ = ["dedup", "text", "multimodal"]
+__all__ = ["dedup", "embed", "text", "multimodal"]
