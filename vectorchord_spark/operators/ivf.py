@@ -480,6 +480,12 @@ class IvfIndex:
         # keep the query in full double precision for the exact rerank
         # expression; the f32 copy is only for rotation / LUT quantization
         q_exact = np.asarray(query, np.float64)
+        if q_exact.shape != (meta["dim"],):
+            # explicit dim check, mirroring crates/vchordrq/src/search.rs:58
+            raise ValueError(
+                f"query dimension {q_exact.shape} does not match index "
+                f"dimension {meta['dim']}"
+            )
         if metric == "cos":
             n = float(np.linalg.norm(q_exact))
             if n > 0:
@@ -699,6 +705,10 @@ class IvfIndex:
         metric = meta["metric"]
         dim = meta["dim"]
         Qe = np.asarray(queries, np.float64)
+        if Qe.ndim != 2 or Qe.shape[1] != dim:
+            raise ValueError(
+                f"query batch shape {Qe.shape} does not match index dimension {dim}"
+            )
         if metric == "cos":
             norms = np.linalg.norm(Qe, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
@@ -881,24 +891,6 @@ class IvfIndex:
         """Sphere search: all ids with output-space distance < radius
         (strategy-2 semantics, threshold on the sqrt'd/+1 distance —
         /root/reference/src/index/vchordrq/scanners/default.rs:104-121)."""
-        meta = self.meta
-        metric = meta["metric"]
-        # internal-space threshold for candidate pruning
-        if metric == "l2":
-            internal_r = float(radius) ** 2
-        else:
-            internal_r = float(radius) - 1.0 if metric == "cos" else float(radius)
-        q = np.asarray(center, np.float32)
-        if metric == "cos":
-            n = float(np.linalg.norm(np.asarray(q, np.float64)))
-            if n > 0:
-                q = (np.asarray(q, np.float64) / n).astype(np.float32)
-        q_rot = K.rotate(q)
-        if isinstance(probes, int):
-            probes = [len(lv["parent"]) for lv in self.levels[:-1]] + [probes]
-        probed = self._descend(q_rot, probes)
-        if len(probed) == 0:
-            return self._empty_result()
         full = self.search(
             center,
             k=max_scan_tuples or 2**31 - 1,
@@ -907,7 +899,6 @@ class IvfIndex:
             rerank_factor=None,
             max_scan_tuples=max_scan_tuples,
         )
-        _ = internal_r
         return full.where(F.col("dist") < float(radius))
 
     def _empty_result(self) -> DataFrame:

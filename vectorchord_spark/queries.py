@@ -474,6 +474,36 @@ ORDER BY user_id, session_id
 """
 
 
+def _part_revenue_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-dimension join: revenue per brand for mid-size parts."""
+    part = _read(spark, sf_dir, "part").where(F.col("p_size") <= 25)
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("revenue"), "p_brand")
+    )
+
+
+_PART_REVENUE_SQL = """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+       count(*) AS n_items,
+       round(sum(l_quantity), 2) AS total_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 25
+GROUP BY p_brand
+ORDER BY revenue DESC, p_brand
+"""
+
+
 def _events_rollup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets surface: ROLLUP over (event_type, hour-of-day)."""
     ev = _read(spark, sf_dir, "events")
@@ -1301,6 +1331,7 @@ def catalog() -> dict[str, Q]:
         "q1_pricing": Q(_q1_fn, _Q1_SQL, headline=True),
         "q3_shipping": Q(_q3_fn, _Q3_SQL, headline=True),
         "q5_revenue": Q(_q5_fn, _Q5_SQL, headline=True),
+        "part_revenue": Q(_part_revenue_fn, _PART_REVENUE_SQL),
         "events_hourly": Q(_events_hourly_fn, _EVENTS_HOURLY_SQL),
         "events_rollup": Q(_events_rollup_fn, _EVENTS_ROLLUP_SQL),
         "sessionize": Q(_sessionize_fn, _SESSIONIZE_SQL, headline=True),
