@@ -271,6 +271,51 @@ def test_query_sampling(spark, clustered_df):
         assert len(got) == 8
 
 
+def test_guarantee_contract(spark, clustered_df):
+    """The precise lazy-rerank contract: a probed search must equal brute
+    force restricted to the rows of the probed clusters."""
+    rng = np.random.default_rng(23)
+    q = [float(x) for x in rng.uniform(-1, 1, 8)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build(
+            spark, clustered_df, "id", "vec", os.path.join(tmp, "idx"),
+            IvfOptions(metric="l2", lists=[33]),
+        )
+        from vectorchord_spark import kernels as K
+
+        probed = idx._descend(K.rotate(np.asarray(q, np.float32)), [8])
+        codes = spark.read.parquet(idx.codes_path)
+        in_probed = codes.where(
+            F.col("cluster_id").isin([int(c) for c in probed])
+        ).select("id")
+        restricted = clustered_df.join(in_probed, "id", "left_semi")
+        want = brute_topk(restricted, q, 10)
+        got = [r.id for r in idx.search(q, k=10, probes=[8], rerank_factor=2).collect()]
+        assert got == want
+
+
+def test_maxsim_threshold_estimation(spark, clustered_df):
+    """estimation_by_threshold: -inf when probed cells cover the budget;
+    ascending-frontier distance otherwise; raises the imputation floor."""
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build(
+            spark, clustered_df, "id", "vec", os.path.join(tmp, "idx"),
+            IvfOptions(metric="dot", lists=[33]),
+        )
+        rng = np.random.default_rng(24)
+        q = [float(x) for x in rng.uniform(-1, 1, 8)]
+        # probed cells (~8/33 of 5000 rows ≈ 1200 tuples) cover threshold=10
+        assert idx.estimation_by_threshold(q, [8], 10) == float("-inf")
+        # huge threshold consumes every unprobed cell → the farthest frontier
+        est_all = idx.estimation_by_threshold(q, [8], 10**9)
+        # small-but-uncovered threshold stops earlier → closer frontier
+        est_near = idx.estimation_by_threshold(q, [8], 2000)
+        assert est_near <= est_all
+        assert est_all > float("-inf")
+        sizes = idx.cluster_sizes()
+        assert sum(sizes.values()) == 5000
+
+
 def test_external_build(spark, clustered_df):
     """B7: prebuilt centroid table with validation."""
     rng = np.random.default_rng(18)

@@ -952,6 +952,61 @@ class IvfIndex:
         df.cache()
         return df.count()
 
+    def cluster_sizes(self) -> dict[int, int]:
+        """Tuple count per leaf cell (cached; the analogue of the jump
+        tuples' counts used by maxsim threshold estimation)."""
+        if getattr(self, "_cluster_sizes", None) is None:
+            rows = (
+                self.spark.read.parquet(self.codes_path)
+                .groupBy("cluster_id")
+                .count()
+                .collect()
+            )
+            self._cluster_sizes = {int(r.cluster_id): int(r["count"]) for r in rows}
+        return self._cluster_sizes
+
+    def estimation_by_threshold(
+        self,
+        query: "np.ndarray | list[float]",
+        probes: list[int] | int | None,
+        threshold: int,
+    ) -> float:
+        """MaxSim ``estimation_by_threshold`` (re-expressed from
+        /root/reference/crates/vchordrq/src/search.rs:366-379): after
+        counting the probed cells' tuples against ``threshold``, walk the
+        *unprobed* cells in ascending centroid distance until the remaining
+        budget is exhausted; return the internal-space centroid distance of
+        the last consumed cell (-inf if the probed cells already cover the
+        threshold). A floor for what an unvisited document could score."""
+        meta = self.meta
+        metric = meta["metric"]
+        q = np.asarray(query, np.float64)
+        if metric == "cos":
+            n = np.linalg.norm(q)
+            if n > 0:
+                q = q / n
+        q_rot = K.rotate(q.astype(np.float32)).astype(np.float64)
+        if isinstance(probes, int):
+            probes = [len(lv["parent"]) for lv in self.levels[:-1]] + [probes]
+        probed = set(int(c) for c in self._descend(q_rot.astype(np.float32), probes))
+        leaf_rot = self.levels[-1]["vec_rot"].astype(np.float64)
+        if metric == "l2":
+            dists = ((leaf_rot - q_rot) ** 2).sum(axis=1)
+        else:
+            dists = -(leaf_rot @ q_rot)
+        sizes = self.cluster_sizes()
+        t = threshold - sum(sizes.get(c, 0) for c in probed)
+        est = float("-inf")
+        for cell in np.argsort(dists, kind="stable"):
+            cell = int(cell)
+            if cell in probed:
+                continue
+            if t <= 0:
+                break
+            t -= sizes.get(cell, 0)
+            est = float(dists[cell])
+        return est
+
     # ------------------------------------------------------------------
     # Query sampling / monitoring (S14 — vchordrq_sampled_queries:
     # /root/reference/sql/install/vchord--1.1.1.sql:936-1013; Bernoulli

@@ -32,6 +32,7 @@ def maxsim_search(
     per_token_candidates: int = 100,
     probes: list[int] | int | None = None,
     epsilon: float = 1.9,
+    maxsim_threshold: int = 0,
 ) -> DataFrame:
     """Top-k documents by MaxSim score against ``query_tokens``.
 
@@ -39,6 +40,13 @@ def maxsim_search(
     to its document id (e.g. ``F.col("id") / lit(5)`` for fixed-size docs, or
     a join key the caller prepared when building the index over exploded
     (doc, token) rows).
+
+    ``maxsim_threshold`` > 0 enables the reference's threshold estimation:
+    each token's imputation floor becomes
+    ``max(max observed distance, estimation_by_threshold)`` — the distance
+    frontier after covering ``threshold`` tuples of probed-plus-nearest
+    cells (gucs.rs:440-473; default 0 = scope-only, matching the
+    reference's default configuration).
     """
     spark = index.spark
     per_token = []
@@ -62,13 +70,28 @@ def maxsim_search(
         un = un.unionAll(df)
     un = un.persist()
 
-    # per-token estimation floor for unseen (doc, token) pairs
+    # per-token imputation floor for unseen (doc, token) pairs:
+    # max(estimation_by_scope, estimation_by_threshold); empty token → 0
+    # (/root/reference/src/index/vchordrq/scanners/maxsim.rs:699-716)
     est_rows = (
         un.groupBy("tok").agg(F.max("dist").alias("est")).collect()
     )
-    est = {r.tok: r.est for r in est_rows}
+    scope = {r.tok: r.est for r in est_rows}
     n_tokens = len(query_tokens)
-    estimations = [est.get(ti, 0.0) for ti in range(n_tokens)]
+    estimations = []
+    for ti in range(n_tokens):
+        if ti not in scope:
+            estimations.append(0.0)
+            continue
+        e = float(scope[ti])
+        if maxsim_threshold > 0:
+            e = max(
+                e,
+                index.estimation_by_threshold(
+                    list(map(float, query_tokens[ti])), probes, maxsim_threshold
+                ),
+            )
+        estimations.append(e)
 
     per_doc_tok = un.groupBy("doc_id", "tok").agg(F.min("dist").alias("mind"))
     # score = Σ present mind + Σ est over *missing* tokens, computed as
