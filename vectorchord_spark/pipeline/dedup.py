@@ -231,6 +231,7 @@ def embedding_lsh_pairs(
     n_tables: int = 4,
     seed: int = 42,
     threshold: float = 0.8,
+    verify_broadcast: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs via sign-random-projection LSH.
 
@@ -238,26 +239,48 @@ def embedding_lsh_pairs(
     bits; same-bucket pairs are verified with exact cosine. This is the
     100 TB path for embedding dedup (bucket groupBy instead of all-pairs).
     """
+    from typing import Iterator
+
+    import pandas as pd
+
     from vectorchord_spark.functions import distances as D
 
     rng = np.random.default_rng(seed)
     planes = rng.normal(size=(n_tables, n_planes, dim))
-    table_cols = []
-    for t in range(n_tables):
-        bits = None
-        for p in range(n_planes):
-            plane = D.dot(vec_col, D.vec_lit([float(x) for x in planes[t, p]]))
-            bit = F.when(plane >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-            bits = bit if bits is None else bits + bit
-        table_cols.append(F.struct(F.lit(t).alias("t"), bits.alias("bucket")))
+    spark = df.sparkSession
+    bc_planes = spark.sparkContext.broadcast(planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def band(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one matmul per batch instead of n_tables*n_planes fold
+        # expressions (whose codegen alone dominates at small scale); sign
+        # boundaries agree with the oracle's fold chains except when
+        # |dot| < ~1e-13, which only perturbs *candidate* membership — the
+        # verified similarity below stays bit-exact
+        pl = bc_planes.value.reshape(-1, dim)  # (T*P, dim)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            signs = (mat @ pl.T) >= 0  # (m, T*P)
+            signs = signs.reshape(len(mat), n_tables, n_planes)
+            buckets = (signs * weights).sum(axis=2)  # (m, T)
+            ids = pdf[id_col].to_numpy(np.int64)
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(ids, n_tables),
+                    "t": np.tile(np.arange(n_tables, dtype=np.int32), len(mat)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
     # candidate generation on narrow (id, bucket) rows; vectors re-joined
     # once per *distinct* pair — buckets are coarse, so keeping the arrays
     # out of the bucket join/distinct is the difference between shuffling
     # ids and shuffling the whole embedding table many times over
-    banded = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array(*table_cols)).alias("tb"),
-    ).select("_id", "tb.t", "tb.bucket")
+    banded = df.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)).mapInPandas(
+        band, "_id long, t int, bucket long"
+    )
     a = banded.select(F.col("_id").alias("ida"), "t", "bucket")
     b = banded.select(F.col("_id").alias("idb"), "t", "bucket")
     cand = (
@@ -266,6 +289,48 @@ def embedding_lsh_pairs(
         .select("ida", "idb")
         .distinct()
     )
+    if verify_broadcast:
+        # exact-cosine verify with the vector table broadcast and a
+        # sequential per-dimension fold (bit-identical to a left-assoc SQL
+        # chain); only the narrow id pairs move through the shuffle
+        rows = df.select(id_col, vec_col).collect()
+        ids_all = np.array([r[0] for r in rows], np.int64)
+        mat_all = np.array([r[1] for r in rows], np.float32).astype(np.float64)
+        order = np.argsort(ids_all)
+        bc_vecs = spark.sparkContext.broadcast((ids_all[order], mat_all[order]))
+
+        def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids_s, mat_s = bc_vecs.value
+            d = mat_s.shape[1]
+
+            def fold_norm(m: np.ndarray) -> np.ndarray:
+                acc = np.zeros(m.shape[0])
+                for i in range(d):
+                    acc = acc + m[:, i] * m[:, i]
+                return np.sqrt(acc)
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ia = np.searchsorted(ids_s, pdf["ida"].to_numpy(np.int64))
+                ib = np.searchsorted(ids_s, pdf["idb"].to_numpy(np.int64))
+                va = mat_s[ia]
+                vb = mat_s[ib]
+                dot = np.zeros(len(va))
+                for i in range(d):
+                    dot = dot + va[:, i] * vb[:, i]
+                sim = dot / (fold_norm(va) * fold_norm(vb))
+                keep = sim >= threshold
+                yield pd.DataFrame(
+                    {
+                        "ida": pdf["ida"].to_numpy(np.int64)[keep],
+                        "idb": pdf["idb"].to_numpy(np.int64)[keep],
+                        "sim": sim[keep],
+                    }
+                )
+
+        return cand.mapInPandas(verify, "ida long, idb long, sim double")
+
     vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
     cand = (
         cand.join(F.broadcast(vecs), cand["ida"] == vecs["_vid"])

@@ -504,6 +504,33 @@ ORDER BY revenue DESC, p_brand
 """
 
 
+def _events_json_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON props column, bucket the
+    extracted value, aggregate per (event_type, bucket)."""
+    ev = _read(spark, sf_dir, "events")
+    kval = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k_bucket", (kval / 10).cast("bigint"))
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+_EVENTS_JSON_SQL = """
+SELECT event_type,
+       (json_extract_string(props, '$.k')::BIGINT // 10)::BIGINT AS k_bucket,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, k_bucket
+"""
+
+
 def _events_rollup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets surface: ROLLUP over (event_type, hour-of-day)."""
     ev = _read(spark, sf_dir, "events")
@@ -1334,6 +1361,7 @@ def catalog() -> dict[str, Q]:
         "part_revenue": Q(_part_revenue_fn, _PART_REVENUE_SQL),
         "events_hourly": Q(_events_hourly_fn, _EVENTS_HOURLY_SQL),
         "events_rollup": Q(_events_rollup_fn, _EVENTS_ROLLUP_SQL),
+        "events_json": Q(_events_json_fn, _EVENTS_JSON_SQL),
         "sessionize": Q(_sessionize_fn, _SESSIONIZE_SQL, headline=True),
         "top_orders_window": Q(_top_orders_fn, _TOP_ORDERS_SQL),
         "doc_stats": Q(_doc_stats_fn, _DOC_STATS_SQL),
