@@ -1,0 +1,107 @@
+"""1M-row scale experiment: validates that the IVF design holds at 500x the
+bench scale factor on one machine (the stand-in for "would this hold on a
+real cluster"). Generates 1M x 64-dim vectors, builds an IVF index with a
+1000-cell hierarchical tree, and measures build throughput, search latency,
+batch throughput, and recall. Results recorded in docs/SCALE.md.
+
+Usage: python tools/scale_experiment.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    dim = 64
+    n_lists = max(16, int(np.sqrt(n_rows)))
+
+    from pyspark.sql import functions as F
+
+    from vectorchord_spark import IvfIndex, IvfOptions, get_spark, knn_exact
+
+    spark = get_spark(app_name="scale-experiment")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64)
+            out = []
+            for i in ids:
+                rng = np.random.default_rng(i)
+                out.append(rng.standard_normal(dim).astype(np.float32))
+            yield pd.DataFrame({"id": ids, "vec": out})
+
+    df = (
+        spark.range(n_rows, numPartitions=64)
+        .mapInPandas(gen, "id long, vec array<float>")
+        .persist()
+    )
+    t0 = time.perf_counter()
+    df.count()
+    gen_s = time.perf_counter() - t0
+    print(f"generate {n_rows} rows: {gen_s:.1f}s")
+
+    path = tempfile.mkdtemp(prefix="vc_scale_") + "/idx"
+    t0 = time.perf_counter()
+    idx = IvfIndex.build(
+        spark,
+        df,
+        "id",
+        "vec",
+        path,
+        IvfOptions(
+            metric="l2",
+            lists=[n_lists],
+            build_hierarchical=True,
+            sampling_factor=64,
+        ),
+    )
+    build_s = time.perf_counter() - t0
+    print(f"build lists=[{n_lists}]: {build_s:.1f}s ({n_rows / build_s:,.0f} rows/s)")
+
+    rng = np.random.default_rng(123)
+    queries = [rng.standard_normal(dim).astype(np.float64).tolist() for _ in range(8)]
+
+    # warm one search (python workers, codegen)
+    idx.search(queries[0], k=10, probes=[32]).collect()
+
+    lat = []
+    recalls = []
+    for q in queries[:4]:
+        t0 = time.perf_counter()
+        got = [r.id for r in idx.search(q, k=10, probes=[32], rerank_factor=8).collect()]
+        lat.append(time.perf_counter() - t0)
+        exact = [r.id for r in knn_exact(df, "id", "vec", q, k=10).collect()]
+        recalls.append(len(set(got) & set(exact)) / 10.0)
+    print(
+        f"single-query latency probes=32/{n_lists}: "
+        f"median {np.median(lat):.2f}s; recall@10 {np.mean(recalls):.2f}"
+    )
+
+    t0 = time.perf_counter()
+    res = idx.search_batch(queries, k=10, probes=[32], guarantee=False)
+    n = res.count()
+    batch_s = time.perf_counter() - t0
+    print(
+        f"batch of {len(queries)} queries: {batch_s:.2f}s total "
+        f"({batch_s / len(queries):.2f}s/query amortized), {n} result rows"
+    )
+
+    t0 = time.perf_counter()
+    exact_n = knn_exact(df, "id", "vec", queries[0], k=10).count()
+    brute_s = time.perf_counter() - t0
+    print(f"brute-force scan baseline: {brute_s:.2f}s ({exact_n} rows)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
