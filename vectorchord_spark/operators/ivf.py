@@ -325,18 +325,19 @@ class IvfIndex:
 
         def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             centroids = bc.value  # (L, d) f32, rotated space
-            c64 = np.asarray(centroids, np.float64)
-            c2 = np.einsum("ij,ij->i", c64, c64)
+            # routing assignment in f32 (BLAS sgemm): at 1M rows x 1k cells
+            # the f64 distance matrix is memory-bound and dominates build
+            # time; f32 is ample for argmin routing
+            c2 = np.einsum("ij,ij->i", centroids, centroids).astype(np.float32)
             for pdf in batches:
                 if not len(pdf):
                     continue
                 mat = np.stack([np.asarray(v, np.float32) for v in pdf["vec"]])
                 rot = K.rotate(mat)
-                r64 = np.asarray(rot, np.float64)
                 if metric == "l2" or metric == "cos":
-                    d = c2[None, :] - 2.0 * (r64 @ c64.T)
+                    d = c2[None, :] - 2.0 * (rot @ centroids.T)
                 else:  # dot routing: most-aligned centroid
-                    d = -(r64 @ c64.T)
+                    d = -(rot @ centroids.T)
                 assign = np.argmin(d, axis=1)
                 if residual:
                     target = rot - centroids[assign]
