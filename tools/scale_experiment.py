@@ -31,13 +31,23 @@ def main() -> None:
 
     spark = get_spark(app_name="scale-experiment")
 
+    clustered = "--clustered" in sys.argv
+    n_centers = 2000
+    centers = np.random.default_rng(77).standard_normal((n_centers, dim)) * 2.0
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["id"].to_numpy(np.int64)
             out = []
             for i in ids:
                 rng = np.random.default_rng(i)
-                out.append(rng.standard_normal(dim).astype(np.float32))
+                if clustered:
+                    c = centers[int(i) % n_centers]
+                    out.append(
+                        (c + 0.25 * rng.standard_normal(dim)).astype(np.float32)
+                    )
+                else:
+                    out.append(rng.standard_normal(dim).astype(np.float32))
             yield pd.DataFrame({"id": ids, "vec": out})
 
     df = (
@@ -69,7 +79,13 @@ def main() -> None:
     print(f"build lists=[{n_lists}]: {build_s:.1f}s ({n_rows / build_s:,.0f} rows/s)")
 
     rng = np.random.default_rng(123)
-    queries = [rng.standard_normal(dim).astype(np.float64).tolist() for _ in range(8)]
+    if clustered:
+        queries = [
+            (centers[rng.integers(0, n_centers)] + 0.25 * rng.standard_normal(dim)).tolist()
+            for _ in range(8)
+        ]
+    else:
+        queries = [rng.standard_normal(dim).astype(np.float64).tolist() for _ in range(8)]
 
     # warm one search (python workers, codegen)
     idx.search(queries[0], k=10, probes=[32]).collect()
