@@ -285,29 +285,29 @@ class VamanaIndex:
         internal = "l2" if metric == "l2" else "dot"
         ef = int(max(ef_search, k))
 
-        def shard_search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            frames = [p for p in batches if len(p)]
-            if not frames:
-                return
-            pdf = pd.concat(frames, ignore_index=True)
-            for shard, grp in pdf.groupby("shard"):
-                grp = grp.sort_values("row_no")
-                vecs = np.stack([np.asarray(v, np.float32) for v in grp["vec"]])
-                adj = [list(np.asarray(a, np.int64)) for a in grp["neighbors"]]
-                ids = grp["id"].to_numpy(np.int64)
-                medoid = int(np.argmin(_dists("l2", vecs, vecs.mean(axis=0))))
-                best = _beam_search(internal, vecs, adj, medoid, q32, ef)
-                yield pd.DataFrame(
-                    {
-                        "id": ids[[u for _, u in best]],
-                        "vec": [vecs[u] for _, u in best],
-                    }
-                )
+        def shard_search(grp: pd.DataFrame) -> pd.DataFrame:
+            # applyInPandas delivers the WHOLE shard (mapInPandas could see
+            # a shard split across input partitions when a file exceeds
+            # maxPartitionBytes, corrupting positional row_no indexing)
+            grp = grp.sort_values("row_no")
+            vecs = np.stack([np.asarray(v, np.float32) for v in grp["vec"]])
+            adj = [list(np.asarray(a, np.int64)) for a in grp["neighbors"]]
+            ids = grp["id"].to_numpy(np.int64)
+            medoid = int(np.argmin(_dists("l2", vecs, vecs.mean(axis=0))))
+            best = _beam_search(internal, vecs, adj, medoid, q32, ef)
+            return pd.DataFrame(
+                {
+                    "id": ids[[u for _, u in best]],
+                    "vec": [vecs[u] for _, u in best],
+                }
+            )
 
         graph = self.spark.read.parquet(self.graph_path).select(
             "shard", "id", "vec", "neighbors", "row_no"
         )
-        cand = graph.mapInPandas(shard_search, "id long, vec array<float>")
+        cand = graph.groupBy("shard").applyInPandas(
+            shard_search, "id long, vec array<float>"
+        )
         qv = D.vec_lit([float(x) for x in q_exact])
         if metric == "l2":
             dist = D.l2("vec", qv)

@@ -109,6 +109,16 @@ class IvfIndex:
                 }
             )
 
+    def _persist_scored(self, scored: DataFrame) -> DataFrame:
+        # bound cached-search memory: at most one outstanding scored DF per
+        # index (a long-lived serving session would otherwise accumulate
+        # one cached RDD per query)
+        prev = getattr(self, "_last_scored", None)
+        if prev is not None:
+            prev.unpersist()
+        self._last_scored = scored.persist()
+        return self._last_scored
+
     # ------------------------------------------------------------------
     # Build
     # ------------------------------------------------------------------
@@ -251,13 +261,11 @@ class IvfIndex:
         height = max(depths.values()) + 1
         if not (1 <= height <= 8):
             raise ValueError(f"external tree height {height} out of range 1..8")
-        leaves_ids = [i for i in by_id if depths[i] == height - 1]
-        if any(depths[i] != height - 1 for i in by_id if not any(p == i for p, _ in by_id.values())):
-            # all leaf nodes (no children) must be at uniform depth
-            childful = {p for p, _ in by_id.values() if p is not None}
-            for i in by_id:
-                if i not in childful and depths[i] != height - 1:
-                    raise ValueError("external tree is not height-balanced")
+        # all leaf nodes (no children) must be at uniform depth
+        childful = {p for p, _ in by_id.values() if p is not None}
+        for i in by_id:
+            if i not in childful and depths[i] != height - 1:
+                raise ValueError("external tree is not height-balanced")
 
         os.makedirs(path, exist_ok=True)
         # renumber per level
@@ -666,7 +674,7 @@ class IvfIndex:
             # exhaustive: rerank everything that was scored
             return rerank(scored).limit(int(k))
 
-        scored = scored.persist()
+        scored = self._persist_scored(scored)
         pass1 = scored.orderBy("lb").limit(int(m_cand))
         if not guarantee or max_scan_tuples is not None:
             return rerank(pass1).limit(int(k))
@@ -681,7 +689,11 @@ class IvfIndex:
             thresh = float(d_k) - 1.0
         else:
             thresh = float(d_k)
-        final_cand = scored.where(F.col("lb") <= thresh)
+        # union pass-1: a pass-1 winner whose lb exceeds thresh (the ε bound
+        # is probabilistic) must not be dropped from the final rerank
+        final_cand = scored.where(F.col("lb") <= thresh).select("id").unionAll(
+            pass1.select("id")
+        ).distinct()
         return rerank(final_cand).limit(int(k))
 
     def search_batch(
@@ -845,7 +857,7 @@ class IvfIndex:
         if rerank_factor is None:
             return rerank(scored.select("qid", "id"))
 
-        scored = scored.persist()
+        scored = self._persist_scored(scored)
         w = Window.partitionBy("qid").orderBy("lb", "id")
         pass1 = (
             scored.withColumn("rn", F.row_number().over(w))
@@ -876,9 +888,12 @@ class IvfIndex:
             else:
                 thresh.append(d_k)
         thresh_arr = F.array(*[F.lit(float(t)) for t in thresh])
-        final_cand = scored.where(
-            F.col("lb") <= F.element_at(thresh_arr, F.col("qid") + 1)
-        ).select("qid", "id")
+        final_cand = (
+            scored.where(F.col("lb") <= F.element_at(thresh_arr, F.col("qid") + 1))
+            .select("qid", "id")
+            .unionAll(pass1)
+            .distinct()
+        )
         return rerank(final_cand)
 
     def range_search(
@@ -916,6 +931,7 @@ class IvfIndex:
         if self.meta["metric"] == "cos":
             src = src.select("id", D.normalize("vec").cast("array<float>").alias("vec"))
         self._encode_and_write(src, mode="append")
+        self._cluster_sizes = None
 
     def delete(self, ids: "list[int] | DataFrame") -> None:
         """Logical delete via tombstones (vacuum happens in compact())."""
@@ -924,6 +940,7 @@ class IvfIndex:
         else:
             tomb = self.spark.createDataFrame([(int(i),) for i in ids], "id long")
         tomb.write.mode("append").parquet(self._tombstones_path)
+        self._cluster_sizes = None
 
     def compact(self) -> None:
         """Rewrite codes without tombstoned rows and re-coalesce files
@@ -946,6 +963,7 @@ class IvfIndex:
             json.dump(self.meta, f)
         shutil.rmtree(os.path.join(self.path, f"codes_v{old_version}"), ignore_errors=True)
         shutil.rmtree(self._tombstones_path, ignore_errors=True)
+        self._cluster_sizes = None
 
     def prewarm(self) -> int:
         """Cache the codes table in executor memory (S11)."""
@@ -976,9 +994,11 @@ class IvfIndex:
         /root/reference/crates/vchordrq/src/search.rs:366-379): after
         counting the probed cells' tuples against ``threshold``, walk the
         *unprobed* cells in ascending centroid distance until the remaining
-        budget is exhausted; return the internal-space centroid distance of
-        the last consumed cell (-inf if the probed cells already cover the
-        threshold). A floor for what an unvisited document could score."""
+        budget is exhausted; return the **output-space** centroid distance
+        (sqrt'd for l2, +1 for cos) of the last consumed cell (-inf if the
+        probed cells already cover the threshold), so it composes directly
+        with ``search()`` result distances. A floor for what an unvisited
+        document could score."""
         meta = self.meta
         metric = meta["metric"]
         q = np.asarray(query, np.float64)
@@ -1006,6 +1026,12 @@ class IvfIndex:
                 break
             t -= sizes.get(cell, 0)
             est = float(dists[cell])
+        if est == float("-inf"):
+            return est
+        if metric == "l2":
+            return float(np.sqrt(max(est, 0.0)))
+        if metric == "cos":
+            return est + 1.0
         return est
 
     # ------------------------------------------------------------------
@@ -1028,22 +1054,24 @@ class IvfIndex:
         rate = self.meta.get("sampling_rate")
         if not rate:
             return
-        # deterministic Bernoulli draw from the query content
-        h = int.from_bytes(
-            __import__("hashlib").md5(np.asarray(q, np.float32).tobytes()).digest()[:8],
-            "little",
-        )
-        if (h % 10_000) / 10_000.0 >= rate:
+        # per-execution Bernoulli draw (matches the reference's sampling
+        # semantics; a hot repeated query is sampled at the same rate as
+        # any other execution)
+        if np.random.random() >= rate:
             return
-        existing = 0
-        if os.path.exists(self._queries_log_path):
-            existing = self.spark.read.parquet(self._queries_log_path).count()
-        if existing >= self.meta.get("sampling_max_records", 1000):
+        if getattr(self, "_sampled_count", None) is None:
+            self._sampled_count = (
+                self.spark.read.parquet(self._queries_log_path).count()
+                if os.path.exists(self._queries_log_path)
+                else 0
+            )
+        if self._sampled_count >= self.meta.get("sampling_max_records", 1000):
             return
         row = [( [float(x) for x in q], )]
         self.spark.createDataFrame(row, "query array<float>").write.mode(
             "append"
         ).parquet(self._queries_log_path)
+        self._sampled_count += 1
 
     def sampled_queries(self) -> DataFrame:
         """The recorded query vectors (empty DataFrame when none logged)."""

@@ -53,7 +53,9 @@ def shingles(text: Column | str, n: int = 3) -> Column:
             ),
         )
     )
-    return F.when(cnt >= n, grams).otherwise(F.array(F.col("text") if isinstance(text, str) else text))
+    return F.when(cnt >= n, grams).otherwise(
+        F.array(F.col(text) if isinstance(text, str) else text)
+    )
 
 
 def jaccard_similarity_join(

@@ -107,8 +107,9 @@ def decode_image_features(
             feats = []
             for buf in pdf[binary_col]:
                 raw = bytes(buf) if buf is not None else b""
-                if _try_real_decode(raw) is not None:
-                    w, h = _try_real_decode(raw)
+                real = _try_real_decode(raw)
+                if real is not None:
+                    w, h = real
                     _, _, emb = _fake_decode(raw, dim)
                 elif strict:
                     raise NotImplementedError(
