@@ -474,6 +474,71 @@ ORDER BY user_id, session_id
 """
 
 
+def _q6_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q6 shape: pure pushed-down filter + single aggregate (the
+    query where predicate pushdown and scan pruning are the whole game)."""
+    li = _read(spark, sf_dir, "lineitem")
+    filtered = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def _q12_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 shape: join + conditional aggregation buckets."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).cast("bigint").alias("high_line_count"),
+            F.sum(1 - high).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_Q12_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
 def _part_revenue_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part-dimension join: revenue per brand for mid-size parts."""
     part = _read(spark, sf_dir, "part").where(F.col("p_size") <= 25)
@@ -1359,6 +1424,8 @@ def catalog() -> dict[str, Q]:
         "q3_shipping": Q(_q3_fn, _Q3_SQL, headline=True),
         "q5_revenue": Q(_q5_fn, _Q5_SQL, headline=True),
         "part_revenue": Q(_part_revenue_fn, _PART_REVENUE_SQL),
+        "q6_forecast": Q(_q6_fn, _Q6_SQL),
+        "q12_shipmode": Q(_q12_fn, _Q12_SQL),
         "events_hourly": Q(_events_hourly_fn, _EVENTS_HOURLY_SQL),
         "events_rollup": Q(_events_rollup_fn, _EVENTS_ROLLUP_SQL),
         "events_json": Q(_events_json_fn, _EVENTS_JSON_SQL),
