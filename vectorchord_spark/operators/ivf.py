@@ -45,7 +45,7 @@ from vectorchord_spark.operators import kmeans as KM
 CODES_SCHEMA = (
     "id long, cluster_id int, dis_u_2 float, factor_cnt float, factor_ip float, "
     "factor_err float, delta float, code binary, vec array<float>, "
-    "sq_dis_u_2 float, sq_nol float, sq_code binary"
+    "vec_f16 binary, sq_dis_u_2 float, sq_nol float, sq_code binary"
 )
 SCORE_SCHEMA = "id long, cluster_id int, lb double, rough double"
 
@@ -145,10 +145,17 @@ class IvfIndex:
 
         n_leaves = opts.lists[-1]
         cap = n_leaves * opts.sampling_factor
-        total = src.count()
-        fraction = min(1.0, (cap * 1.3) / max(total, 1))
+        # single-pass bounded sample: per-partition top-`cap` heaps on a
+        # seeded random key (TakeOrderedAndProject) — no preliminary count
+        # scan; the sample is capped at lists[-1]·sampling_factor rows, which
+        # must fit the driver anyway for the k-means step (the same bound the
+        # reference's Feistel TSM sampling enforces, am_build.rs:1306-1311)
         sample_pd = (
-            src.select("vec").sample(fraction=fraction, seed=opts.seed).limit(cap).toPandas()
+            src.select("vec", F.rand(opts.seed).alias("_u"))
+            .orderBy("_u")
+            .limit(cap)
+            .select("vec")
+            .toPandas()
         )
         samples = np.stack(sample_pd["vec"].to_numpy()).astype(np.float32)
         dim = samples.shape[1]
@@ -326,8 +333,11 @@ class IvfIndex:
         metric = meta["metric"]
         residual = meta["residual_quantization"]
         storage = meta.get("storage", "f32")
-        keep_vec = meta["rerank_in_index"] and storage in ("f32", "f16")
-        f16_store = storage == "f16"
+        keep_vec = meta["rerank_in_index"] and storage == "f32"
+        # true halfvec storage: 2-byte little-endian f16 packed binary — the
+        # rerank payload is half the f32 bytes (reference halfvec semantics,
+        # crates/vector/src/vect.rs:22 with S=f16; compute widens to f32)
+        keep_f16 = meta["rerank_in_index"] and storage == "f16"
         sq_bits = {"rabitq8": 8, "rabitq4": 4}.get(storage)
         bc = self.spark.sparkContext.broadcast(leaf_rot)
 
@@ -394,10 +404,11 @@ class IvfIndex:
                         "factor_err": cm["factor_err"],
                         "delta": delta,
                         "code": K.pack_bits(cm["signs"]),
-                        "vec": (
-                            list(mat.astype(np.float16).astype(np.float32))
-                            if keep_vec and f16_store
-                            else (list(mat) if keep_vec else None)
+                        "vec": list(mat) if keep_vec else None,
+                        "vec_f16": (
+                            [r.astype("<f2").tobytes() for r in mat]
+                            if keep_f16
+                            else None
                         ),
                         "sq_dis_u_2": sq_du2,
                         "sq_nol": sq_nol,
@@ -587,20 +598,26 @@ class IvfIndex:
         # for quantized storage, the dequantized-estimate rerank (the
         # reference's rabitq8/rabitq4 opclass behavior)
         storage = meta.get("storage", "f32")
+        vec_src = None
+        f16_src = None
         if base_df is not None:
             vec_src = base_df
             if metric == "cos":
                 vec_src = vec_src.select(
                     "id", D.normalize("vec").cast("array<float>").alias("vec")
                 )
-        elif storage in ("f32", "f16"):
+        elif storage == "f32":
             if not meta["rerank_in_index"]:
                 raise ValueError(
                     "index built with rerank_in_index=False: pass base_df"
                 )
             vec_src = self._codes_df(probed, ["id", "vec"])
-        else:
-            vec_src = None
+        elif storage == "f16":
+            if not meta["rerank_in_index"]:
+                raise ValueError(
+                    "index built with rerank_in_index=False: pass base_df"
+                )
+            f16_src = self._codes_df(probed, ["id", "vec_f16"])
 
         if vec_src is not None:
             qv = D.vec_lit([float(x) for x in q_exact])
@@ -615,6 +632,35 @@ class IvfIndex:
                 return (
                     vec_src.join(F.broadcast(cand.select("id")), "id")
                     .select("id", dist.alias("dist"))
+                    .orderBy("dist", "id")
+                )
+
+        elif f16_src is not None:
+            # halfvec rerank: decode the 2-byte-packed vectors per Arrow
+            # batch, widen to f64, one vectorized distance per batch
+            q64 = np.asarray(q_exact, np.float64)
+
+            def f16_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    mat = (
+                        np.frombuffer(b"".join(pdf["vec_f16"]), "<f2")
+                        .reshape(len(pdf), dim)
+                        .astype(np.float64)
+                    )
+                    if metric == "l2":
+                        d = np.sqrt(((mat - q64) ** 2).sum(axis=1))
+                    elif metric == "dot":
+                        d = -(mat @ q64)
+                    else:
+                        d = 1.0 - (mat @ q64)
+                    yield pd.DataFrame({"id": pdf["id"].to_numpy(np.int64), "dist": d})
+
+            def rerank(cand: DataFrame) -> DataFrame:
+                return (
+                    f16_src.join(F.broadcast(cand.select("id")), "id")
+                    .mapInPandas(f16_score, "id long, dist double")
                     .orderBy("dist", "id")
                 )
 
@@ -830,25 +876,66 @@ class IvfIndex:
         )
         from pyspark.sql import Window
 
-        if meta.get("storage", "f32") not in ("f32", "f16") or not meta["rerank_in_index"]:
+        storage = meta.get("storage", "f32")
+        if storage not in ("f32", "f16") or not meta["rerank_in_index"]:
             raise NotImplementedError(
                 "search_batch currently requires f32/f16 rerank_in_index storage"
             )
-        vec_src = self._codes_df(probed_arr, ["id", "vec"])
-        q_arr = F.array(*[D.vec_lit([float(x) for x in Qe[qi]]) for qi in range(nq)])
-        qv = F.element_at(q_arr, F.col("qid") + 1)
-        if metric == "l2":
-            dist = D.l2("vec", qv)
-        elif metric == "dot":
-            dist = D.ip("vec", qv)
-        else:
-            dist = F.lit(1.0) + D.ip("vec", qv)
         w2 = Window.partitionBy("qid").orderBy("dist", "id")
+        if storage == "f32":
+            vec_src = self._codes_df(probed_arr, ["id", "vec"])
+            q_arr = F.array(*[D.vec_lit([float(x) for x in Qe[qi]]) for qi in range(nq)])
+            qv = F.element_at(q_arr, F.col("qid") + 1)
+            if metric == "l2":
+                dist = D.l2("vec", qv)
+            elif metric == "dot":
+                dist = D.ip("vec", qv)
+            else:
+                dist = F.lit(1.0) + D.ip("vec", qv)
+
+            def exact_dist(cand: DataFrame) -> DataFrame:
+                return (
+                    vec_src.join(F.broadcast(cand), "id")
+                    .select("qid", "id", dist.alias("dist"))
+                )
+
+        else:  # f16 packed binary: decode + vectorized numpy distances
+            f16_src = self._codes_df(probed_arr, ["id", "vec_f16"])
+            Qmat = Qe  # (nq, dim) f64, closure-captured (tiny)
+
+            def f16_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    mat = (
+                        np.frombuffer(b"".join(pdf["vec_f16"]), "<f2")
+                        .reshape(len(pdf), dim)
+                        .astype(np.float64)
+                    )
+                    qs = Qmat[pdf["qid"].to_numpy(np.int64)]
+                    if metric == "l2":
+                        d = np.sqrt(((mat - qs) ** 2).sum(axis=1))
+                    elif metric == "dot":
+                        d = -np.einsum("ij,ij->i", mat, qs)
+                    else:
+                        d = 1.0 - np.einsum("ij,ij->i", mat, qs)
+                    yield pd.DataFrame(
+                        {
+                            "qid": pdf["qid"].to_numpy(np.int32),
+                            "id": pdf["id"].to_numpy(np.int64),
+                            "dist": d,
+                        }
+                    )
+
+            def exact_dist(cand: DataFrame) -> DataFrame:
+                return (
+                    f16_src.join(F.broadcast(cand), "id")
+                    .mapInPandas(f16_score, "qid int, id long, dist double")
+                )
 
         def rerank(cand: DataFrame) -> DataFrame:
             return (
-                vec_src.join(F.broadcast(cand), "id")
-                .select("qid", "id", dist.alias("dist"))
+                exact_dist(cand)
                 .withColumn("rank", F.row_number().over(w2))
                 .where(F.col("rank") <= k)
                 .orderBy("qid", "rank")
@@ -944,7 +1031,13 @@ class IvfIndex:
 
     def compact(self) -> None:
         """Rewrite codes without tombstoned rows and re-coalesce files
-        (the reference's maintain/vacuum pass as an OPTIMIZE-style job)."""
+        (the reference's maintain/vacuum pass as an OPTIMIZE-style job).
+
+        The *previous* codes directory is kept until the next compact so
+        that lazy DataFrames returned by earlier ``search()`` calls remain
+        collectable (snapshot-ish semantics); only the version before that
+        is reclaimed. The cached scored DF is unpersisted since it
+        references the old files."""
         old_version = self.meta["codes_version"]
         new_version = old_version + 1
         df = self.spark.read.parquet(self.codes_path)
@@ -961,7 +1054,14 @@ class IvfIndex:
         self.meta["codes_version"] = new_version
         with open(os.path.join(self.path, "meta.json"), "w") as f:
             json.dump(self.meta, f)
-        shutil.rmtree(os.path.join(self.path, f"codes_v{old_version}"), ignore_errors=True)
+        prev = getattr(self, "_last_scored", None)
+        if prev is not None:
+            prev.unpersist()
+            self._last_scored = None
+        # reclaim the version *before* the one we just superseded
+        shutil.rmtree(
+            os.path.join(self.path, f"codes_v{old_version - 1}"), ignore_errors=True
+        )
         shutil.rmtree(self._tombstones_path, ignore_errors=True)
         self._cluster_sizes = None
 
@@ -973,14 +1073,15 @@ class IvfIndex:
 
     def cluster_sizes(self) -> dict[int, int]:
         """Tuple count per leaf cell (cached; the analogue of the jump
-        tuples' counts used by maxsim threshold estimation)."""
+        tuples' counts used by maxsim threshold estimation). Tombstoned
+        rows are excluded — after delete() the estimation counts stay
+        accurate without waiting for compact()."""
         if getattr(self, "_cluster_sizes", None) is None:
-            rows = (
-                self.spark.read.parquet(self.codes_path)
-                .groupBy("cluster_id")
-                .count()
-                .collect()
-            )
+            df = self.spark.read.parquet(self.codes_path)
+            if os.path.exists(self._tombstones_path):
+                tomb = self.spark.read.parquet(self._tombstones_path)
+                df = df.join(F.broadcast(tomb), "id", "left_anti")
+            rows = df.groupBy("cluster_id").count().collect()
             self._cluster_sizes = {int(r.cluster_id): int(r["count"]) for r in rows}
         return self._cluster_sizes
 

@@ -233,13 +233,15 @@ def embedding_lsh_pairs(
     n_tables: int = 4,
     seed: int = 42,
     threshold: float = 0.8,
-    verify_broadcast: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs via sign-random-projection LSH.
 
     ``n_tables`` independent hash tables of ``n_planes`` hyperplane sign
     bits; same-bucket pairs are verified with exact cosine. This is the
-    100 TB path for embedding dedup (bucket groupBy instead of all-pairs).
+    100 TB path for embedding dedup: candidate generation is a groupBy on
+    bucket keys (no all-pairs), and verification is two shuffle joins of
+    the narrow (ida, idb) candidate pairs against the vector table — no
+    driver collect, no full-table broadcast anywhere.
     """
     from typing import Iterator
 
@@ -291,57 +293,21 @@ def embedding_lsh_pairs(
         .select("ida", "idb")
         .distinct()
     )
-    if verify_broadcast:
-        # exact-cosine verify with the vector table broadcast and a
-        # sequential per-dimension fold (bit-identical to a left-assoc SQL
-        # chain); only the narrow id pairs move through the shuffle
-        rows = df.select(id_col, vec_col).collect()
-        ids_all = np.array([r[0] for r in rows], np.int64)
-        mat_all = np.array([r[1] for r in rows], np.float32).astype(np.float64)
-        order = np.argsort(ids_all)
-        bc_vecs = spark.sparkContext.broadcast((ids_all[order], mat_all[order]))
-
-        def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            ids_s, mat_s = bc_vecs.value
-            d = mat_s.shape[1]
-
-            def fold_norm(m: np.ndarray) -> np.ndarray:
-                acc = np.zeros(m.shape[0])
-                for i in range(d):
-                    acc = acc + m[:, i] * m[:, i]
-                return np.sqrt(acc)
-
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                ia = np.searchsorted(ids_s, pdf["ida"].to_numpy(np.int64))
-                ib = np.searchsorted(ids_s, pdf["idb"].to_numpy(np.int64))
-                va = mat_s[ia]
-                vb = mat_s[ib]
-                dot = np.zeros(len(va))
-                for i in range(d):
-                    dot = dot + va[:, i] * vb[:, i]
-                sim = dot / (fold_norm(va) * fold_norm(vb))
-                keep = sim >= threshold
-                yield pd.DataFrame(
-                    {
-                        "ida": pdf["ida"].to_numpy(np.int64)[keep],
-                        "idb": pdf["idb"].to_numpy(np.int64)[keep],
-                        "sim": sim[keep],
-                    }
-                )
-
-        return cand.mapInPandas(verify, "ida long, idb long, sim double")
-
+    # exact-cosine verify: two shuffle joins of the narrow candidate pairs
+    # against the vector table. LSH keeps |cand| ≪ |table|², so both joins
+    # move only (pair ids + the candidate rows' vectors); the JVM fold
+    # expressions keep the arithmetic bit-identical to a left-assoc SQL
+    # chain. Catalyst/AQE is free to broadcast the *candidate* side when it
+    # is small — never the vector table.
     vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
-    cand = (
-        cand.join(F.broadcast(vecs), cand["ida"] == vecs["_vid"])
+    withv = (
+        cand.join(vecs, cand["ida"] == vecs["_vid"])
         .select("ida", "idb", F.col("_v").alias("va"))
-        .join(F.broadcast(vecs), F.col("idb") == vecs["_vid"])
+        .join(vecs, F.col("idb") == vecs["_vid"])
         .select("ida", "idb", "va", F.col("_v").alias("vb"))
     )
     sim = D.dot("va", "vb") / (D.norm("va") * D.norm("vb"))
-    return cand.select("ida", "idb", sim.alias("sim")).where(
+    return withv.select("ida", "idb", sim.alias("sim")).where(
         F.col("sim") >= threshold
     )
 
@@ -353,9 +319,12 @@ def connected_components(
     *grouping* step: near-dup pairs → duplicate clusters → one keeper each).
 
     Returns (id, component) with component = min id reachable. Each round is
-    one join + groupBy; rounds needed = graph diameter (near-dup clusters
-    are shallow). DataFrames are persisted per round and the loop exits on a
-    fixpoint count check.
+    a neighbor-min join plus a label-compression (pointer-doubling) join, so
+    convergence is O(log diameter) rounds, not O(diameter) — chained dup
+    clusters of any depth resolve within the default budget. DataFrames are
+    persisted per round and the loop exits on a fixpoint count check; if the
+    budget is exhausted before the fixpoint a RuntimeError is raised rather
+    than silently splitting components.
     """
     sym = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -369,18 +338,33 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .persist()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("component").alias("nbr_comp"))
         )
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # pointer doubling: replace each label by its label's label, halving
+        # the remaining chain depth every round (large-star/small-star style)
+        comp_map = propagated.select(
+            F.col("id").alias("_cid"), F.col("component").alias("_ccomp")
+        )
+        new_labels = (
+            propagated.join(comp_map, propagated["component"] == comp_map["_cid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_ccomp"), F.col("component"))
                 ).alias("component"),
             )
             .persist()
@@ -394,5 +378,10 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} rounds"
+        )
     return labels

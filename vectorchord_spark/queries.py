@@ -464,7 +464,7 @@ sess AS (
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM marked
 )
-SELECT user_id, session_id,
+SELECT user_id, session_id::BIGINT AS session_id,
        strftime(make_timestamp(min(ts_us)), '%Y-%m-%d %H:%M:%S') AS session_start,
        count(*) AS n_events,
        round(sum(value), 2) AS total_value
@@ -1121,20 +1121,22 @@ ORDER BY dist, vec_id
 
 
 def _simhash_pairs_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All near-dup pairs by SimHash Hamming distance ≤ 3 (exact all-pairs
-    over the signature table; the banded variant is the scale path and is
-    covered by pipeline tests)."""
-    sigs = _simhash_fn(spark, sf_dir)
-    a = sigs.select(F.col("doc_id").alias("ida"), F.col("simhash").alias("sa"))
-    b = sigs.select(F.col("doc_id").alias("idb"), F.col("simhash").alias("sb"))
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return (
-        a.crossJoin(b)
-        .where(F.col("ida") < F.col("idb"))
-        .select("ida", "idb", ham.cast("int").alias("hamming"))
-        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .orderBy("ida", "idb")
-    )
+    """All near-dup pairs by SimHash Hamming distance ≤ 3 via the
+    pigeonhole-banded scale path: with 16/4 = 4 bands > max_hamming = 3,
+    every qualifying pair must agree on ≥ 1 band, so candidate generation
+    is a groupBy-join on band values (no crossJoin) yet the result is
+    EXACTLY the all-pairs answer — which is what the oracle computes."""
+    from vectorchord_spark.pipeline.dedup import simhash_near_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_near_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        bits=_SIMHASH_BITS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+        band_bits=4,
+    ).orderBy("ida", "idb")
 
 
 def _simhash_pairs_sql() -> str:
@@ -1438,7 +1440,10 @@ def catalog() -> dict[str, Q]:
         "dedup_ngram": Q(_dedup_ngram_fn, _DEDUP_NGRAM_SQL, headline=True),
         "dedup_minhash_lsh": Q(_minhash_fn, _minhash_sql(), headline=True),
         "simhash": Q(_simhash_fn, _simhash_sql()),
-        "embed_neardup": Q(_embed_neardup_fn, _EMBED_NEARDUP_SQL, headline=True),
+        # small-scale oracle twin of the LSH path (driver-bounded block
+        # matmul); NOT a headline serving query — the scale path is
+        # embed_neardup_lsh
+        "embed_neardup": Q(_embed_neardup_fn, _EMBED_NEARDUP_SQL),
         "ann_ivf_exhaustive": Q(_ann_ivf_exhaustive_fn, _knn_sql("l2"), headline=True),
         "ann_ivf_probes": Q(_ann_ivf_probes_fn, None, headline=True),
         "ivf_recall_exhaustive": Q(_ivf_recall_fn, _IVF_RECALL_SQL),
