@@ -75,4 +75,63 @@ def test_graph_sharding_layout(spark, vec_df):
             d for d in os.listdir(idx.graph_path) if d.startswith("shard=")
         ]
         assert len(shards) == 4
-        assert idx.prewarm() == 3000
+        # closure replication adds boundary copies: >= one row per vector
+        assert idx.prewarm() >= 3000
+        g = spark.read.parquet(idx.graph_path)
+        assert g.where("is_primary").count() == 3000
+
+
+def test_graph_shard_routing(spark, vec_df):
+    """Routed search (probe_shards < n_shards) keeps recall on clustered
+    data AND partition-prunes the graph scan to the probed shards only —
+    the 'search must not scan all shards' contract."""
+    from vectorchord_spark.plans import explain as P
+
+    rng = np.random.default_rng(7)
+    q = [float(x) for x in rng.uniform(-1, 1, 16)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = VamanaIndex.build(
+            spark, vec_df, "id", "vec", os.path.join(tmp, "g"),
+            VamanaOptions(metric="l2", m=24, ef_construction=48, n_shards=8),
+        )
+        exact = brute_topk(vec_df, q, 10)
+        res = idx.search(q, k=10, ef_search=64, probe_shards=2)
+        got = [r.id for r in res.collect()]
+        recall = len(set(got) & set(exact)) / 10.0
+        assert recall >= 0.9, f"routed recall {recall}"
+        # IO assertion: both graph scans (traversal + rescore) are pruned
+        # on `shard` (filter strings split on commas, so count mentions)
+        parts = P.partition_filters(res)
+        assert sum("shard" in p for p in parts) >= 2, parts
+
+
+def test_graph_quantized_traversal_payload(spark, vec_df):
+    """Vertex codes are 2-bit (nibble-packed): the traversal payload per
+    vertex is d/4 code bytes + metadata, 8x smaller than the f32 vector."""
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = VamanaIndex.build(
+            spark, vec_df, "id", "vec", os.path.join(tmp, "g"),
+            VamanaOptions(n_shards=2, bits=2),
+        )
+        row = spark.read.parquet(idx.graph_path).select("code").first()
+        assert len(row.code) == 16 // 2  # 16 dims, 2 bits → nibble-packed
+
+
+def test_graph_search_batch(spark, vec_df):
+    """Batched multi-query routed search: one pass, per-query top-k."""
+    rng = np.random.default_rng(11)
+    qs = [[float(x) for x in rng.uniform(-1, 1, 16)] for _ in range(4)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = VamanaIndex.build(
+            spark, vec_df, "id", "vec", os.path.join(tmp, "g"),
+            VamanaOptions(metric="l2", m=24, ef_construction=48, n_shards=4),
+        )
+        res = idx.search_batch(qs, k=10, ef_search=64, probe_shards=2).collect()
+        by_q = {}
+        for r in res:
+            by_q.setdefault(r.qid, []).append(r.id)
+        assert set(by_q) == {0, 1, 2, 3}
+        for qi, q in enumerate(qs):
+            assert len(by_q[qi]) == 10
+            rec = len(set(by_q[qi]) & set(brute_topk(vec_df, q, 10))) / 10
+            assert rec >= 0.8, (qi, rec)

@@ -390,6 +390,10 @@ def extended_code(mat: np.ndarray, bits: int) -> dict[str, np.ndarray]:
     max_abs = np.abs(nv).max(axis=1)
     with np.errstate(divide="ignore"):
         scale = np.float32(1 << (bits - 1)) / max_abs
+    # degenerate all-zero vector: nv is all zeros, so any finite scale
+    # yields the midpoint code; force scale=0 to avoid inf*0=NaN whose
+    # floor/int-cast is platform-dependent garbage
+    scale = np.where(max_abs > 0, scale, np.float32(0.0))
     lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
     c = np.clip(np.floor(scale[:, None] * nv), lo, hi).astype(np.int32)
     code = (c + (1 << (bits - 1))).astype(np.uint8)

@@ -1,5 +1,6 @@
 """Vamana/DiskANN-style proximity-graph index (the vchordg access method),
-re-architected for Spark as sharded partition-local graphs.
+re-architected for Spark as *cluster-sharded* partition-local graphs with
+RaBitQ-quantized vertices.
 
 Semantics re-expressed from the reference (formulas/algorithms only):
 
@@ -10,20 +11,30 @@ Semantics re-expressed from the reference (formulas/algorithms only):
 - RobustPrune: keep nearest-first candidate u iff ∀ kept v:
   d(p,u) < α·d(u,v); leftovers retried at the next α; backfill nearest
   pruned: /root/reference/crates/vchordg/src/prune.rs:19-72
-- search = best-first beam with visited set bounded by ``ef_search``:
-  /root/reference/crates/vchordg/src/search.rs:34-140
+- search = best-first beam with visited set bounded by ``ef_search``,
+  traversal scored on quantized codes with exact rescoring of the
+  results: /root/reference/crates/vchordg/src/search.rs:34-140
+- vertex storage = 1- or 2-bit RaBitQ codes (the ``bits`` option,
+  /root/reference/crates/vchordg/src/types.rs:25-43; code math
+  crates/rabitq/src/bits.rs:19-39) — 16-32× smaller traversal payload
+  than f32 vectors
 - defaults m=32, alpha=[1.0, 1.2], ef_construction=64:
   /root/reference/crates/vchordg/src/types.rs:25-84
 
-Spark architecture: pointer-chasing graph traversal is executor-local work,
-so the table is hash-sharded and each shard builds an independent Vamana
-graph inside one ``applyInPandas`` group (the 100 TB shape: shard size is
-chosen so one graph fits an executor; build parallelism = #shards). A query
-beam-searches every shard in parallel (``mapInPandas`` over the graph
-table, grouped by shard) and the per-shard top-ef results merge with a
-global ``ORDER BY dist LIMIT k`` — per-shard recall multiplies, it never
-divides, so sharding trades compute for an embarrassingly-parallel layout
-with zero cross-shard edges to shuffle.
+Spark architecture (the 100 TB shape): pointer-chasing traversal is
+executor-local work, so rows are sharded by *k-means cluster* (not hash) and
+each shard builds an independent Vamana graph inside one ``applyInPandas``
+group, with SPANN-style closure replication of boundary vectors into
+neighboring shards. Because shards are spatial clusters, a query routes to
+the ``probe_shards`` nearest shards by centroid distance (driver-side
+argmin over the small centroid table) and the graph scan is
+partition-pruned to those shards only — the same pruning shape as IVF
+probes; routing misses are the same failure mode as unprobed IVF cells,
+mitigated by the closure replicas. Within a probed shard, the beam expands
+neighbors on the quantized codes and exact-rescores each popped vertex
+(the reference's scan shape — it too reads full vectors of visited
+vertices); the final cross-shard merge is a JVM-expression rescore join of
+the ≤ probe_shards·ef·rescore_factor candidate ids.
 """
 
 from __future__ import annotations
@@ -38,9 +49,29 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vectorchord_spark import kernels as K
 from vectorchord_spark.functions import distances as D
+from vectorchord_spark.operators import kmeans as KM
 
-GRAPH_SCHEMA = "shard int, id long, vec array<float>, neighbors array<int>, row_no int"
+GRAPH_SCHEMA = (
+    "shard int, id long, row_no int, medoid_row int, is_primary boolean, "
+    "neighbors array<int>, "
+    "vec array<float>, dis_u_2 float, factor_cnt float, factor_ip float, "
+    "factor_err float, ext_dis_u_2 float, ext_nol float, code binary"
+)
+
+#: columns needed by traversal: quantized code columns for frontier
+#: scoring + ``vec`` for the reference's exact-rescore-on-pop (the
+#: reference likewise reads full vectors of visited vertices,
+#: search.rs:34-140; shard routing is what prunes the IO)
+_TRAVERSE_COLS_1BIT = [
+    "shard", "id", "row_no", "medoid_row", "neighbors", "vec",
+    "dis_u_2", "factor_cnt", "factor_ip", "factor_err", "code",
+]
+_TRAVERSE_COLS_2BIT = [
+    "shard", "id", "row_no", "medoid_row", "neighbors", "vec",
+    "ext_dis_u_2", "ext_nol", "code",
+]
 
 
 @dataclass
@@ -50,10 +81,21 @@ class VamanaOptions:
     ef_construction: int = 64
     alpha: list[float] = field(default_factory=lambda: [1.0, 1.2])
     n_shards: int | None = None
+    #: vertex quantization width (1 or 2); reference `bits` option,
+    #: default 2 (crates/vchordg/src/types.rs:43-45)
+    bits: int = 2
+    #: SPANN-style closure assignment: replicate a vector into up to
+    #: `replication` nearest shards when its centroid distance is within
+    #: the closure factor of the nearest — boundary vectors stay findable
+    #: when routing probes a neighboring shard
+    replication: int = 2
+    closure_epsilon: float = 0.4
     seed: int = 42
 
     def validate(self) -> None:
         assert self.metric in ("l2", "dot", "cos")
+        assert self.replication >= 1
+        assert self.bits in (1, 2)
         assert sorted(self.alpha) == list(self.alpha) and self.alpha[0] == 1.0
         assert all(1.0 <= a < 2.0 for a in self.alpha)
 
@@ -66,43 +108,53 @@ def _dists(metric: str, mat: np.ndarray, q: np.ndarray) -> np.ndarray:
 
 
 def _beam_search(
-    metric: str,
-    vecs: np.ndarray,
+    est_fn,
     adj: "list[list[int]]",
     medoid: int,
-    q: np.ndarray,
     ef: int,
+    exact_fn=None,
 ) -> list[tuple[float, int]]:
-    """Best-first beam: pop nearest unvisited, expand neighbors, stop when
-    the best frontier entry can't improve the ef-th visited distance."""
+    """Best-first beam: frontier ordered by ``est_fn`` (the quantized
+    estimate — neighbor expansion never touches full vectors), result
+    window ordered by ``exact_fn`` applied to each *popped* vertex (the
+    reference's exact-rescoring-on-pop, crates/vchordg/src/search.rs:34-140
+    — quantized-scored candidate heap, exact rescoring via vector reads,
+    window bounded by ef). ``exact_fn=None`` uses the estimate for both
+    (build-time, where est IS exact)."""
     from heapq import heappop, heappush, heappushpop
 
-    n = len(vecs)
+    n = len(adj)
     visited = bytearray(n)
-    d0 = float(_dists(metric, vecs[medoid : medoid + 1], q)[0])
+    d0 = float(est_fn(np.array([medoid], np.int64))[0])
     frontier: list[tuple[float, int]] = [(d0, medoid)]
     worst: list[tuple[float, int]] = []  # max-heap of the ef best (negated)
     bound = np.inf
     while frontier:
         d, u = heappop(frontier)
-        if d > bound:
-            break
         if visited[u]:
             continue
         visited[u] = 1
+        dx = (
+            d if exact_fn is None else float(exact_fn(np.array([u], np.int64))[0])
+        )
         if len(worst) < ef:
-            heappush(worst, (-d, u))
+            heappush(worst, (-dx, u))
             if len(worst) == ef:
                 bound = -worst[0][0]
         else:
-            heappushpop(worst, (-d, u))
+            heappushpop(worst, (-dx, u))
             bound = -worst[0][0]
+        # reference termination: stop once the ef-th best *exact* result
+        # beats the exact distance of the vertex just popped (estimate
+        # noise never prunes frontier entries — neighbors are pushed
+        # unconditionally, matching search.rs)
+        if len(worst) >= ef and bound < dx:
+            break
         nbrs = [v for v in adj[u] if not visited[v]]
         if nbrs:
-            nd = _dists(metric, vecs[nbrs], q)
+            nd = est_fn(np.asarray(nbrs, np.int64))
             for dv, v in zip(nd.tolist(), nbrs):
-                if dv <= bound:
-                    heappush(frontier, (dv, v))
+                heappush(frontier, (dv, v))
     return sorted((-d, u) for d, u in worst)
 
 
@@ -112,7 +164,9 @@ def _build_vamana(
     """In-memory Vamana build over one shard; returns (adjacency, medoid).
 
     Single incremental pass (the reference inserts each row once); the
-    ascending alpha schedule lives *inside* RobustPrune."""
+    ascending alpha schedule lives *inside* RobustPrune. Build-time
+    distances are exact f32 (executor-local, no IO amplification); the
+    quantized codes are an artifact for search-time traversal."""
     n = len(vecs)
     metric = "l2" if opts.metric == "l2" else "dot"
     alphas = opts.alpha if metric == "l2" else [1.0]
@@ -170,28 +224,105 @@ def _build_vamana(
                 taken[idx] = True
         return [int(ids[i]) for i in kept]
 
+    def exact_fn(vq: np.ndarray):
+        def fn(idx: np.ndarray) -> np.ndarray:
+            return _dists(metric, v64[idx], vq)
+
+        return fn
+
     # deferred back-edge pruning: let adjacency grow to m+slack and prune
     # once, instead of re-pruning on every single overflow (same graph
     # quality, ~slack× fewer prune calls)
     slack = max(4, m // 2)
     for i in rng.permutation(n):
         i = int(i)
-        cand = _beam_search(metric, vecs, adj, medoid, vecs[i], opts.ef_construction)
+        cand = _beam_search(
+            exact_fn(v64[i]), adj, medoid, opts.ef_construction
+        )
         if adj[i]:
-            nd = _dists(metric, vecs[adj[i]], vecs[i])
+            nd = _dists(metric, v64[adj[i]], v64[i])
             cand = cand + list(zip(nd.tolist(), adj[i]))
         adj[i] = robust_prune(i, cand)
         for j in adj[i]:
             if i not in adj[j]:
                 adj[j].append(i)
                 if len(adj[j]) > m + slack:
-                    nd = _dists(metric, vecs[adj[j]], vecs[j])
+                    nd = _dists(metric, v64[adj[j]], v64[j])
                     adj[j] = robust_prune(j, list(zip(nd.tolist(), adj[j])))
     for j in range(n):
         if len(adj[j]) > m:
-            nd = _dists(metric, vecs[adj[j]], vecs[j])
+            nd = _dists(metric, v64[adj[j]], v64[j])
             adj[j] = robust_prune(j, list(zip(nd.tolist(), adj[j])))
+    # connectivity repair: back-edge pruning (especially under the dot
+    # metric, where the triangle inequality doesn't hold) can leave
+    # vertices unreachable from the medoid; bridge each one from its
+    # L2-nearest reachable vertex so every vertex is searchable (bridge
+    # edges may push a degree past m — they are few and bounded by the
+    # number of stranded vertices)
+    seen = np.zeros(n, bool)
+    seen[medoid] = True
+    stack = [medoid]
+    while stack:
+        u = stack.pop()
+        for v in adj[u]:
+            if not seen[v]:
+                seen[v] = True
+                stack.append(v)
+    if not seen.all():
+        reach = np.nonzero(seen)[0]
+        unreach = np.nonzero(~seen)[0]
+        rm = v64[reach]
+        r2 = np.einsum("ij,ij->i", rm, rm)
+        for u in unreach:
+            d = r2 - 2.0 * (rm @ v64[u])
+            adj[int(reach[int(np.argmin(d))])].append(int(u))
     return adj, medoid
+
+
+def _make_dist_fn(metric: str, bits: int, grp: pd.DataFrame, dim: int, q_rot: np.ndarray):
+    """Quantized-estimate scoring callback over one shard's code columns
+    (the traversal analogue of the reference's quantized vertex scoring)."""
+    internal = "l2" if metric == "l2" else "dot"
+    if bits == 1:
+        bits_mat = K.unpack_bits(list(grp["code"]), dim).astype(np.int64)
+        lut = K.binary_lut(q_rot)
+        qv = lut["qvector"].astype(np.int64)
+        meta = {
+            "dis_u_2": grp["dis_u_2"].to_numpy(np.float32),
+            "factor_cnt": grp["factor_cnt"].to_numpy(np.float32),
+            "factor_ip": grp["factor_ip"].to_numpy(np.float32),
+            "factor_err": grp["factor_err"].to_numpy(np.float32),
+        }
+
+        def fn(idx: np.ndarray) -> np.ndarray:
+            sums = bits_mat[idx] @ qv
+            sub = {k: v[idx] for k, v in meta.items()}
+            if internal == "l2":
+                rough, _ = K.rough_l2(sums, sub, lut)
+            else:
+                rough, _ = K.rough_dot(sums, sub, lut)
+            return rough.astype(np.float64)
+
+        return fn
+
+    # 2-bit extended codes (nibble-packed): dequantized-estimate distance
+    code = K.unpack_nibbles(list(grp["code"]), dim).astype(np.float64) - 1.5
+    with np.errstate(divide="ignore", invalid="ignore"):
+        scale = np.sqrt(grp["ext_dis_u_2"].to_numpy(np.float64)) / grp[
+            "ext_nol"
+        ].to_numpy(np.float64)
+    scale = np.nan_to_num(scale, nan=0.0, posinf=0.0)
+    du2 = grp["ext_dis_u_2"].to_numpy(np.float64)
+    q64 = np.asarray(q_rot, np.float64)
+    qn2 = float(q64 @ q64)
+
+    def fn2(idx: np.ndarray) -> np.ndarray:
+        dotq = (code[idx] @ q64) * scale[idx]
+        if internal == "l2":
+            return du2[idx] + qn2 - 2.0 * dotq
+        return -dotq
+
+    return fn2
 
 
 class VamanaIndex:
@@ -203,6 +334,7 @@ class VamanaIndex:
         self.path = path
         with open(os.path.join(path, "meta.json")) as f:
             self.meta = json.load(f)
+        self.centroids = np.asarray(self.meta["centroids"], np.float64)
 
     @property
     def graph_path(self) -> str:
@@ -233,11 +365,83 @@ class VamanaIndex:
         if n_shards is None:
             total = src.count()
             n_shards = max(1, min(64, total // 5000 + 1))
-        src = src.withColumn(
-            "shard", F.pmod(F.xxhash64("id"), F.lit(n_shards)).cast("int")
+
+        # --- shard centroids: bounded sample → driver k-means (the same
+        # sampling shape as the IVF build; shards are spatial clusters so
+        # query routing = centroid argmin, the SPANN-style layout) ---
+        cap = max(n_shards * 256, 1024)
+        sample_pd = (
+            src.select("vec", F.rand(opts.seed).alias("_u"))
+            .orderBy("_u")
+            .limit(cap)
+            .select("vec")
+            .toPandas()
         )
+        samples = np.stack(sample_pd["vec"].to_numpy()).astype(np.float32)
+        dim = samples.shape[1]
+        cents = KM.lloyd(samples, n_shards, 10, opts.seed, False).astype(np.float32)
+        bc_cents = spark.sparkContext.broadcast(cents)
+
+        metric = opts.metric
+        repl = min(int(opts.replication), int(n_shards))
+        eps = float(opts.closure_epsilon)
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # closure assignment (SPANN-style): primary shard = argmin
+            # centroid distance; additionally replicate into up to `repl`
+            # nearest shards whose distance is within the closure factor of
+            # the minimum, so boundary vectors are present in the shards a
+            # nearby query is likely to route to
+            c = bc_cents.value
+            c2 = np.einsum("ij,ij->i", c, c)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.stack([np.asarray(v, np.float32) for v in pdf["vec"]])
+                if metric == "dot":
+                    d = -(mat @ c.T)
+                else:
+                    # squared l2 up to the constant |x|^2 (argmin/closure
+                    # ratios need the true squared distance, so add it)
+                    x2 = np.einsum("ij,ij->i", mat, mat)
+                    d = x2[:, None] + c2[None, :] - 2.0 * (mat @ c.T)
+                order = np.argsort(d, axis=1, kind="stable")[:, :repl]
+                d_min = d.min(axis=1)
+                if metric == "dot":
+                    thresh = d_min + eps * np.abs(d_min)
+                else:
+                    thresh = (1.0 + eps) ** 2 * np.maximum(d_min, 0.0)
+                ids = pdf["id"].to_numpy(np.int64)
+                vecs = list(mat)
+                out_id, out_vec, out_shard, out_prim = [], [], [], []
+                for r in range(repl):
+                    s = order[:, r]
+                    keep = (
+                        np.ones(len(ids), bool)
+                        if r == 0
+                        else d[np.arange(len(ids)), s] <= thresh
+                    )
+                    idxs = np.nonzero(keep)[0]
+                    out_id.append(ids[idxs])
+                    out_vec.extend(vecs[i] for i in idxs)
+                    out_shard.append(s[idxs].astype(np.int32))
+                    out_prim.append(np.full(len(idxs), r == 0, bool))
+                yield pd.DataFrame(
+                    {
+                        "id": np.concatenate(out_id),
+                        "vec": out_vec,
+                        "shard": np.concatenate(out_shard),
+                        "is_primary": np.concatenate(out_prim),
+                    }
+                )
+
+        assigned = src.mapInPandas(
+            assign, "id long, vec array<float>, shard int, is_primary boolean"
+        )
+
         opts_d = asdict(opts)
         seed = opts.seed
+        bits = opts.bits
 
         def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             o = VamanaOptions(**{**opts_d, "n_shards": n_shards})
@@ -245,68 +449,143 @@ class VamanaIndex:
             vecs = np.stack([np.asarray(v, np.float32) for v in pdf["vec"]])
             rng = np.random.default_rng(seed + shard)
             adj, medoid = _build_vamana(vecs, o, rng)
+            rot = K.rotate(vecs)
+            n = len(vecs)
+            if bits == 1:
+                cm = K.bit_code(rot)
+                codes = K.pack_bits(cm["signs"])
+                out_meta = {
+                    "dis_u_2": cm["dis_u_2"],
+                    "factor_cnt": cm["factor_cnt"],
+                    "factor_ip": cm["factor_ip"],
+                    "factor_err": cm["factor_err"],
+                    "ext_dis_u_2": np.zeros(n, np.float32),
+                    "ext_nol": np.zeros(n, np.float32),
+                }
+            else:
+                ext = K.extended_code(rot, 2)
+                codes = K.pack_nibbles(ext["code"])
+                out_meta = {
+                    "dis_u_2": np.zeros(n, np.float32),
+                    "factor_cnt": np.zeros(n, np.float32),
+                    "factor_ip": np.zeros(n, np.float32),
+                    "factor_err": np.zeros(n, np.float32),
+                    "ext_dis_u_2": ext["dis_u_2"],
+                    "ext_nol": ext["norm_of_lattice"],
+                }
             return pd.DataFrame(
                 {
                     "shard": shard,
                     "id": pdf["id"].to_numpy(np.int64),
-                    "vec": list(vecs),
+                    "row_no": np.arange(n, dtype=np.int32),
+                    "medoid_row": np.full(n, medoid, np.int32),
+                    "is_primary": pdf["is_primary"].to_numpy(bool),
                     "neighbors": [np.asarray(a, np.int32) for a in adj],
-                    "row_no": np.arange(len(pdf), dtype=np.int32),
+                    "vec": list(vecs),
+                    **out_meta,
+                    "code": codes,
                 }
             )
 
-        graph = src.groupBy("shard").applyInPandas(build_shard, GRAPH_SCHEMA)
+        graph = assigned.groupBy("shard").applyInPandas(build_shard, GRAPH_SCHEMA)
         graph.repartition(F.col("shard")).write.mode("overwrite").partitionBy(
             "shard"
         ).parquet(os.path.join(path, "graph"))
 
-        # medoid per shard = row_no 0's... recompute cheaply: store the row
-        # with row_no == medoid by convention: medoid stored in meta instead
-        meta = {**opts_d, "n_shards": int(n_shards)}
+        meta = {
+            **opts_d,
+            "n_shards": int(n_shards),
+            "dim": int(dim),
+            "centroids": [[float(x) for x in c] for c in cents],
+        }
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
         return cls(spark, path)
+
+    # ------------------------------------------------------------------
+
+    def _route(self, q: np.ndarray, probe_shards: int | None) -> list[int]:
+        """Driver-side shard routing: nearest shards by centroid distance
+        (L2 for l2/cos — cos vectors are stored normalized — dot for ip)."""
+        metric = self.meta["metric"]
+        if metric == "dot":
+            d = -(self.centroids @ q)
+        else:
+            diff = self.centroids - q
+            d = np.einsum("ij,ij->i", diff, diff)
+        order = np.argsort(d, kind="stable")
+        if probe_shards is not None:
+            order = order[: int(probe_shards)]
+        return [int(s) for s in order]
+
+    def _traverse_src(self, shards: list[int]) -> DataFrame:
+        bits = self.meta.get("bits", 1)
+        cols = _TRAVERSE_COLS_1BIT if bits == 1 else _TRAVERSE_COLS_2BIT
+        df = self.spark.read.parquet(self.graph_path)
+        if len(shards) < self.meta["n_shards"]:
+            df = df.where(F.col("shard").isin(shards))
+        return df.select(*cols)
+
+    def _rescore_src(self, shards: list[int]) -> DataFrame:
+        # replicas carry the same (id, vec), so the rescore join may see an
+        # id twice; the caller dedupes on (id, dist) — identical rows —
+        # after computing distances (cheap: candidate sets are tiny)
+        df = self.spark.read.parquet(self.graph_path)
+        if len(shards) < self.meta["n_shards"]:
+            df = df.where(F.col("shard").isin(shards))
+        return df.select("id", "vec")
 
     def search(
         self,
         query: "np.ndarray | list[float]",
         k: int = 10,
         ef_search: int = 64,
+        probe_shards: int | None = None,
+        rescore_factor: int = 4,
     ) -> DataFrame:
-        """Per-shard beam search (parallel) → global exact top-k merge."""
+        """Routed per-shard quantized-frontier beam search → exact top-k.
+
+        ``probe_shards`` limits the search to the nearest shards by
+        centroid distance (None = all shards, the exhaustive-routing
+        configuration). Traversal expands neighbors on quantized estimates
+        and rescores each popped vertex exactly (reference
+        search.rs:34-140), so the per-shard ef window is already
+        exact-ranked; ``rescore_factor`` optionally widens it."""
         meta = self.meta
         metric = meta["metric"]
+        dim = meta["dim"]
+        bits = meta.get("bits", 1)
         q_exact = np.asarray(query, np.float64)
         if metric == "cos":
             n = float(np.linalg.norm(q_exact))
             if n > 0:
                 q_exact = q_exact / n
         q32 = q_exact.astype(np.float32)
+        q_rot = K.rotate(q32)
+        ef = int(max(ef_search, k)) * max(1, int(rescore_factor))
+        shards = self._route(q_exact, probe_shards)
+
         internal = "l2" if metric == "l2" else "dot"
-        ef = int(max(ef_search, k))
 
         def shard_search(grp: pd.DataFrame) -> pd.DataFrame:
             # applyInPandas delivers the WHOLE shard (mapInPandas could see
             # a shard split across input partitions when a file exceeds
             # maxPartitionBytes, corrupting positional row_no indexing)
             grp = grp.sort_values("row_no")
-            vecs = np.stack([np.asarray(v, np.float32) for v in grp["vec"]])
             adj = [list(np.asarray(a, np.int64)) for a in grp["neighbors"]]
+            medoid = int(grp["medoid_row"].iloc[0])
+            est_fn = _make_dist_fn(metric, bits, grp, dim, q_rot)
+            v64 = np.stack([np.asarray(v, np.float64) for v in grp["vec"]])
+            qx = np.asarray(q_exact, np.float64)
+            exact_fn = lambda idx: _dists(internal, v64[idx], qx)  # noqa: E731
+            best = _beam_search(est_fn, adj, medoid, ef, exact_fn)
             ids = grp["id"].to_numpy(np.int64)
-            medoid = int(np.argmin(_dists("l2", vecs, vecs.mean(axis=0))))
-            best = _beam_search(internal, vecs, adj, medoid, q32, ef)
-            return pd.DataFrame(
-                {
-                    "id": ids[[u for _, u in best]],
-                    "vec": [vecs[u] for _, u in best],
-                }
-            )
+            return pd.DataFrame({"id": ids[[u for _, u in best]]})
 
-        graph = self.spark.read.parquet(self.graph_path).select(
-            "shard", "id", "vec", "neighbors", "row_no"
-        )
-        cand = graph.groupBy("shard").applyInPandas(
-            shard_search, "id long, vec array<float>"
+        cand = (
+            self._traverse_src(shards)
+            .groupBy("shard")
+            .applyInPandas(shard_search, "id long")
         )
         qv = D.vec_lit([float(x) for x in q_exact])
         if metric == "l2":
@@ -316,7 +595,99 @@ class VamanaIndex:
         else:
             dist = F.lit(1.0) + D.ip("vec", qv)
         return (
-            cand.select("id", dist.alias("dist")).orderBy("dist", "id").limit(int(k))
+            self._rescore_src(shards)
+            .join(F.broadcast(cand.distinct()), "id")
+            .select("id", dist.alias("dist"))
+            .distinct()  # replica rows are exact duplicates
+            .orderBy("dist", "id")
+            .limit(int(k))
+        )
+
+    def search_batch(
+        self,
+        queries: "list[list[float]] | np.ndarray",
+        k: int = 10,
+        ef_search: int = 64,
+        probe_shards: int | None = None,
+        rescore_factor: int = 4,
+    ) -> DataFrame:
+        """Multi-query routed search in ONE pass over the probed shards.
+
+        Every query routes independently; a shard is scanned once and
+        beam-searches only the queries routed to it. Returns
+        (qid, id, dist, rank) with rank ≤ k per query."""
+        from pyspark.sql import Window
+
+        meta = self.meta
+        metric = meta["metric"]
+        dim = meta["dim"]
+        bits = meta.get("bits", 1)
+        Qe = np.asarray(queries, np.float64)
+        if Qe.ndim != 2 or Qe.shape[1] != dim:
+            raise ValueError(
+                f"query batch shape {Qe.shape} does not match index dimension {dim}"
+            )
+        if metric == "cos":
+            norms = np.linalg.norm(Qe, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            Qe = Qe / norms
+        nq = len(Qe)
+        Q_rot = K.rotate(Qe.astype(np.float32))
+        ef = int(max(ef_search, k)) * max(1, int(rescore_factor))
+        shard_qids: dict[int, list[int]] = {}
+        for qi in range(nq):
+            for s in self._route(Qe[qi], probe_shards):
+                shard_qids.setdefault(s, []).append(qi)
+        shards = sorted(shard_qids)
+        sq = {int(s): qids for s, qids in shard_qids.items()}
+
+        internal = "l2" if metric == "l2" else "dot"
+
+        def shard_search(grp: pd.DataFrame) -> pd.DataFrame:
+            grp = grp.sort_values("row_no")
+            shard = int(grp["shard"].iloc[0])
+            adj = [list(np.asarray(a, np.int64)) for a in grp["neighbors"]]
+            medoid = int(grp["medoid_row"].iloc[0])
+            ids = grp["id"].to_numpy(np.int64)
+            v64 = np.stack([np.asarray(v, np.float64) for v in grp["vec"]])
+            out_qid, out_id = [], []
+            for qi in sq.get(shard, []):
+                est_fn = _make_dist_fn(metric, bits, grp, dim, Q_rot[qi])
+                qx = Qe[qi]
+                exact_fn = lambda idx: _dists(internal, v64[idx], qx)  # noqa: B023,E731
+                best = _beam_search(est_fn, adj, medoid, ef, exact_fn)
+                out_qid.append(np.full(len(best), qi, np.int32))
+                out_id.append(ids[[u for _, u in best]])
+            if not out_qid:
+                return pd.DataFrame({"qid": [], "id": []}).astype(
+                    {"qid": np.int32, "id": np.int64}
+                )
+            return pd.DataFrame(
+                {"qid": np.concatenate(out_qid), "id": np.concatenate(out_id)}
+            )
+
+        cand = (
+            self._traverse_src(shards)
+            .groupBy("shard")
+            .applyInPandas(shard_search, "qid int, id long")
+        )
+        q_arr = F.array(*[D.vec_lit([float(x) for x in Qe[qi]]) for qi in range(nq)])
+        qv = F.element_at(q_arr, F.col("qid") + 1)
+        if metric == "l2":
+            dist = D.l2("vec", qv)
+        elif metric == "dot":
+            dist = D.ip("vec", qv)
+        else:
+            dist = F.lit(1.0) + D.ip("vec", qv)
+        w = Window.partitionBy("qid").orderBy("dist", "id")
+        return (
+            self._rescore_src(shards)
+            .join(F.broadcast(cand.distinct()), "id")
+            .select("qid", "id", dist.alias("dist"))
+            .distinct()  # replica rows are exact duplicates
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .orderBy("qid", "rank")
         )
 
     def prewarm(self) -> int:
