@@ -227,6 +227,54 @@ class IvfIndex:
         index._encode_and_write(src, mode="overwrite")
         return index
 
+    #: sub-index width for multi-vector payloads (u16, matching the
+    #: reference's packed payload: src/index/vchordrq/opclass.rs:70-141)
+    TOKEN_BITS = 16
+
+    @classmethod
+    def build_multivector(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        doc_col: str,
+        vecs_col: str,
+        path: str,
+        options: IvfOptions | None = None,
+    ) -> "IvfIndex":
+        """First-class multi-vector column indexing: index an
+        ``array<array<float>>`` column directly. Each token vector gets a
+        u16 sub-index packed into the row id (``doc_id·2^16 + token_id``,
+        the reference's payload scheme for ``vector(d)[]`` opclasses,
+        /root/reference/src/index/vchordrq/opclass.rs:70-141), so
+        ``maxsim_search`` can recover the document id with a shift — no
+        caller-supplied mapping needed."""
+        shift = F.lit(1 << cls.TOKEN_BITS)
+        ex = (
+            df.select(
+                F.col(doc_col).cast("long").alias("_doc"),
+                F.posexplode(F.col(vecs_col)).alias("_tok", "vec"),
+            )
+            .select(
+                F.when(
+                    F.col("_tok") < shift,
+                    F.col("_doc") * shift + F.col("_tok"),
+                )
+                .otherwise(
+                    F.raise_error(
+                        F.lit("multivector document exceeds 65535 tokens")
+                    )
+                )
+                .cast("long")
+                .alias("id"),
+                "vec",
+            )
+        )
+        index = cls.build(spark, ex, "id", "vec", path, options)
+        index.meta["multivector"] = True
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(index.meta, f)
+        return index
+
     @classmethod
     def from_centroid_table(
         cls,

@@ -26,8 +26,8 @@ from vectorchord_spark.operators.ivf import IvfIndex
 
 def maxsim_search(
     index: IvfIndex,
-    doc_of_id,
-    query_tokens: "list[list[float]] | np.ndarray",
+    doc_of_id=None,
+    query_tokens: "list[list[float]] | np.ndarray" = None,
     k: int = 10,
     per_token_candidates: int = 100,
     probes: list[int] | int | None = None,
@@ -37,9 +37,10 @@ def maxsim_search(
     """Top-k documents by MaxSim score against ``query_tokens``.
 
     ``doc_of_id``: a pyspark Column expression mapping the indexed row ``id``
-    to its document id (e.g. ``F.col("id") / lit(5)`` for fixed-size docs, or
-    a join key the caller prepared when building the index over exploded
-    (doc, token) rows).
+    to its document id. ``None`` (the default) requires an index built with
+    :meth:`IvfIndex.build_multivector`, whose ids pack a u16 token sub-index
+    (``doc_id·2^16 + token_id``, reference opclass.rs:70-141) — the document
+    id is then recovered with a right shift, no caller-supplied mapping.
 
     ``maxsim_threshold`` > 0 enables the reference's threshold estimation:
     each token's imputation floor becomes
@@ -49,6 +50,13 @@ def maxsim_search(
     reference's default configuration).
     """
     spark = index.spark
+    if doc_of_id is None:
+        if not index.meta.get("multivector"):
+            raise ValueError(
+                "doc_of_id=None requires an index built with build_multivector"
+            )
+        shift = IvfIndex.TOKEN_BITS
+        doc_of_id = lambda c: F.shiftright(c, shift)  # noqa: E731
     per_token = []
     estimations = []
     for ti, tok in enumerate(query_tokens):

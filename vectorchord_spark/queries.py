@@ -1236,24 +1236,62 @@ ORDER BY ida, idb
 
 
 def _quantize_roundtrip_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rabitq8/rabitq4 quantize→dequantize round-trip error per vector
-    (S7/S8); not SQL-expressible (FHT rotation + bit packing) → rows-only
-    driver check; the numeric error contracts are asserted in pytest."""
+    """rabitq8/rabitq4 quantize→dequantize round-trip error contract
+    (S7/S8): per-vector reconstruction error, relative to the vector norm,
+    must stay under the reference's accuracy envelope (the dequantize.slt
+    bound protocol, /root/reference/tests/general/dequantize.slt:1-20 —
+    absolute <0.07 @8-bit / <1.0 @4-bit on a ||v||≈14 test vector ⇒
+    relative ~0.005/0.07; we assert 4× headroom). The rotation+packing math
+    isn't SQL-expressible, but the *contract outcome* is deterministic for
+    fixed data, so the oracle is the constant contract row — this puts
+    S7/S8 inside the driver's hard gate."""
     from vectorchord_spark.functions import quantize as Qz
 
     emb = _read(spark, sf_dir, "embeddings")
+    nrm = D.norm("embedding")
     out = emb.select(
         "vec_id",
-        D.l2(
-            Qz.dequantize_to_vector(Qz.quantize_to_rabitq("embedding", bits=8), bits=8),
-            "embedding",
-        ).alias("err8"),
-        D.l2(
-            Qz.dequantize_to_vector(Qz.quantize_to_rabitq("embedding", bits=4), bits=4),
-            "embedding",
-        ).alias("err4"),
+        (
+            D.l2(
+                Qz.dequantize_to_vector(
+                    Qz.quantize_to_rabitq("embedding", bits=8), bits=8
+                ),
+                "embedding",
+            )
+            / nrm
+        ).alias("rel8"),
+        (
+            D.l2(
+                Qz.dequantize_to_vector(
+                    Qz.quantize_to_rabitq("embedding", bits=4), bits=4
+                ),
+                "embedding",
+            )
+            / nrm
+        ).alias("rel4"),
     )
-    return out.orderBy("vec_id")
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("rel8").alias("m8"),
+        F.max("rel4").alias("m4"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                int(agg.n > 0),
+                int(agg.m8 < 0.02),
+                int(agg.m4 < 0.30),
+            )
+        ],
+        "has_rows bigint, err8_ok bigint, err4_ok bigint",
+    )
+
+
+_QUANTIZE_ROUNDTRIP_SQL = """
+SELECT CAST(1 AS BIGINT) AS has_rows,
+       CAST(1 AS BIGINT) AS err8_ok,
+       CAST(1 AS BIGINT) AS err4_ok
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1296,13 +1334,84 @@ def _ann_ivf_exhaustive_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(F.col("id").alias("vec_id"), "dist")
 
 
+def _recall_contract_df(
+    spark: SparkSession, ann_ids: set, exact_ids: set, threshold: float
+) -> DataFrame:
+    """One-row recall contract (the S13 evaluator protocol,
+    /root/reference/sql/install/vchord--1.1.1.sql:1021-1092, turned into a
+    deterministic gate row: fixed data + fixed seeds ⇒ the recall value is
+    reproducible, so the oracle is a constant)."""
+    recall = (
+        float(len(ann_ids & exact_ids)) / len(exact_ids) if exact_ids else float("nan")
+    )
+    return spark.createDataFrame(
+        [(int(len(ann_ids)), int(recall >= threshold))],
+        "n_results bigint, recall_ok bigint",
+    )
+
+
+_RECALL_CONTRACT_SQL = """
+SELECT CAST(10 AS BIGINT) AS n_results, CAST(1 AS BIGINT) AS recall_ok
+"""
+
+
+def _exact_knn_ids(spark: SparkSession, sf_dir: str, k: int = 10) -> set:
+    emb = _read(spark, sf_dir, "embeddings")
+    dist = D.l2("embedding", D.vec_lit(QUERY_VEC))
+    return {
+        r.vec_id
+        for r in emb.select("vec_id", dist.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(k)
+        .collect()
+    }
+
+
 def _ann_ivf_probes_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN configuration (probes=4/16, ε=1.9, guaranteed rerank) — the
-    actual approximate search path; rows-only check (no SQL oracle for an
-    approximate result)."""
+    """The actual approximate search path (probes, ε=1.9, guaranteed
+    rerank), gated by two deterministic contracts:
+
+    - ``probed_exact_ok``: the reference's lazy-rerank guarantee — the
+      probed search (probes=4/16, rerank_factor=4) returns EXACTLY brute
+      force restricted to the probed cells' rows
+      (/root/reference/crates/vchordrq/src/rerank.rs:53-101); this holds by
+      construction, independent of the data distribution;
+    - ``recall_ok``: global recall@10 ≥ 0.8 at probes=12/16 (the sf
+      embeddings are uniform, so global recall tracks the probe fraction;
+      0.9 observed, one-neighbor margin).
+    """
     idx = _get_ivf_index(spark, sf_dir, "l2")
-    res = idx.search(QUERY_VEC, k=10, probes=[4], epsilon=1.9, rerank_factor=4)
-    return res.select(F.col("id").alias("vec_id"), "dist")
+    ann = {
+        r.id
+        for r in idx.search(
+            QUERY_VEC, k=10, probes=[4], epsilon=1.9, rerank_factor=4
+        ).collect()
+    }
+    in_probed = {
+        r.id
+        for r in idx.search(
+            QUERY_VEC, k=10, probes=[4], epsilon=1.9, rerank_factor=None
+        ).collect()
+    }
+    wide = {
+        r.id
+        for r in idx.search(
+            QUERY_VEC, k=10, probes=[12], epsilon=1.9, rerank_factor=4
+        ).collect()
+    }
+    exact = _exact_knn_ids(spark, sf_dir)
+    recall = len(wide & exact) / 10.0
+    return spark.createDataFrame(
+        [(int(len(ann)), int(ann == in_probed), int(recall >= 0.8))],
+        "n_results bigint, probed_exact_ok bigint, recall_ok bigint",
+    )
+
+
+_ANN_IVF_PROBES_SQL = """
+SELECT CAST(10 AS BIGINT) AS n_results,
+       CAST(1 AS BIGINT) AS probed_exact_ok,
+       CAST(1 AS BIGINT) AS recall_ok
+"""
 
 
 def _ivf_recall_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1352,7 +1461,8 @@ ORDER BY qid, rnk
 
 def _ann_ivf_rabitq8_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with rabitq8 quantized storage (8x smaller rerank payload;
-    dequantized-estimate rerank → approximate ⇒ rows-only check)."""
+    dequantized-estimate rerank). Reference claims <1% recall loss at
+    8 bits (README.md:45); gated by the same recall contract."""
     import tempfile
 
     from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
@@ -1367,13 +1477,20 @@ def _ann_ivf_rabitq8_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             IvfOptions(metric="l2", lists=[16], storage="rabitq8"),
         )
         _IVF_CACHE[key] = idx
-    res = idx.search(QUERY_VEC, k=10, probes=[4], rerank_factor=4)
-    return res.select(F.col("id").alias("vec_id"), "dist")
+    # exhaustive probing + full quantized rerank isolates the 8-bit
+    # ranking quality itself (probe-selectivity is gated by
+    # ann_ivf_probes); observed recall 1.0, contract ≥ 0.9
+    res = idx.search(QUERY_VEC, k=10, probes=None, rerank_factor=None)
+    ann_ids = {r.id for r in res.collect()}
+    return _recall_contract_df(spark, ann_ids, _exact_knn_ids(spark, sf_dir), 0.9)
 
 
 def _ann_graph_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vamana graph index (vchordg): sharded build + per-shard beam search
-    (approximate ⇒ rows-only check; recall contracts live in pytest)."""
+    """Vamana graph index (vchordg): cluster-sharded build, routed
+    (probe_shards=3 of 4) quantized-traversal search — gated by the
+    recall@10 ≥ 0.9 contract against brute force (observed 1.0; the sf
+    embeddings are uniform so routing recall tracks the probed fraction
+    plus closure replicas)."""
     import tempfile
 
     from vectorchord_spark.operators.graph import VamanaIndex, VamanaOptions
@@ -1388,25 +1505,95 @@ def _ann_graph_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             VamanaOptions(metric="l2", m=24, ef_construction=48, n_shards=4),
         )
         _IVF_CACHE[key] = idx
-    res = idx.search(QUERY_VEC, k=10, ef_search=64)
-    return res.select(F.col("id").alias("vec_id"), "dist")
+    res = idx.search(QUERY_VEC, k=10, ef_search=64, probe_shards=3)
+    ann_ids = {r.id for r in res.collect()}
+    return _recall_contract_df(spark, ann_ids, _exact_knn_ids(spark, sf_dir), 0.9)
+
+
+def _get_multivec_index(spark: SparkSession, sf_dir: str):
+    """Multi-vector IVF index over synthetic docs (doc = 5 consecutive
+    vec_ids) via the first-class ``build_multivector`` API: the engine
+    explodes the ``array<array<float>>`` column internally and packs a u16
+    token sub-index into the row id (reference opclass.rs:70-141)."""
+    import tempfile
+
+    from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
+
+    key = (sf_dir, "multivec-dot")
+    idx = _IVF_CACHE.get(key)
+    if idx is not None:
+        return idx
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "doc_id", F.expr("vec_id div 5")
+    )
+    docs = (
+        emb.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("vec_id").alias("t"), F.col("embedding").alias("v"))
+                )
+            ).alias("s")
+        )
+        .select("doc_id", F.transform("s", lambda x: x["v"]).alias("vecs"))
+    )
+    path = tempfile.mkdtemp(prefix="vc_ivf_mv_")
+    idx = IvfIndex.build_multivector(
+        spark, docs, "doc_id", "vecs", path, IvfOptions(metric="dot", lists=[16])
+    )
+    _IVF_CACHE[key] = idx
+    return idx
 
 
 def _maxsim_ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Index-backed MaxSim (Q10): per-token IVF search → groupBy-min-sum.
-    With exhaustive per-token candidates it equals brute-force MaxSim, so
-    the grouped-SQL oracle applies to the full index pipeline."""
+    """Index-backed MaxSim (Q10) on the first-class multi-vector API: the
+    document id comes from the packed u16 sub-index (no caller-supplied
+    mapping). With exhaustive per-token candidates it equals brute-force
+    MaxSim, so the grouped-SQL oracle applies to the full index pipeline."""
     from vectorchord_spark.operators.maxsim import maxsim_search
 
-    idx = _get_ivf_index(spark, sf_dir, "dot")
+    idx = _get_multivec_index(spark, sf_dir)
     return maxsim_search(
         idx,
-        lambda c: F.floor(c / 5),
+        None,
         MAXSIM_TOKENS,
         k=10,
         per_token_candidates=1 << 30,
         probes=None,
     )
+
+
+def _maxsim_ivf_probed_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual Q10 machinery under probes: per-token probed search
+    (probes=4/16) with bounded candidates and the estimation_by_threshold
+    floor — gated by a top-10 overlap ≥ 0.9 contract against the
+    exhaustive MaxSim twin (reference search protocol
+    crates/vchordrq/src/search.rs:199-380, gucs.rs:440-473)."""
+    from vectorchord_spark.operators.maxsim import maxsim_search
+
+    idx = _get_multivec_index(spark, sf_dir)
+    probed = maxsim_search(
+        idx,
+        None,
+        MAXSIM_TOKENS,
+        k=10,
+        per_token_candidates=200,
+        probes=[12],
+        maxsim_threshold=100,
+    )
+    exact = maxsim_search(
+        idx,
+        None,
+        MAXSIM_TOKENS,
+        k=10,
+        per_token_candidates=1 << 30,
+        probes=None,
+    )
+    got = {r.doc_id for r in probed.collect()}
+    want = {r.doc_id for r in exact.collect()}
+    # uniform embeddings ⇒ probed-maxsim overlap tracks the probe fraction
+    # (12/16); observed 0.8-0.9, contract ≥ 0.7
+    return _recall_contract_df(spark, got, want, 0.7)
 
 
 # ---------------------------------------------------------------------------
@@ -1445,16 +1632,17 @@ def catalog() -> dict[str, Q]:
         # embed_neardup_lsh
         "embed_neardup": Q(_embed_neardup_fn, _EMBED_NEARDUP_SQL),
         "ann_ivf_exhaustive": Q(_ann_ivf_exhaustive_fn, _knn_sql("l2"), headline=True),
-        "ann_ivf_probes": Q(_ann_ivf_probes_fn, None, headline=True),
+        "ann_ivf_probes": Q(_ann_ivf_probes_fn, _ANN_IVF_PROBES_SQL, headline=True),
         "ivf_recall_exhaustive": Q(_ivf_recall_fn, _IVF_RECALL_SQL),
         "maxsim_ivf": Q(_maxsim_ivf_fn, _MAXSIM_SQL),
+        "maxsim_ivf_probed": Q(_maxsim_ivf_probed_fn, _RECALL_CONTRACT_SQL),
         "range_ip": Q(_range_ip_fn, _range_ip_sql()),
         "range_cos": Q(_range_cos_fn, _range_cos_sql()),
         "simhash_pairs": Q(_simhash_pairs_fn, _simhash_pairs_sql()),
         "dedup_groups": Q(_dedup_groups_fn, _dedup_groups_sql()),
         "embed_neardup_lsh": Q(_embed_neardup_lsh_fn, _embed_neardup_lsh_sql(), headline=True),
-        "quantize_roundtrip": Q(_quantize_roundtrip_fn, None),
-        "ann_ivf_rabitq8": Q(_ann_ivf_rabitq8_fn, None, headline=True),
-        "ann_graph": Q(_ann_graph_fn, None, headline=True),
+        "quantize_roundtrip": Q(_quantize_roundtrip_fn, _QUANTIZE_ROUNDTRIP_SQL),
+        "ann_ivf_rabitq8": Q(_ann_ivf_rabitq8_fn, _RECALL_CONTRACT_SQL, headline=True),
+        "ann_graph": Q(_ann_graph_fn, _RECALL_CONTRACT_SQL, headline=True),
         "knn_batch_ivf": Q(_knn_batch_ivf_fn, _knn_batch_sql(), headline=True),
     }
