@@ -44,6 +44,14 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # index-build throughput on synthetic clustered data (the regime of the
+    # reference's 100M-rows-in-20-min claim, README.md:37-39 → ~83k rows/s;
+    # tracked per round so the vs-baseline ratio is visible). 250k x 64d by
+    # default — big enough that per-job overhead is amortized; the full 1M
+    # experiment lives in tools/scale_experiment.py / docs/SCALE.md.
+    build_rows = int(os.environ.get("SPARK_GRAFT_BUILD_ROWS", "250000"))
+    build = _bench_build(spark, build_rows)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -54,11 +62,58 @@ def main() -> None:
                 "queries": timings,
                 "cold_total": round(sum(cold.values()), 3),
                 "cold_queries": cold,
+                "build_rows": build_rows,
+                "build_secs": build["secs"],
+                "build_rows_per_s": build["rows_per_s"],
                 "sf": sf,
             }
         )
     )
     spark.stop()
+
+
+def _bench_build(spark, n_rows: int, dim: int = 64) -> dict:
+    import tempfile
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from vectorchord_spark import IvfIndex, IvfOptions
+
+    n_centers = 2000
+    centers = np.random.default_rng(77).standard_normal((n_centers, dim)) * 2.0
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64)
+            rng = np.random.default_rng(ids[0] if len(ids) else 0)
+            noise = 0.25 * rng.standard_normal((len(ids), dim))
+            vecs = (centers[ids % n_centers] + noise).astype(np.float32)
+            yield pd.DataFrame({"id": ids, "vec": list(vecs)})
+
+    df = (
+        spark.range(n_rows, numPartitions=32)
+        .mapInPandas(gen, "id long, vec array<float>")
+        .persist()
+    )
+    df.count()  # materialize so the timed section is the build alone
+    path = tempfile.mkdtemp(prefix="vc_bench_build_") + "/idx"
+    n_lists = max(16, int(n_rows**0.5))
+    t0 = time.perf_counter()
+    IvfIndex.build(
+        spark, df, "id", "vec", path,
+        IvfOptions(metric="l2", lists=[n_lists], build_hierarchical=True,
+                   sampling_factor=64),
+    )
+    secs = time.perf_counter() - t0
+    df.unpersist()
+    print(
+        f"# build: {n_rows} rows x {dim}d, lists=[{n_lists}] in {secs:.1f}s "
+        f"({n_rows / secs:,.0f} rows/s)",
+        file=sys.stderr,
+    )
+    return {"secs": round(secs, 3), "rows_per_s": round(n_rows / secs, 1)}
 
 
 if __name__ == "__main__":

@@ -251,6 +251,14 @@ def test_f16_storage(spark, clustered_df):
         ]
         recall = len(set(got) & set(exact)) / 10.0
         assert recall >= 0.9
+        # the stored payload is genuinely half-width: 2 bytes/dim packed
+        # binary, with the f32 vector column all-null (null bitmap only in
+        # parquet — no f32 bytes on disk)
+        codes = spark.read.parquet(idx.codes_path)
+        n_f32 = codes.where(F.col("vec").isNotNull()).count()
+        assert n_f32 == 0
+        row = codes.select(F.length("vec_f16").alias("n")).first()
+        assert row.n == 2 * 8
 
 
 def test_query_sampling(spark, clustered_df):

@@ -1,6 +1,7 @@
 """Streaming insert / windowed rollup and vector source/sink tests."""
 
 import os
+import shutil
 import tempfile
 
 import numpy as np
@@ -67,6 +68,18 @@ def test_streaming_index_insert(spark):
         q.awaitTermination(120)
         got = idx.search([0.0] * 8, k=600, probes=None, rerank_factor=None).count()
         assert got == 600  # all 500 base + 100 streamed rows indexed
+
+        # idempotency under epoch replay: wipe the checkpoint (the
+        # crashed-between-append-and-commit scenario — epoch 0 fires again
+        # for the same stream) and rerun; the epoch marker skips the
+        # duplicate append
+        shutil.rmtree(f"{tmp}/ckpt")
+        q2 = streaming_index_insert(
+            idx, src, f"{tmp}/ckpt", schema="id long, vec array<float>"
+        )
+        q2.awaitTermination(120)
+        got2 = idx.search([0.0] * 8, k=700, probes=None, rerank_factor=None).count()
+        assert got2 == 600  # replayed epoch appended nothing
 
 
 def test_hourly_stream_matches_batch(spark, sf_dir):

@@ -148,46 +148,51 @@ def register_sql_functions(spark) -> None:
     """Register the scalar operator surface for ``spark.sql`` users.
 
     The expression builders in :mod:`distances` are the fast path; these
-    row-batch UDF registrations exist so plain SQL strings can call the same
-    semantics (mirrors the reference's SQL function surface).
+    Arrow-batched registrations exist so plain SQL strings can call the same
+    semantics (mirrors the reference's SQL function surface). Each batch is
+    stacked into one (n, d) f64 matrix and reduced with a single einsum —
+    no per-row Python.
     """
+
+    def _stack(s: pd.Series) -> np.ndarray:
+        # one C-level conversion of the whole Arrow batch; rows of a column
+        # share a dimension so the stack is rectangular
+        return np.array(s.tolist(), dtype=np.float64)
 
     @pandas_udf("double")
     def vc_l2(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                float(np.sqrt(K.exact_distances("l2", np.asarray(x, np.float64), np.asarray(y, np.float64))[0]))
-                for x, y in zip(a, b)
-            ]
-        )
+        if len(a) == 0:
+            return pd.Series([], dtype=np.float64)
+        diff = _stack(a) - _stack(b)
+        return pd.Series(np.sqrt(np.einsum("ij,ij->i", diff, diff)))
 
     @pandas_udf("double")
     def vc_ip(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                float(K.exact_distances("dot", np.asarray(x, np.float64), np.asarray(y, np.float64))[0])
-                for x, y in zip(a, b)
-            ]
-        )
+        if len(a) == 0:
+            return pd.Series([], dtype=np.float64)
+        return pd.Series(-np.einsum("ij,ij->i", _stack(a), _stack(b)))
 
     @pandas_udf("double")
     def vc_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                float(K.exact_distances("cos", np.asarray(x, np.float64), np.asarray(y, np.float64))[0])
-                for x, y in zip(a, b)
-            ]
+        if len(a) == 0:
+            return pd.Series([], dtype=np.float64)
+        A, B = _stack(a), _stack(b)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.sqrt(
+            np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B)
         )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(1.0 - num / den)
 
     @pandas_udf("double")
     def vc_maxsim(doc: pd.Series, q: pd.Series) -> pd.Series:
-        out = []
-        for dvecs, qvecs in zip(doc, q):
-            dmat = np.array([np.asarray(v, np.float64) for v in dvecs])
-            total = 0.0
-            for qv in qvecs:
-                total += float(np.min(-(dmat @ np.asarray(qv, np.float64))))
-            out.append(total)
+        # token counts vary per row, so rows can't share one stack — but
+        # each row is a single (ndoc, d) x (d, nq) matmul, not a token loop
+        out = np.empty(len(doc), dtype=np.float64)
+        for i, (dvecs, qvecs) in enumerate(zip(doc, q)):
+            dmat = np.array(list(dvecs), dtype=np.float64)
+            qmat = np.array(list(qvecs), dtype=np.float64)
+            out[i] = (-(dmat @ qmat.T)).min(axis=0).sum()
         return pd.Series(out)
 
     spark.udf.register("vc_l2", vc_l2)

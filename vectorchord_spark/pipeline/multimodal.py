@@ -145,20 +145,32 @@ def frame_sample(
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                raw = bytes(r[binary_col]) if r[binary_col] is not None else b""
-                if strict:
-                    raise NotImplementedError(
-                        "no video codec available in this environment"
-                    )
-                n_frames = max(1, len(raw) // 64)
-                for fno in range(0, n_frames, every_n):
-                    frame = raw[fno * 64 : (fno + 1) * 64]
-                    rows.append(
-                        {**{c: r[c] for c in other_cols}, "frame_no": fno, "frame": frame}
-                    )
-            if rows:
-                yield pd.DataFrame(rows)
+            if not len(pdf):
+                continue
+            if strict:
+                raise NotImplementedError(
+                    "no video codec available in this environment"
+                )
+            raws = [
+                bytes(b) if b is not None else b"" for b in pdf[binary_col]
+            ]
+            frame_nos = [
+                np.arange(0, max(1, len(r) // 64), every_n, dtype=np.int64)
+                for r in raws
+            ]
+            counts = np.fromiter(
+                (len(f) for f in frame_nos), dtype=np.int64, count=len(raws)
+            )
+            # vectorized fan-out: repeat the passthrough columns by each
+            # row's frame count instead of iterating rows
+            idx = np.repeat(np.arange(len(pdf)), counts)
+            out = pdf[other_cols].iloc[idx].reset_index(drop=True)
+            fnos = np.concatenate(frame_nos)
+            out["frame_no"] = fnos
+            out["frame"] = [
+                raws[i][fno * 64 : (fno + 1) * 64]
+                for i, fno in zip(idx, fnos)
+            ]
+            yield out
 
     return df.mapInPandas(sample, out_schema)

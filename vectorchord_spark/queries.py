@@ -769,11 +769,19 @@ FROM documents GROUP BY 1 ORDER BY text_hash
 # --- shingle helpers (word 3-grams) ---------------------------------------
 
 
-def _shingles_df(docs: DataFrame) -> DataFrame:
+#: one persisted shingles DF per sf_dir, shared by the n-gram and minhash
+#: queries (persist without this leaked a new cached copy per call)
+_SHINGLES_CACHE: dict = {}
+
+
+def _shingles_df(docs: DataFrame, cache_key: str | None = None) -> DataFrame:
+    if cache_key is not None and cache_key in _SHINGLES_CACHE:
+        return _SHINGLES_CACHE[cache_key]
     # the documents table arrives as a single small parquet file → one input
     # partition; spread the (CPU-heavy) shingling + explode across the
-    # cluster before fanning out
-    docs = docs.repartition(max(docs.rdd.getNumPartitions(), 32), "doc_id")
+    # cluster before fanning out (partition count follows
+    # spark.sql.shuffle.partitions — no plan-forcing RDD probe)
+    docs = docs.repartition("doc_id")
     words = F.split("text", " ")
     # NB: callers consume this 3+ times (sizes, explode, set-intersect);
     # persist so the shingling computes once (see perf note below)
@@ -792,7 +800,10 @@ def _shingles_df(docs: DataFrame) -> DataFrame:
             )
         ),
     ).otherwise(F.array(F.col("text")))
-    return docs.select("doc_id", sh.alias("shingles")).persist()
+    out = docs.select("doc_id", sh.alias("shingles")).persist()
+    if cache_key is not None:
+        _SHINGLES_CACHE[cache_key] = out
+    return out
 
 
 _SHINGLES_SQL = """
@@ -811,7 +822,7 @@ def _dedup_ngram_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity join (shuffle keyed on shingle; hot shingles are the skew
     risk, mitigated by AQE skew handling)."""
     docs = _read(spark, sf_dir, "documents")
-    sh = _shingles_df(docs)
+    sh = _shingles_df(docs, cache_key=sf_dir)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     # join on a 64-bit hash of the shingle instead of the string: same pairs
     # (modulo astronomically unlikely collisions changing n_common, which the
@@ -873,7 +884,7 @@ def _minhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified with exact Jaccard. The band-key groupBy is the scale path: no
     all-pairs comparison, one shuffle on band keys."""
     docs = _read(spark, sf_dir, "documents")
-    sh = _shingles_df(docs)
+    sh = _shingles_df(docs, cache_key=sf_dir)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"mh{j}")

@@ -14,6 +14,9 @@ Two streaming shapes re-expressed from the reference's online paths:
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -37,14 +40,29 @@ def streaming_index_insert(
 ) -> StreamingQuery:
     """Continuously index new vector rows landing as parquet files.
 
-    Exactly-once per micro-batch via the checkpointed ``foreachBatch``; each
-    batch is one encode+append job (same code path as batch insert)."""
+    Each micro-batch is one encode+append job (same code path as batch
+    insert), made idempotent across ``foreachBatch`` retries with an
+    epoch marker committed AFTER the append succeeds: a replayed epoch
+    whose marker exists is skipped, and a failed job leaves no committed
+    parquet files (job-commit protocol), so a retry starts clean. Without
+    the marker this path would be at-least-once — a retry after a
+    partially-committed failure could duplicate rows."""
     stream = index.spark.readStream.schema(schema).parquet(source_path)
+    # epoch ids are only unique within one checkpointed query, so the
+    # marker is scoped by the checkpoint path
+    stream_key = hashlib.sha1(checkpoint_path.encode()).hexdigest()[:16]
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        marker_dir = os.path.join(index.path, "_stream_epochs")
+        os.makedirs(marker_dir, exist_ok=True)
+        marker = os.path.join(marker_dir, f"{stream_key}-epoch-{int(epoch_id)}")
+        if os.path.exists(marker):
+            return  # this epoch already appended fully; replay is a no-op
         index.insert(batch_df, id_col, vec_col)
+        with open(marker, "w") as f:
+            f.write("done")
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_path
