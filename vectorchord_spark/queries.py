@@ -1345,6 +1345,34 @@ def _ann_ivf_exhaustive_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(F.col("id").alias("vec_id"), "dist")
 
 
+def _sql_ann_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-transparent ANN: a plain ``ORDER BY vc_l2(col, q) LIMIT k`` SQL
+    string is rewritten off the analyzed Catalyst plan onto the registered
+    IVF index (the reference's planner-transparent index usage,
+    sql/install/vchord--1.1.1.sql:1138-1228). With the exhaustive-probe
+    registration the rewrite is exact, so the brute-force SQL is the
+    oracle; the fn raises if the rewrite did NOT engage, so a silent
+    fallback to the un-accelerated path can't fake a green row."""
+    from vectorchord_spark.functions.quantize import register_sql_functions
+    from vectorchord_spark.plans import register_ann_index, try_rewrite_topk
+
+    idx = _get_ivf_index(spark, sf_dir, "l2")
+    emb = _read(spark, sf_dir, "embeddings")
+    view = "vc_sqlann_embeddings"
+    emb.createOrReplaceTempView(view)
+    register_sql_functions(spark)
+    register_ann_index(view, "embedding", idx, id_col="vec_id")
+    arr = "array(" + ",".join(repr(v) for v in QUERY_VEC) + ")"
+    sql = (
+        f"SELECT vec_id, vc_l2(embedding, {arr}) AS dist "
+        f"FROM {view} ORDER BY dist LIMIT 10"
+    )
+    res = try_rewrite_topk(spark, spark.sql(sql))
+    if res is None:
+        raise RuntimeError("transparent ANN rewrite did not engage")
+    return res
+
+
 def _recall_contract_df(
     spark: SparkSession, ann_ids: set, exact_ids: set, threshold: float
 ) -> DataFrame:
@@ -1653,6 +1681,7 @@ def catalog() -> dict[str, Q]:
         # embed_neardup_lsh
         "embed_neardup": Q(_embed_neardup_fn, _EMBED_NEARDUP_SQL),
         "ann_ivf_exhaustive": Q(_ann_ivf_exhaustive_fn, _knn_sql("l2"), headline=True),
+        "sql_ann": Q(_sql_ann_fn, _knn_sql("l2"), headline=True),
         "ann_ivf_probes": Q(_ann_ivf_probes_fn, _ANN_IVF_PROBES_SQL, headline=True),
         "ivf_recall_exhaustive": Q(_ivf_recall_fn, _IVF_RECALL_SQL),
         "maxsim_ivf": Q(_maxsim_ivf_fn, _MAXSIM_SQL),
