@@ -14,6 +14,7 @@ from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
 from vectorchord_spark.plans import (
     ann_sql,
     register_ann_index,
+    try_rewrite_range,
     try_rewrite_topk,
     unregister_ann_index,
 )
@@ -107,6 +108,23 @@ def test_dot_metric_rewrite(setup, spark, sf_dir, tmp_path_factory):
         assert fast == plain
     finally:
         unregister_ann_index("tp_embeddings_dot")
+
+
+def test_range_rewrite_exact(setup):
+    spark, arr, _ = setup
+    sql = (
+        f"SELECT vec_id, vc_l2(embedding, {arr}) AS d "
+        f"FROM tp_embeddings WHERE vc_l2(embedding, {arr}) < 4.5"
+    )
+    assert try_rewrite_range(spark, spark.sql(sql)) is not None
+    plain = sorted((r.vec_id, round(r.d, 9)) for r in spark.sql(sql).collect())
+    fast = sorted((r.vec_id, round(r.d, 9)) for r in ann_sql(spark, sql).collect())
+    assert fast == plain and len(plain) > 0
+    # reversed comparison matches; <= (non-strict) does not rewrite
+    rev = f"SELECT vec_id FROM tp_embeddings WHERE 4.5 > vc_l2(embedding, {arr})"
+    assert try_rewrite_range(spark, spark.sql(rev)) is not None
+    lte = f"SELECT vec_id FROM tp_embeddings WHERE vc_l2(embedding, {arr}) <= 4.5"
+    assert try_rewrite_range(spark, spark.sql(lte)) is None
 
 
 def test_probed_registration_approximate(setup, spark, sf_dir):

@@ -7,6 +7,7 @@ from vectorchord_spark.plans.explain import (
 from vectorchord_spark.plans.transparent import (
     ann_sql,
     register_ann_index,
+    try_rewrite_range,
     try_rewrite_topk,
     unregister_ann_index,
 )
@@ -20,4 +21,5 @@ __all__ = [
     "register_ann_index",
     "unregister_ann_index",
     "try_rewrite_topk",
+    "try_rewrite_range",
 ]

@@ -86,9 +86,12 @@ def unregister_ann_index(table: str) -> None:
 
 def ann_sql(spark: SparkSession, query: str) -> DataFrame:
     """``spark.sql`` with transparent ANN: if the analyzed plan is a
-    top-k-by-registered-distance query, serve it from the index."""
+    top-k-by-registered-distance query (or a strict ``distance < r``
+    sphere filter), serve it from the index."""
     df = spark.sql(query)
     rewritten = try_rewrite_topk(spark, df)
+    if rewritten is None:
+        rewritten = try_rewrite_range(spark, df)
     return rewritten if rewritten is not None else df
 
 
@@ -239,7 +242,25 @@ def _try_rewrite(spark: SparkSession, df: DataFrame) -> "DataFrame | None":
     if reg.index.meta["metric"] != _UDF_METRIC[udf_name]:
         return None
 
-    # output columns, in the query's projection order
+    res = reg.index.search(
+        qvec,
+        k=k,
+        probes=reg.probes,
+        epsilon=reg.epsilon,
+        rerank_factor=reg.rerank_factor,
+    )  # (id, dist), already ordered and limited
+    built = _build_output(spark, reg, res, proj_list, vec_col, qvec, table)
+    if built is None:
+        return None
+    joined, sel = built
+    return joined.orderBy("dist", "id").select(*sel).limit(k)
+
+
+def _build_output(spark, reg, res, proj_list, vec_col, qvec, table):
+    """Map the query's projection onto the index result (id, dist): plain
+    attributes come from a join back to the table, a projected alias of the
+    same distance call becomes ``dist``. Returns (joined_df, select_list) or
+    None when an unrelated computed column blocks the rewrite."""
     out_cols: list = []
     need_table_join = False
     for ne in proj_list:
@@ -255,14 +276,6 @@ def _try_rewrite(spark: SparkSession, df: DataFrame) -> "DataFrame | None":
         else:
             out_cols.append(("table", nm))
             need_table_join = True
-
-    res = reg.index.search(
-        qvec,
-        k=k,
-        probes=reg.probes,
-        epsilon=reg.epsilon,
-        rerank_factor=reg.rerank_factor,
-    )  # (id, dist), already ordered and limited
     if need_table_join:
         base = spark.table(table)
         joined = res.join(
@@ -278,4 +291,60 @@ def _try_rewrite(spark: SparkSession, df: DataFrame) -> "DataFrame | None":
             sel.append(F.col("id").alias(nm))
         else:
             sel.append(F.col(nm))
-    return joined.orderBy("dist", "id").select(*sel).limit(k)
+    return joined, sel
+
+
+def try_rewrite_range(spark: SparkSession, df: DataFrame) -> "DataFrame | None":
+    """Rewrite ``SELECT ... FROM registered WHERE vc_*(col, q) < r`` (the
+    sphere/range-filter shape — the reference's ``<<->>`` strategy,
+    scanners/default.rs:104-121) onto ``IvfIndex.range_search``. Only the
+    strict ``<`` comparison matches (the reference's take_while contract)."""
+    try:
+        return _try_rewrite_range(spark, df)
+    except Exception:
+        return None
+
+
+def _try_rewrite_range(spark: SparkSession, df: DataFrame) -> "DataFrame | None":
+    plan = df._jdf.queryExecution().analyzed()
+    if _cls(plan) != "Project":
+        return None
+    filt = _children(plan)[0]
+    if _cls(filt) != "Filter":
+        return None
+    cond = filt.condition()
+    sides = None
+    if _cls(cond) == "LessThan":
+        sides = (_children(cond)[0], _children(cond)[1])
+    elif _cls(cond) == "GreaterThan":  # r > dist(col, q)
+        sides = (_children(cond)[1], _children(cond)[0])
+    if sides is None:
+        return None
+    udf_side, lit_side = sides
+    match = _match_distance_udf(udf_side)
+    if match is None:
+        return None
+    lit_side = _unwrap_cast(lit_side)
+    if _cls(lit_side) != "Literal" or lit_side.value() is None:
+        return None
+    radius = float(str(lit_side.value()))
+    udf_name, vec_col, qvec = match
+
+    table = _find_table_name(filt)
+    if table is None:
+        return None
+    reg = _REGISTRY.get(table.lower())
+    if reg is None or reg.vec_col != vec_col:
+        return None
+    if reg.index.meta["metric"] != _UDF_METRIC[udf_name]:
+        return None
+
+    proj_list = [plan.projectList().apply(i) for i in range(plan.projectList().size())]
+    res = reg.index.range_search(
+        qvec, radius, probes=reg.probes, epsilon=reg.epsilon
+    )  # (id, dist) with dist < radius
+    built = _build_output(spark, reg, res, proj_list, vec_col, qvec, table)
+    if built is None:
+        return None
+    joined, sel = built
+    return joined.select(*sel)

@@ -1373,6 +1373,32 @@ def _sql_ann_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+def _sql_ann_range_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-transparent sphere search: ``WHERE vc_l2(col, q) < r`` rewritten
+    onto ``IvfIndex.range_search`` (the reference's ``<<->>`` SEARCH
+    strategy, scanners/default.rs:104-121). Exhaustive probing ⇒ exact ⇒
+    the brute-force range SQL is the oracle; raises if the rewrite did not
+    engage."""
+    from vectorchord_spark.functions.quantize import register_sql_functions
+    from vectorchord_spark.plans import register_ann_index, try_rewrite_range
+
+    idx = _get_ivf_index(spark, sf_dir, "l2")
+    emb = _read(spark, sf_dir, "embeddings")
+    view = "vc_sqlann_embeddings"
+    emb.createOrReplaceTempView(view)
+    register_sql_functions(spark)
+    register_ann_index(view, "embedding", idx, id_col="vec_id")
+    arr = "array(" + ",".join(repr(v) for v in QUERY_VEC) + ")"
+    sql = (
+        f"SELECT vec_id, vc_l2(embedding, {arr}) AS dist "
+        f"FROM {view} WHERE vc_l2(embedding, {arr}) < {RANGE_RADIUS!r}"
+    )
+    res = try_rewrite_range(spark, spark.sql(sql))
+    if res is None:
+        raise RuntimeError("transparent range rewrite did not engage")
+    return res.orderBy("dist", "vec_id")
+
+
 def _recall_contract_df(
     spark: SparkSession, ann_ids: set, exact_ids: set, threshold: float
 ) -> DataFrame:
@@ -1682,6 +1708,7 @@ def catalog() -> dict[str, Q]:
         "embed_neardup": Q(_embed_neardup_fn, _EMBED_NEARDUP_SQL),
         "ann_ivf_exhaustive": Q(_ann_ivf_exhaustive_fn, _knn_sql("l2"), headline=True),
         "sql_ann": Q(_sql_ann_fn, _knn_sql("l2"), headline=True),
+        "sql_ann_range": Q(_sql_ann_range_fn, _RANGE_L2_SQL),
         "ann_ivf_probes": Q(_ann_ivf_probes_fn, _ANN_IVF_PROBES_SQL, headline=True),
         "ivf_recall_exhaustive": Q(_ivf_recall_fn, _IVF_RECALL_SQL),
         "maxsim_ivf": Q(_maxsim_ivf_fn, _MAXSIM_SQL),
