@@ -71,6 +71,11 @@ def test_inline_rewrite_and_star(setup):
     assert [r.vec_id for r in fast.collect()] == [
         r.vec_id for r in spark.sql(star).collect()
     ]
+    # the k-row result side must be broadcast into the join-back — the base
+    # table is never shuffled
+    from vectorchord_spark.plans import has_broadcast_join
+
+    assert has_broadcast_join(fast)
 
 
 def test_no_rewrite_shapes(setup):

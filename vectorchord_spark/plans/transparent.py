@@ -256,11 +256,15 @@ def _try_rewrite(spark: SparkSession, df: DataFrame) -> "DataFrame | None":
     return joined.orderBy("dist", "id").select(*sel).limit(k)
 
 
-def _build_output(spark, reg, res, proj_list, vec_col, qvec, table):
+def _build_output(spark, reg, res, proj_list, vec_col, qvec, table, bounded=True):
     """Map the query's projection onto the index result (id, dist): plain
     attributes come from a join back to the table, a projected alias of the
     same distance call becomes ``dist``. Returns (joined_df, select_list) or
-    None when an unrelated computed column blocks the rewrite."""
+    None when an unrelated computed column blocks the rewrite.
+
+    ``bounded=True`` (top-k: the result is k rows) broadcasts the result
+    side so the join never shuffles the base table; a sphere result has no
+    row bound, so the range path leaves the strategy to AQE."""
     out_cols: list = []
     need_table_join = False
     for ne in proj_list:
@@ -277,10 +281,8 @@ def _build_output(spark, reg, res, proj_list, vec_col, qvec, table):
             out_cols.append(("table", nm))
             need_table_join = True
     if need_table_join:
-        base = spark.table(table)
-        joined = res.join(
-            base.withColumnRenamed(reg.id_col, "id"), "id", "inner"
-        )
+        base = spark.table(table).withColumnRenamed(reg.id_col, "id")
+        joined = base.join(F.broadcast(res) if bounded else res, "id", "inner")
     else:
         joined = res
     sel = []
@@ -343,7 +345,9 @@ def _try_rewrite_range(spark: SparkSession, df: DataFrame) -> "DataFrame | None"
     res = reg.index.range_search(
         qvec, radius, probes=reg.probes, epsilon=reg.epsilon
     )  # (id, dist) with dist < radius
-    built = _build_output(spark, reg, res, proj_list, vec_col, qvec, table)
+    built = _build_output(
+        spark, reg, res, proj_list, vec_col, qvec, table, bounded=False
+    )
     if built is None:
         return None
     joined, sel = built
