@@ -132,6 +132,50 @@ def test_range_rewrite_exact(setup):
     assert try_rewrite_range(spark, spark.sql(lte)) is None
 
 
+def test_maxsim_rewrite_exact(setup, spark, sf_dir):
+    _, _, q = setup
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    docs = (
+        emb.withColumn("doc_id", F.expr("vec_id div 5"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("vec_id").alias("t"), F.col("embedding").alias("v"))
+                )
+            ).alias("s")
+        )
+        .select("doc_id", F.transform("s", lambda x: x["v"]).alias("vecs"))
+    )
+    docs.createOrReplaceTempView("tp_mvdocs")
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build_multivector(
+            spark, docs, "doc_id", "vecs", os.path.join(tmp, "mv"),
+            IvfOptions(metric="dot", lists=[8]),
+        )
+        register_ann_index("tp_mvdocs", "vecs", idx, id_col="doc_id")
+        try:
+            rng = np.random.default_rng(9)
+            dim = len(q)
+            toks = [
+                [round(float(x), 3) for x in rng.uniform(-1, 1, dim)]
+                for _ in range(3)
+            ]
+            nested = "array(" + ",".join(
+                "array(" + ",".join(repr(v) for v in t) + ")" for t in toks
+            ) + ")"
+            sql = (
+                f"SELECT doc_id, vc_maxsim(vecs, {nested}) AS s "
+                f"FROM tp_mvdocs ORDER BY s LIMIT 10"
+            )
+            assert try_rewrite_topk(spark, spark.sql(sql)) is not None
+            plain = [(r.doc_id, round(r.s, 9)) for r in spark.sql(sql).collect()]
+            fast = [(r.doc_id, round(r.s, 9)) for r in ann_sql(spark, sql).collect()]
+            assert fast == plain
+        finally:
+            unregister_ann_index("tp_mvdocs")
+
+
 def test_probed_registration_approximate(setup, spark, sf_dir):
     """A probed registration serves approximate results — still top-k
     shaped, high recall on this data."""

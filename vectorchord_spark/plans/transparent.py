@@ -48,6 +48,10 @@ class _Registration:
     probes: "list[int] | int | None" = None
     epsilon: float = 1.9
     rerank_factor: "int | None" = None
+    #: MaxSim (vc_maxsim order-by) config; candidates default = exhaustive
+    #: per-token rerank, which makes the rewrite exact
+    maxsim_candidates: int = 1 << 30
+    maxsim_threshold: int = 0
 
 
 #: (lower-cased table name) → registration
@@ -62,6 +66,8 @@ def register_ann_index(
     probes: "list[int] | int | None" = None,
     epsilon: float = 1.9,
     rerank_factor: "int | None" = None,
+    maxsim_candidates: int = 1 << 30,
+    maxsim_threshold: int = 0,
 ) -> None:
     """Attach an index to a (temp view / table, vector column) pair so that
     ``ann_sql`` can accelerate top-k-by-distance queries against it.
@@ -77,6 +83,8 @@ def register_ann_index(
         probes=probes,
         epsilon=epsilon,
         rerank_factor=rerank_factor,
+        maxsim_candidates=maxsim_candidates,
+        maxsim_threshold=maxsim_threshold,
     )
 
 
@@ -134,6 +142,38 @@ def _literal_array(expr) -> "list[float] | None":
             return None
         out.append(float(str(v)))
     return out
+
+
+def _literal_nested_array(expr) -> "list[list[float]] | None":
+    """CreateArray of CreateArrays of literals → list of float lists."""
+    expr = _unwrap_cast(expr)
+    if _cls(expr) != "CreateArray":
+        return None
+    out = []
+    for item in _children(expr):
+        sub = _literal_array(item)
+        if sub is None:
+            return None
+        out.append(sub)
+    return out
+
+
+def _match_maxsim_udf(expr) -> "tuple[str, list[list[float]]] | None":
+    """PythonUDF vc_maxsim(AttributeReference, nested literal array) →
+    (multivector_col_name, query_tokens)."""
+    if _cls(expr) != "PythonUDF" or str(expr.name()) != "vc_maxsim":
+        return None
+    args = _children(expr)
+    if len(args) != 2:
+        return None
+    col_arg, lit_arg = args[0], args[1]
+    toks = _literal_nested_array(lit_arg)
+    if toks is None:
+        toks, col_arg = _literal_nested_array(col_arg), lit_arg
+    col_arg = _unwrap_cast(col_arg)
+    if toks is None or _cls(col_arg) != "AttributeReference":
+        return None
+    return str(col_arg.name()), toks
 
 
 def _match_distance_udf(expr) -> "tuple[str, str, list[float]] | None":
@@ -218,26 +258,32 @@ def _try_rewrite(spark: SparkSession, df: DataFrame) -> "DataFrame | None":
         for i in range(sel_proj.projectList().size())
     ]
 
-    # the sort key: either the distance UDF inline, or an attribute that
-    # resolves (by exprId) to a projected alias of the distance UDF
-    sort_child = so.child()
-    match = _match_distance_udf(sort_child)
-    if match is None and _cls(sort_child) == "AttributeReference":
-        want = sort_child.exprId().id()
+    # the sort key: either a distance/maxsim UDF inline, or an attribute
+    # that resolves (by exprId) to a projected alias of one
+    sort_expr = so.child()
+    if _cls(sort_expr) == "AttributeReference":
+        want = sort_expr.exprId().id()
         below = [proj.projectList().apply(i) for i in range(proj.projectList().size())]
         for ne in below:
             if _cls(ne) == "Alias" and ne.exprId().id() == want:
-                match = _match_distance_udf(ne.child())
+                sort_expr = ne.child()
                 break
-    if match is None:
-        return None
-    udf_name, vec_col, qvec = match
 
     table = _find_table_name(proj)
     if table is None:
         return None
     reg = _REGISTRY.get(table.lower())
-    if reg is None or reg.vec_col != vec_col:
+    if reg is None:
+        return None
+
+    match = _match_distance_udf(sort_expr)
+    if match is None:
+        mm = _match_maxsim_udf(sort_expr)
+        if mm is not None:
+            return _serve_maxsim(spark, reg, mm, proj_list, table, k)
+        return None
+    udf_name, vec_col, qvec = match
+    if reg.vec_col != vec_col:
         return None
     if reg.index.meta["metric"] != _UDF_METRIC[udf_name]:
         return None
@@ -249,18 +295,24 @@ def _try_rewrite(spark: SparkSession, df: DataFrame) -> "DataFrame | None":
         epsilon=reg.epsilon,
         rerank_factor=reg.rerank_factor,
     )  # (id, dist), already ordered and limited
-    built = _build_output(spark, reg, res, proj_list, vec_col, qvec, table)
+
+    def matches(expr) -> bool:
+        m = _match_distance_udf(expr)
+        return m is not None and m[1] == vec_col and m[2] == qvec
+
+    built = _build_output(spark, reg, res, proj_list, matches, table)
     if built is None:
         return None
     joined, sel = built
     return joined.orderBy("dist", "id").select(*sel).limit(k)
 
 
-def _build_output(spark, reg, res, proj_list, vec_col, qvec, table, bounded=True):
+def _build_output(spark, reg, res, proj_list, matches_dist, table, bounded=True):
     """Map the query's projection onto the index result (id, dist): plain
-    attributes come from a join back to the table, a projected alias of the
-    same distance call becomes ``dist``. Returns (joined_df, select_list) or
-    None when an unrelated computed column blocks the rewrite.
+    attributes come from a join back to the table, a projected alias for
+    which ``matches_dist(expr)`` is true becomes ``dist``. Returns
+    (joined_df, select_list) or None when an unrelated computed column
+    blocks the rewrite.
 
     ``bounded=True`` (top-k: the result is k rows) broadcasts the result
     side so the join never shuffles the base table; a sphere result has no
@@ -270,8 +322,7 @@ def _build_output(spark, reg, res, proj_list, vec_col, qvec, table, bounded=True
     for ne in proj_list:
         nm = str(ne.name())
         if _cls(ne) == "Alias":
-            m = _match_distance_udf(ne.child())
-            if m is not None and m[1] == vec_col and m[2] == qvec:
+            if matches_dist(ne.child()):
                 out_cols.append(("dist", nm))
                 continue
             return None  # unrelated computed column — don't rewrite
@@ -294,6 +345,41 @@ def _build_output(spark, reg, res, proj_list, vec_col, qvec, table, bounded=True
         else:
             sel.append(F.col(nm))
     return joined, sel
+
+
+def _serve_maxsim(spark, reg, mm, proj_list, table, k) -> "DataFrame | None":
+    """Serve ``ORDER BY vc_maxsim(vecs_col, tokens) LIMIT k`` from a
+    multi-vector index (the reference's ``@#`` order-by strategy,
+    src/index/vchordrq/opclass.rs:70-141 + scanners/maxsim.rs). Requires a
+    ``build_multivector`` dot-metric index registered on the column; exact
+    when ``maxsim_candidates`` is exhaustive (the default)."""
+    vecs_col, toks = mm
+    if reg.vec_col != vecs_col:
+        return None
+    meta = reg.index.meta
+    if not meta.get("multivector") or meta["metric"] != "dot":
+        return None
+    from vectorchord_spark.operators.maxsim import maxsim_search
+
+    res = maxsim_search(
+        reg.index,
+        None,
+        toks,
+        k=k,
+        per_token_candidates=reg.maxsim_candidates,
+        probes=reg.probes,
+        epsilon=reg.epsilon,
+        maxsim_threshold=reg.maxsim_threshold,
+    ).select(F.col("doc_id").alias("id"), F.col("score").alias("dist"))
+
+    def matches(expr) -> bool:
+        return _match_maxsim_udf(expr) == (vecs_col, toks)
+
+    built = _build_output(spark, reg, res, proj_list, matches, table)
+    if built is None:
+        return None
+    joined, sel = built
+    return joined.orderBy("dist", "id").select(*sel).limit(k)
 
 
 def try_rewrite_range(spark: SparkSession, df: DataFrame) -> "DataFrame | None":
@@ -345,8 +431,13 @@ def _try_rewrite_range(spark: SparkSession, df: DataFrame) -> "DataFrame | None"
     res = reg.index.range_search(
         qvec, radius, probes=reg.probes, epsilon=reg.epsilon
     )  # (id, dist) with dist < radius
+
+    def matches(expr) -> bool:
+        m = _match_distance_udf(expr)
+        return m is not None and m[1] == vec_col and m[2] == qvec
+
     built = _build_output(
-        spark, reg, res, proj_list, vec_col, qvec, table, bounded=False
+        spark, reg, res, proj_list, matches, table, bounded=False
     )
     if built is None:
         return None

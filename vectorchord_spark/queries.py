@@ -1585,23 +1585,13 @@ def _ann_graph_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_contract_df(spark, ann_ids, _exact_knn_ids(spark, sf_dir), 0.9)
 
 
-def _get_multivec_index(spark: SparkSession, sf_dir: str):
-    """Multi-vector IVF index over synthetic docs (doc = 5 consecutive
-    vec_ids) via the first-class ``build_multivector`` API: the engine
-    explodes the ``array<array<float>>`` column internally and packs a u16
-    token sub-index into the row id (reference opclass.rs:70-141)."""
-    import tempfile
-
-    from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
-
-    key = (sf_dir, "multivec-dot")
-    idx = _IVF_CACHE.get(key)
-    if idx is not None:
-        return idx
+def _multivec_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic multi-vector docs (doc = 5 consecutive vec_ids) with an
+    ``array<array<float>>`` column."""
     emb = _read(spark, sf_dir, "embeddings").withColumn(
         "doc_id", F.expr("vec_id div 5")
     )
-    docs = (
+    return (
         emb.groupBy("doc_id")
         .agg(
             F.array_sort(
@@ -1612,12 +1602,58 @@ def _get_multivec_index(spark: SparkSession, sf_dir: str):
         )
         .select("doc_id", F.transform("s", lambda x: x["v"]).alias("vecs"))
     )
+
+
+def _get_multivec_index(spark: SparkSession, sf_dir: str):
+    """Multi-vector IVF index over synthetic docs via the first-class
+    ``build_multivector`` API: the engine explodes the
+    ``array<array<float>>`` column internally and packs a u16 token
+    sub-index into the row id (reference opclass.rs:70-141)."""
+    import tempfile
+
+    from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
+
+    key = (sf_dir, "multivec-dot")
+    idx = _IVF_CACHE.get(key)
+    if idx is not None:
+        return idx
+    docs = _multivec_docs(spark, sf_dir)
     path = tempfile.mkdtemp(prefix="vc_ivf_mv_")
     idx = IvfIndex.build_multivector(
         spark, docs, "doc_id", "vecs", path, IvfOptions(metric="dot", lists=[16])
     )
     _IVF_CACHE[key] = idx
     return idx
+
+
+def _sql_ann_maxsim_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-transparent MaxSim: ``ORDER BY vc_maxsim(vecs, tokens) LIMIT k``
+    rewritten onto the multi-vector index (the reference's ``@#`` order-by
+    strategy). Exhaustive per-token candidates ⇒ exact ⇒ the grouped
+    brute-force SQL is the oracle; raises if the rewrite did not engage."""
+    from vectorchord_spark.functions.quantize import register_sql_functions
+    from vectorchord_spark.plans import register_ann_index, try_rewrite_topk
+
+    idx = _get_multivec_index(spark, sf_dir)
+    view = "vc_sqlann_mvdocs"
+    _multivec_docs(spark, sf_dir).createOrReplaceTempView(view)
+    register_sql_functions(spark)
+    register_ann_index(view, "vecs", idx, id_col="doc_id")
+    nested = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(v) for v in t) + ")" for t in MAXSIM_TOKENS
+        )
+        + ")"
+    )
+    sql = (
+        f"SELECT doc_id, vc_maxsim(vecs, {nested}) AS score "
+        f"FROM {view} ORDER BY score LIMIT 10"
+    )
+    res = try_rewrite_topk(spark, spark.sql(sql))
+    if res is None:
+        raise RuntimeError("transparent MaxSim rewrite did not engage")
+    return res
 
 
 def _maxsim_ivf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1709,6 +1745,7 @@ def catalog() -> dict[str, Q]:
         "ann_ivf_exhaustive": Q(_ann_ivf_exhaustive_fn, _knn_sql("l2"), headline=True),
         "sql_ann": Q(_sql_ann_fn, _knn_sql("l2"), headline=True),
         "sql_ann_range": Q(_sql_ann_range_fn, _RANGE_L2_SQL),
+        "sql_ann_maxsim": Q(_sql_ann_maxsim_fn, _MAXSIM_SQL),
         "ann_ivf_probes": Q(_ann_ivf_probes_fn, _ANN_IVF_PROBES_SQL, headline=True),
         "ivf_recall_exhaustive": Q(_ivf_recall_fn, _IVF_RECALL_SQL),
         "maxsim_ivf": Q(_maxsim_ivf_fn, _MAXSIM_SQL),
