@@ -569,6 +569,112 @@ ORDER BY revenue DESC, p_brand
 """
 
 
+def _q4_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape: EXISTS decorrelated to a left-semi join (Catalyst
+    plans EXISTS this way natively; no row duplication from the 1:N side)."""
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    returned = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(
+            returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def _q14_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14 shape: promo revenue share for one ship month — broadcast
+    part join + conditional aggregate, single output row."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = _read(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+_Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1.0 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1.0 - l_discount)), 4)
+         AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+def _q10_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q10 shape: returned-item revenue per customer — fact join on
+    the shuffle side, both dimensions broadcast, top-20 with tie-break."""
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 def _events_json_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: parse the JSON props column, bucket the
     extracted value, aggregate per (event_type, bucket)."""
@@ -1726,6 +1832,9 @@ def catalog() -> dict[str, Q]:
         "part_revenue": Q(_part_revenue_fn, _PART_REVENUE_SQL),
         "q6_forecast": Q(_q6_fn, _Q6_SQL),
         "q12_shipmode": Q(_q12_fn, _Q12_SQL),
+        "q4_priority": Q(_q4_fn, _Q4_SQL),
+        "q14_promo": Q(_q14_fn, _Q14_SQL),
+        "q10_returned": Q(_q10_fn, _Q10_SQL),
         "events_hourly": Q(_events_hourly_fn, _EVENTS_HOURLY_SQL),
         "events_rollup": Q(_events_rollup_fn, _EVENTS_ROLLUP_SQL),
         "events_json": Q(_events_json_fn, _EVENTS_JSON_SQL),
