@@ -196,3 +196,17 @@ def test_multimodal_plumbing(spark):
         every_n=10,
     )
     assert frames.count() == 10
+
+    resized = {r.id: r for r in multimodal.resize_image(df, width=4, height=4).collect()}
+    assert len(resized[1].resized) == 4 * 4 * 3
+    assert resized[1].out_w == 4 and resized[1].out_h == 4
+    assert resized[1].resized != resized[2].resized  # content-dependent
+
+    import numpy as np
+
+    pcm = (np.sin(np.linspace(0, 40, 1600)) * 20000).astype("<i2").tobytes()
+    au = spark.createDataFrame([(1, bytearray(pcm))], "id long, data binary")
+    arow = multimodal.audio_features(au, sample_rate=16000).first()
+    assert arow.n_samples == 1600
+    assert abs(arow.duration_s - 0.1) < 1e-9
+    assert 0.3 < arow.rms < 0.9 and arow.zero_cross > 0

@@ -772,22 +772,38 @@ class IvfIndex:
         pass1 = scored.orderBy("lb").limit(int(m_cand))
         if not guarantee or max_scan_tuples is not None:
             return rerank(pass1).limit(int(k))
-        top = rerank(pass1).limit(int(k)).collect()
-        if len(top) < k:
-            return rerank(scored).limit(int(k))
-        d_k = top[-1].dist
-        # internal-space threshold: lb is in squared-l2 / negated-dot space
+        # guarantee pass as ONE lazy plan (no mid-plan driver collect — the
+        # k-th pass-1 distance reaches the lb filter as a broadcast 1-row
+        # join, so the whole search is a single Spark action): rerank
+        # everything with lb ≤ D_k (internal space: squared-l2/negated-dot),
+        # falling back to "rerank all scored" (threshold = +inf) when pass 1
+        # produced fewer than k rows
+        p1_top = rerank(pass1).limit(int(k))
         if metric == "l2":
-            thresh = float(d_k) ** 2
+            t = F.col("d_k") * F.col("d_k")
         elif metric == "cos":
-            thresh = float(d_k) - 1.0
+            t = F.col("d_k") - F.lit(1.0)
         else:
-            thresh = float(d_k)
+            t = F.col("d_k")
+        thresh_df = (
+            p1_top.agg(
+                F.count(F.lit(1)).alias("n_top"), F.max("dist").alias("d_k")
+            )
+            .select(
+                F.when(F.col("n_top") < int(k), F.lit(float("inf")))
+                .otherwise(t.cast("double"))
+                .alias("_thresh")
+            )
+        )
         # union pass-1: a pass-1 winner whose lb exceeds thresh (the ε bound
         # is probabilistic) must not be dropped from the final rerank
-        final_cand = scored.where(F.col("lb") <= thresh).select("id").unionAll(
-            pass1.select("id")
-        ).distinct()
+        final_cand = (
+            scored.crossJoin(F.broadcast(thresh_df))
+            .where(F.col("lb") <= F.col("_thresh"))
+            .select("id")
+            .unionAll(pass1.select("id"))
+            .distinct()
+        )
         return rerank(final_cand).limit(int(k))
 
     def search_batch(

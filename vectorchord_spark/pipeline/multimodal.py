@@ -174,3 +174,95 @@ def frame_sample(
             yield out
 
     return df.mapInPandas(sample, out_schema)
+
+
+def resize_image(
+    df: DataFrame,
+    binary_col: str = "data",
+    width: int = 32,
+    height: int = 32,
+    strict: bool = False,
+) -> DataFrame:
+    """Resize images to ``width`` x ``height`` → (resized binary, out_w,
+    out_h). STUB decoder: without a codec the output bytes are a
+    deterministic content hash stretched to the target byte budget (3
+    bytes/pixel), so downstream batching/size accounting is realistic; the
+    Spark plumbing (schema, Arrow batching, passthrough columns) is real."""
+    other_cols = [c for c in df.columns if c != binary_col]
+    out_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in other_cols
+    )
+    out_schema += ", resized binary, out_w int, out_h int"
+    n_bytes = width * height * 3
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if strict:
+                raise NotImplementedError(
+                    "no image codec available in this environment"
+                )
+            out = pdf[other_cols].copy()
+            resized = []
+            for buf in pdf[binary_col]:
+                raw = bytes(buf) if buf is not None else b""
+                h = hashlib.md5(raw).digest()
+                reps = -(-n_bytes // len(h))
+                resized.append((h * reps)[:n_bytes])
+            out["resized"] = resized
+            out["out_w"] = np.int32(width)
+            out["out_h"] = np.int32(height)
+            yield out
+
+    return df.mapInPandas(resize, out_schema)
+
+
+def audio_features(
+    df: DataFrame,
+    binary_col: str = "data",
+    sample_rate: int = 16000,
+    strict: bool = False,
+) -> DataFrame:
+    """Audio feature extraction → (n_samples, duration_s, rms, zero_cross).
+    STUB decoder: tries soundfile, else interprets the raw bytes as i16 PCM
+    (deterministic, codec-free); real decode changes only the numpy body."""
+    other_cols = [c for c in df.columns if c != binary_col]
+    out_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in other_cols
+    )
+    out_schema += ", n_samples bigint, duration_s double, rms double, zero_cross bigint"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:  # pragma: no cover - codec lib absent in this container
+            import soundfile  # noqa: F401
+
+            have_codec = True
+        except Exception:
+            have_codec = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if strict and not have_codec:
+                raise NotImplementedError(
+                    "no audio codec available in this environment"
+                )
+            out = pdf[other_cols].copy()
+            ns, dur, rms, zc = [], [], [], []
+            for buf in pdf[binary_col]:
+                raw = bytes(buf) if buf is not None else b""
+                # STUB: treat bytes as little-endian i16 PCM mono
+                pcm = np.frombuffer(raw[: len(raw) - (len(raw) % 2)], "<i2")
+                n = len(pcm)
+                ns.append(n)
+                dur.append(n / float(sample_rate))
+                x = pcm.astype(np.float64) / 32768.0
+                rms.append(float(np.sqrt(np.mean(x * x))) if n else 0.0)
+                zc.append(int(np.count_nonzero(np.diff(np.signbit(pcm)))) if n > 1 else 0)
+            out["n_samples"] = np.asarray(ns, np.int64)
+            out["duration_s"] = np.asarray(dur, np.float64)
+            out["rms"] = np.asarray(rms, np.float64)
+            out["zero_cross"] = np.asarray(zc, np.int64)
+            yield out
+
+    return df.mapInPandas(extract, out_schema)
