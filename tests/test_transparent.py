@@ -176,6 +176,43 @@ def test_maxsim_rewrite_exact(setup, spark, sf_dir):
             unregister_ann_index("tp_mvdocs")
 
 
+def test_graph_index_registration(setup, spark, sf_dir, tmp_path_factory):
+    """A Vamana graph index plugs into the same transparent rewrite via
+    search_kwargs; sphere queries don't rewrite (graph is top-k only)."""
+    from vectorchord_spark.operators.graph import VamanaIndex, VamanaOptions
+
+    _, arr, q = setup
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base = str(tmp_path_factory.mktemp("tp_graph"))
+    gidx = VamanaIndex.build(
+        spark, emb, "vec_id", "embedding", os.path.join(base, "g"),
+        VamanaOptions(metric="l2", m=16, ef_construction=32, n_shards=2),
+    )
+    emb.createOrReplaceTempView("tp_emb_graph")
+    register_ann_index(
+        "tp_emb_graph", "embedding", gidx, id_col="vec_id",
+        search_kwargs={"ef_search": 64, "probe_shards": 2},
+    )
+    try:
+        sql = (
+            f"SELECT vec_id FROM tp_emb_graph "
+            f"ORDER BY vc_l2(embedding, {arr}) LIMIT 10"
+        )
+        got = ann_sql(spark, sql)
+        assert try_rewrite_topk(spark, spark.sql(sql)) is not None
+        ids = [r.vec_id for r in got.collect()]
+        exact = [r.vec_id for r in spark.sql(sql).collect()]
+        assert len(ids) == 10
+        assert len(set(ids) & set(exact)) >= 8  # graph is approximate
+        rng_sql = (
+            f"SELECT vec_id FROM tp_emb_graph "
+            f"WHERE vc_l2(embedding, {arr}) < 4.5"
+        )
+        assert try_rewrite_range(spark, spark.sql(rng_sql)) is None
+    finally:
+        unregister_ann_index("tp_emb_graph")
+
+
 def test_probed_registration_approximate(setup, spark, sf_dir):
     """A probed registration serves approximate results — still top-k
     shaped, high recall on this data."""

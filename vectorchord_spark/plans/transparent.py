@@ -52,6 +52,10 @@ class _Registration:
     #: per-token rerank, which makes the rewrite exact
     maxsim_candidates: int = 1 << 30
     maxsim_threshold: int = 0
+    #: when set, top-k serving calls ``index.search(q, k=k, **search_kwargs)``
+    #: verbatim — this is how a non-IVF index (e.g. the Vamana graph, with
+    #: ``ef_search``/``probe_shards``) plugs into the transparent rewrite
+    search_kwargs: "dict | None" = None
 
 
 #: (lower-cased table name) → registration
@@ -68,6 +72,7 @@ def register_ann_index(
     rerank_factor: "int | None" = None,
     maxsim_candidates: int = 1 << 30,
     maxsim_threshold: int = 0,
+    search_kwargs: "dict | None" = None,
 ) -> None:
     """Attach an index to a (temp view / table, vector column) pair so that
     ``ann_sql`` can accelerate top-k-by-distance queries against it.
@@ -85,6 +90,7 @@ def register_ann_index(
         rerank_factor=rerank_factor,
         maxsim_candidates=maxsim_candidates,
         maxsim_threshold=maxsim_threshold,
+        search_kwargs=search_kwargs,
     )
 
 
@@ -288,13 +294,16 @@ def _try_rewrite(spark: SparkSession, df: DataFrame) -> "DataFrame | None":
     if reg.index.meta["metric"] != _UDF_METRIC[udf_name]:
         return None
 
-    res = reg.index.search(
-        qvec,
-        k=k,
-        probes=reg.probes,
-        epsilon=reg.epsilon,
-        rerank_factor=reg.rerank_factor,
-    )  # (id, dist), already ordered and limited
+    if reg.search_kwargs is not None:
+        res = reg.index.search(qvec, k=k, **reg.search_kwargs)
+    else:
+        res = reg.index.search(
+            qvec,
+            k=k,
+            probes=reg.probes,
+            epsilon=reg.epsilon,
+            rerank_factor=reg.rerank_factor,
+        )  # (id, dist), already ordered and limited
 
     def matches(expr) -> bool:
         m = _match_distance_udf(expr)
@@ -426,6 +435,8 @@ def _try_rewrite_range(spark: SparkSession, df: DataFrame) -> "DataFrame | None"
         return None
     if reg.index.meta["metric"] != _UDF_METRIC[udf_name]:
         return None
+    if not hasattr(reg.index, "range_search"):
+        return None  # e.g. a graph index: top-k only
 
     proj_list = [plan.projectList().apply(i) for i in range(plan.projectList().size())]
     res = reg.index.range_search(
