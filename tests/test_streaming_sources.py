@@ -82,6 +82,30 @@ def test_streaming_index_insert(spark):
         assert got2 == 600  # replayed epoch appended nothing
 
 
+def test_streaming_dedup(spark):
+    from vectorchord_spark.streaming import streaming_dedup
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/in"
+        os.makedirs(src)
+        spark.createDataFrame(
+            [(1, "aaa", 1000), (2, "bbb", 1000), (3, "aaa", 1001)],
+            "id long, text string, ts long",
+        ).write.mode("append").parquet(src)
+        spark.createDataFrame(
+            [(4, "bbb", 2000), (5, "ccc", 2000)],
+            "id long, text string, ts long",
+        ).write.mode("append").parquet(src)
+        q = streaming_dedup(
+            spark, src, f"{tmp}/ckpt", f"{tmp}/out",
+            schema="id long, text string, ts long", key_cols=["text"],
+        )
+        q.awaitTermination(120)
+        out = spark.read.parquet(f"{tmp}/out")
+        texts = sorted(r.text for r in out.collect())
+        assert texts == ["aaa", "bbb", "ccc"]  # one survivor per key
+
+
 def test_hourly_stream_matches_batch(spark, sf_dir):
     with tempfile.TemporaryDirectory() as tmp:
         q = hourly_event_counts_stream(

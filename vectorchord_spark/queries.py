@@ -1451,6 +1451,52 @@ def _ann_ivf_exhaustive_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(F.col("id").alias("vec_id"), "dist")
 
 
+def _ann_prefilter_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefiltered ANN (Q9): the label predicate is applied BEFORE the
+    rerank as a left-semi join on the scored candidates (the reference's
+    prefilter GUC semantics, src/index/gucs.rs:97-133). Exhaustive probes ⇒
+    exact ⇒ the filtered brute-force SQL is the oracle."""
+    idx = _get_ivf_index(spark, sf_dir, "l2")
+    emb = _read(spark, sf_dir, "embeddings")
+    allowed = emb.where(F.col("label") < 3).select(F.col("vec_id").alias("id"))
+    res = idx.search(
+        QUERY_VEC, k=10, probes=None, rerank_factor=None, prefilter=allowed
+    )
+    return res.select(F.col("id").alias("vec_id"), "dist")
+
+
+_ANN_PREFILTER_SQL = f"""
+SELECT vec_id, sqrt({_l2sq_chain("embedding", QUERY_VEC)}) AS dist
+FROM embeddings
+WHERE label < 3
+ORDER BY dist, vec_id
+LIMIT 10
+"""
+
+
+def _ann_multilevel_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level centroid tree (B6/Q2): descent probes the top level first,
+    then children of the surviving branches (reference multi-level lists,
+    vchordrq types.rs:40-106). Probing ALL cells at both levels ⇒ exact ⇒
+    brute-force oracle applies to the multi-level machinery end-to-end."""
+    import tempfile
+
+    from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
+
+    key = (sf_dir, "l2-multilevel")
+    idx = _IVF_CACHE.get(key)
+    if idx is None:
+        path = tempfile.mkdtemp(prefix="vc_ivf_ml_")
+        emb = _read(spark, sf_dir, "embeddings")
+        idx = IvfIndex.build(
+            spark, emb, "vec_id", "embedding", path,
+            IvfOptions(metric="l2", lists=[4, 16]),
+        )
+        _IVF_CACHE[key] = idx
+    res = idx.search(QUERY_VEC, k=10, probes=None, rerank_factor=None)
+    return res.select(F.col("id").alias("vec_id"), "dist")
+
+
 def _sql_ann_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-transparent ANN: a plain ``ORDER BY vc_l2(col, q) LIMIT k`` SQL
     string is rewritten off the analyzed Catalyst plan onto the registered
@@ -1852,6 +1898,8 @@ def catalog() -> dict[str, Q]:
         # embed_neardup_lsh
         "embed_neardup": Q(_embed_neardup_fn, _EMBED_NEARDUP_SQL),
         "ann_ivf_exhaustive": Q(_ann_ivf_exhaustive_fn, _knn_sql("l2"), headline=True),
+        "ann_prefilter": Q(_ann_prefilter_fn, _ANN_PREFILTER_SQL),
+        "ann_ivf_multilevel": Q(_ann_multilevel_fn, _knn_sql("l2")),
         "sql_ann": Q(_sql_ann_fn, _knn_sql("l2"), headline=True),
         "sql_ann_range": Q(_sql_ann_range_fn, _RANGE_L2_SQL),
         "sql_ann_maxsim": Q(_sql_ann_maxsim_fn, _MAXSIM_SQL),

@@ -1,5 +1,6 @@
 from vectorchord_spark.streaming.jobs import (
     hourly_event_counts_stream,
+    streaming_dedup,
     streaming_index_insert,
     streaming_sessionize,
 )
@@ -8,4 +9,5 @@ __all__ = [
     "streaming_index_insert",
     "hourly_event_counts_stream",
     "streaming_sessionize",
+    "streaming_dedup",
 ]

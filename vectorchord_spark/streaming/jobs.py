@@ -215,3 +215,42 @@ def hourly_event_counts_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_path: str,
+    sink_path: str,
+    schema: str,
+    key_cols: "list[str] | tuple[str, ...]",
+    ts_col: str | None = None,
+    delay: str = "1 hour",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming exact deduplication: only the first row per ``key_cols``
+    value survives, across micro-batches (the online twin of the batch
+    ``dedup_exact`` pipeline — a training-data ingest keeps one copy of
+    each document as files land).
+
+    With ``ts_col``, state is bounded by the watermark
+    (``dropDuplicatesWithinWatermark``): a duplicate arriving more than
+    ``delay`` after the original may survive, but state can be evicted —
+    the trade that lets this run forever. Without ``ts_col`` the dedup is
+    exact over the whole stream but state grows with the number of
+    distinct keys (acceptable for availableNow backfills)."""
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    if ts_col is not None:
+        stream = stream.withWatermark(ts_col, delay)
+        deduped = stream.dropDuplicatesWithinWatermark(list(key_cols))
+    else:
+        deduped = stream.dropDuplicates(list(key_cols))
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
