@@ -1497,6 +1497,42 @@ def _ann_multilevel_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(F.col("id").alias("vec_id"), "dist")
 
 
+def _ann_external_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External build (B7): the centroid tree comes from a user-supplied
+    ``(id, parent, vector)`` table (validated: single root, uniform height,
+    acyclic — am_build.rs:1589-1752) instead of the internal k-means.
+    Exhaustive probing of the externally-built index ⇒ exact ⇒ the
+    brute-force oracle gates the whole external-build path."""
+    import tempfile
+
+    from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
+    from vectorchord_spark.operators import kmeans as KM
+
+    key = (sf_dir, "l2-external")
+    idx = _IVF_CACHE.get(key)
+    if idx is None:
+        emb = _read(spark, sf_dir, "embeddings")
+        sample = np.stack(
+            emb.limit(512).toPandas()["embedding"].to_numpy()
+        ).astype(np.float32)
+        leaves = KM.lloyd(sample, 8, iterations=10, seed=11)
+        rows = [(0, None, [float(x) for x in np.mean(leaves, axis=0)])]
+        rows += [
+            (i + 1, 0, [float(x) for x in c]) for i, c in enumerate(leaves)
+        ]
+        cent = spark.createDataFrame(
+            rows, "id long, parent long, vector array<float>"
+        )
+        path = tempfile.mkdtemp(prefix="vc_ivf_ext_")
+        idx = IvfIndex.from_centroid_table(
+            spark, emb, cent, "vec_id", "embedding", path,
+            IvfOptions(metric="l2"),
+        )
+        _IVF_CACHE[key] = idx
+    res = idx.search(QUERY_VEC, k=10, probes=None, rerank_factor=None)
+    return res.select(F.col("id").alias("vec_id"), "dist")
+
+
 def _sql_ann_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-transparent ANN: a plain ``ORDER BY vc_l2(col, q) LIMIT k`` SQL
     string is rewritten off the analyzed Catalyst plan onto the registered
@@ -1900,6 +1936,7 @@ def catalog() -> dict[str, Q]:
         "ann_ivf_exhaustive": Q(_ann_ivf_exhaustive_fn, _knn_sql("l2"), headline=True),
         "ann_prefilter": Q(_ann_prefilter_fn, _ANN_PREFILTER_SQL),
         "ann_ivf_multilevel": Q(_ann_multilevel_fn, _knn_sql("l2")),
+        "ann_ivf_external": Q(_ann_external_fn, _knn_sql("l2")),
         "sql_ann": Q(_sql_ann_fn, _knn_sql("l2"), headline=True),
         "sql_ann_range": Q(_sql_ann_range_fn, _RANGE_L2_SQL),
         "sql_ann_maxsim": Q(_sql_ann_maxsim_fn, _MAXSIM_SQL),
