@@ -145,16 +145,32 @@ class IvfIndex:
 
         n_leaves = opts.lists[-1]
         cap = n_leaves * opts.sampling_factor
-        # single-pass bounded sample: per-partition top-`cap` heaps on a
-        # seeded random key (TakeOrderedAndProject) — no preliminary count
-        # scan; the sample is capped at lists[-1]·sampling_factor rows, which
-        # must fit the driver anyway for the k-means step (the same bound the
-        # reference's Feistel TSM sampling enforces, am_build.rs:1306-1311)
+        # single-pass bounded sample, no preliminary count scan: each
+        # partition keeps its cap/n_parts smallest rows by a seeded random
+        # key, so the driver merges ~cap rows instead of sorting the whole
+        # table (when cap exceeds the rows-per-partition a global
+        # TakeOrdered degenerates into collect-everything). The sample is
+        # capped at lists[-1]·sampling_factor rows, which must fit the
+        # driver anyway for the k-means step — the same bound the
+        # reference's Feistel TSM sampling enforces (am_build.rs:1306-1311).
+        n_parts = max(1, src.rdd.getNumPartitions())
+        per_part = -(-cap // n_parts)
+
+        def _local_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            best: pd.DataFrame | None = None
+            for pdf in batches:
+                cur = pdf if best is None else pd.concat([best, pdf], ignore_index=True)
+                if len(cur) > per_part:
+                    keep = np.argpartition(cur["_u"].to_numpy(), per_part)[:per_part]
+                    cur = cur.iloc[keep].reset_index(drop=True)
+                best = cur
+            if best is not None and len(best):
+                yield best[["vec"]]
+
         sample_pd = (
             src.select("vec", F.rand(opts.seed).alias("_u"))
-            .orderBy("_u")
+            .mapInPandas(_local_sample, "vec array<float>")
             .limit(cap)
-            .select("vec")
             .toPandas()
         )
         samples = np.stack(sample_pd["vec"].to_numpy()).astype(np.float32)
@@ -387,18 +403,38 @@ class IvfIndex:
         # crates/vector/src/vect.rs:22 with S=f16; compute widens to f32)
         keep_f16 = meta["rerank_in_index"] and storage == "f16"
         sq_bits = {"rabitq8": 8, "rabitq4": 4}.get(storage)
+        dim = int(meta["dim"])
         bc = self.spark.sparkContext.broadcast(leaf_rot)
 
-        def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Arrow-native encode (mapInArrow): the input list<float> column is
+        # flattened zero-copy into one contiguous (n, d) matrix and outputs
+        # are built as whole Arrow buffers — no per-row Python objects in
+        # either direction (the pandas round-trip costs ~30% of encode wall
+        # time at 1M rows).
+        import pyarrow as pa
+
+        def _fixed_binary(buf: bytes, nbytes: int, n: int) -> "pa.Array":
+            return pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(nbytes), n, [None, pa.py_buffer(buf)]
+            ).cast(pa.binary())
+
+        def encode(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
             centroids = bc.value  # (L, d) f32, rotated space
             # routing assignment in f32 (BLAS sgemm): at 1M rows x 1k cells
             # the f64 distance matrix is memory-bound and dominates build
             # time; f32 is ample for argmin routing
             c2 = np.einsum("ij,ij->i", centroids, centroids).astype(np.float32)
-            for pdf in batches:
-                if not len(pdf):
+            for rb in batches:
+                n = rb.num_rows
+                if not n:
                     continue
-                mat = np.stack([np.asarray(v, np.float32) for v in pdf["vec"]])
+                ids = rb.column(rb.schema.get_field_index("id"))
+                if ids.type != pa.int64():
+                    ids = ids.cast(pa.int64())
+                flat = rb.column(rb.schema.get_field_index("vec")).flatten()
+                if flat.type != pa.float32():
+                    flat = flat.cast(pa.float32())
+                mat = np.asarray(flat).reshape(n, dim)
                 rot = K.rotate(mat)
                 if metric == "l2" or metric == "cos":
                     d = c2[None, :] - 2.0 * (rot @ centroids.T)
@@ -411,61 +447,88 @@ class IvfIndex:
                     target = rot
                 cm = K.bit_code(target)
                 if residual:
-                    if metric == "l2":
-                        delta = np.empty(len(mat), np.float32)
-                        for cid in np.unique(assign):
-                            m = assign == cid
-                            sub = {k: v[m] for k, v in cm.items()}
+                    delta = np.empty(n, np.float32)
+                    for cid in np.unique(assign):
+                        m = assign == cid
+                        sub = {k: v[m] for k, v in cm.items()}
+                        if metric == "l2":
                             delta[m] = K.residual_delta_l2(
                                 cm["signs"][m], sub, centroids[cid]
                             )
-                    else:
-                        delta = np.empty(len(mat), np.float32)
-                        for cid in np.unique(assign):
-                            m = assign == cid
-                            sub = {k: v[m] for k, v in cm.items()}
+                        else:
                             delta[m] = K.residual_delta_dot(
                                 cm["signs"][m], sub, target[m], centroids[cid]
                             )
                 else:
-                    delta = np.zeros(len(mat), np.float32)
+                    delta = np.zeros(n, np.float32)
+                packed = np.packbits(cm["signs"], axis=1, bitorder="little")
+                code_arr = _fixed_binary(packed.tobytes(), packed.shape[1], n)
+                if keep_vec:
+                    vec_arr = pa.FixedSizeListArray.from_arrays(
+                        pa.array(mat.reshape(-1)), dim
+                    ).cast(pa.list_(pa.float32()))
+                else:
+                    vec_arr = pa.nulls(n, pa.list_(pa.float32()))
+                if keep_f16:
+                    f16_arr = _fixed_binary(
+                        np.ascontiguousarray(mat.astype("<f2")).tobytes(), 2 * dim, n
+                    )
+                else:
+                    f16_arr = pa.nulls(n, pa.binary())
                 if sq_bits is not None:
                     ext = K.extended_code(rot, sq_bits)
-                    sq_code = (
-                        [r.tobytes() for r in ext["code"]]
-                        if sq_bits == 8
-                        else K.pack_nibbles(ext["code"])
+                    if sq_bits == 8:
+                        sq_buf = np.ascontiguousarray(ext["code"], np.uint8)
+                    else:
+                        codes = np.atleast_2d(ext["code"]).astype(np.uint8)
+                        if codes.shape[1] % 2:
+                            codes = np.concatenate(
+                                [codes, np.zeros((n, 1), np.uint8)], axis=1
+                            )
+                        sq_buf = codes[:, 0::2] | (codes[:, 1::2] << 4)
+                    sq_code = _fixed_binary(
+                        np.ascontiguousarray(sq_buf).tobytes(), sq_buf.shape[1], n
                     )
-                    sq_du2 = ext["dis_u_2"]
-                    sq_nol = ext["norm_of_lattice"]
+                    sq_du2 = pa.array(ext["dis_u_2"])
+                    sq_nol = pa.array(ext["norm_of_lattice"])
                 else:
-                    sq_code = None
-                    sq_du2 = None
-                    sq_nol = None
-                out = pd.DataFrame(
-                    {
-                        "id": pdf["id"].to_numpy(np.int64),
-                        "cluster_id": assign.astype(np.int32),
-                        "dis_u_2": cm["dis_u_2"],
-                        "factor_cnt": cm["factor_cnt"],
-                        "factor_ip": cm["factor_ip"],
-                        "factor_err": cm["factor_err"],
-                        "delta": delta,
-                        "code": K.pack_bits(cm["signs"]),
-                        "vec": list(mat) if keep_vec else None,
-                        "vec_f16": (
-                            [r.astype("<f2").tobytes() for r in mat]
-                            if keep_f16
-                            else None
-                        ),
-                        "sq_dis_u_2": sq_du2,
-                        "sq_nol": sq_nol,
-                        "sq_code": sq_code,
-                    }
+                    sq_code = pa.nulls(n, pa.binary())
+                    sq_du2 = pa.nulls(n, pa.float32())
+                    sq_nol = pa.nulls(n, pa.float32())
+                yield pa.record_batch(
+                    [
+                        ids,
+                        pa.array(assign.astype(np.int32)),
+                        pa.array(cm["dis_u_2"]),
+                        pa.array(cm["factor_cnt"]),
+                        pa.array(cm["factor_ip"]),
+                        pa.array(cm["factor_err"]),
+                        pa.array(delta),
+                        code_arr,
+                        vec_arr,
+                        f16_arr,
+                        sq_du2,
+                        sq_nol,
+                        sq_code,
+                    ],
+                    names=[
+                        "id",
+                        "cluster_id",
+                        "dis_u_2",
+                        "factor_cnt",
+                        "factor_ip",
+                        "factor_err",
+                        "delta",
+                        "code",
+                        "vec",
+                        "vec_f16",
+                        "sq_dis_u_2",
+                        "sq_nol",
+                        "sq_code",
+                    ],
                 )
-                yield out
 
-        encoded = src.mapInPandas(encode, schema=CODES_SCHEMA)
+        encoded = src.mapInArrow(encode, schema=CODES_SCHEMA)
         # co-locate each cluster's codes (one shuffle; at scale this is what
         # gives probe-time partition pruning its locality)
         (

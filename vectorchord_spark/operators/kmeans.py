@@ -24,16 +24,37 @@ from vectorchord_spark import kernels as K
 
 
 def _assign(samples: np.ndarray, centroids: np.ndarray) -> np.ndarray:
-    """argmin squared-L2 assignment, blocked to bound memory."""
-    n = samples.shape[0]
+    """argmin squared-L2 assignment, blocked to bound memory.
+
+    Distances are computed in f32 (sgemm: 4x the f64 matmul bandwidth on the
+    256k-sample default cap — this is the build's driver hot loop) — the same
+    precision the reference's SIMD assignment kernels use; centroid *updates*
+    stay f64 in the callers."""
+    s = np.ascontiguousarray(samples, np.float32)
+    c = np.ascontiguousarray(centroids, np.float32)
+    n = s.shape[0]
     out = np.empty(n, np.int64)
-    c2 = np.einsum("ij,ij->i", centroids, centroids)
-    step = max(1, int(2e8 // max(1, centroids.shape[0] * 8)))
-    for s in range(0, n, step):
-        blk = samples[s : s + step]
-        d = c2[None, :] - 2.0 * (blk @ centroids.T)
-        out[s : s + step] = np.argmin(d, axis=1)
+    c2 = np.einsum("ij,ij->i", c, c)
+    step = max(1, int(2e8 // max(1, c.shape[0] * 4)))
+    for st in range(0, n, step):
+        blk = s[st : st + step]
+        d = c2[None, :] - 2.0 * (blk @ c.T)
+        out[st : st + step] = np.argmin(d, axis=1)
     return out
+
+
+def _segment_sums(samples: np.ndarray, labels: np.ndarray, c: int) -> np.ndarray:
+    """Per-cluster component sums (f64 accumulation) via sort + reduceat —
+    an order of magnitude faster than unbuffered ``np.add.at`` on the
+    256k-sample default cap. Rows for empty clusters contain garbage; the
+    caller masks them by ``counts == 0``."""
+    n = len(labels)
+    if n == 0:
+        return np.zeros((c, samples.shape[1]))
+    order = np.argsort(labels, kind="stable")
+    starts = np.searchsorted(labels[order], np.arange(c))
+    safe = np.minimum(starts, n - 1)
+    return np.add.reduceat(samples[order], safe, axis=0, dtype=np.float64)
 
 
 def lloyd(
@@ -44,22 +65,29 @@ def lloyd(
     spherical: bool = False,
 ) -> np.ndarray:
     """Classic Lloyd k-means; deterministic; empty clusters refilled with
-    uniform-random samples (mirroring the reference's refill behavior)."""
-    samples = np.asarray(samples, np.float64)
+    uniform-random samples (mirroring the reference's refill behavior).
+    Works in f32 (the reference's k_means crate precision) with f64
+    centroid-update accumulation."""
+    samples = np.ascontiguousarray(samples, np.float32)
     n, d = samples.shape
     rng = np.random.default_rng(seed)
     if n <= c:
         # 'quick' path: each sample is its own centroid, pad with duplicates
-        pad = samples[rng.integers(0, max(n, 1), size=c - n)] if n else np.zeros((c, d))
+        pad = (
+            samples[rng.integers(0, max(n, 1), size=c - n)]
+            if n
+            else np.zeros((c, d), np.float32)
+        )
         return np.concatenate([samples, pad])[:c].astype(np.float32)
     centroids = samples[rng.choice(n, size=c, replace=False)].copy()
     for _ in range(iterations):
         labels = _assign(samples, centroids)
         counts = np.bincount(labels, minlength=c)
-        sums = np.zeros((c, d))
-        np.add.at(sums, labels, samples)
+        sums = _segment_sums(samples, labels, c)
         nonempty = counts > 0
-        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+        centroids[nonempty] = (sums[nonempty] / counts[nonempty, None]).astype(
+            np.float32
+        )
         n_empty = int((~nonempty).sum())
         if n_empty:
             centroids[~nonempty] = samples[rng.integers(0, n, size=n_empty)]
@@ -104,14 +132,14 @@ def hierarchical(
     """Two-stage k-means: coarse √c clustering over a √c×256 sub-sample,
     partition by coarse assignment, Sainte-Laguë-allocate per-partition leaf
     counts, Lloyd per partition, concatenate."""
-    samples = np.asarray(samples, np.float64)
+    samples = np.ascontiguousarray(samples, np.float32)
     n = samples.shape[0]
     coarse_k = max(1, int(np.sqrt(c)))
     rng = np.random.default_rng(seed)
     sub_n = min(n, coarse_k * 256)
     sub = samples[rng.choice(n, size=sub_n, replace=False)]
     coarse = lloyd(sub, coarse_k, iterations, seed, spherical)
-    labels = _assign(samples, np.asarray(coarse, np.float64))
+    labels = _assign(samples, coarse)
     counts = np.bincount(labels, minlength=coarse_k)
     seats = sainte_lague_seats(counts, c)
     outs = []
@@ -134,14 +162,12 @@ def reduced_dimension_kmeans(
 ) -> np.ndarray:
     """Cluster in rotated+truncated space, then re-estimate centroids in the
     full dimension by averaging the full-dim samples per assigned cluster."""
-    samples = np.asarray(samples, np.float32)
-    reduced = K.rotate(samples)[:, :kmeans_dimension].astype(np.float64)
+    samples = np.ascontiguousarray(samples, np.float32)
+    reduced = np.ascontiguousarray(K.rotate(samples)[:, :kmeans_dimension])
     algo = hierarchical if use_hierarchical else lloyd
     red_centroids = algo(reduced, c, iterations, seed, spherical)
-    labels = _assign(reduced, np.asarray(red_centroids, np.float64))
-    d = samples.shape[1]
-    sums = np.zeros((c, d))
-    np.add.at(sums, labels, np.asarray(samples, np.float64))
+    labels = _assign(reduced, red_centroids)
+    sums = _segment_sums(samples, labels, c)
     counts = np.bincount(labels, minlength=c)
     rng = np.random.default_rng(seed)
     centroids = np.empty((c, d))
