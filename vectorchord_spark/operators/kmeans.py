@@ -170,7 +170,7 @@ def reduced_dimension_kmeans(
     sums = _segment_sums(samples, labels, c)
     counts = np.bincount(labels, minlength=c)
     rng = np.random.default_rng(seed)
-    centroids = np.empty((c, d))
+    centroids = np.empty((c, samples.shape[1]))
     nonempty = counts > 0
     centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
     n_empty = int((~nonempty).sum())

@@ -1533,6 +1533,32 @@ def _ann_external_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(F.col("id").alias("vec_id"), "dist")
 
 
+def _ann_kmeans_dim_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduced-dimension k-means build (B3): centroids are clustered in the
+    rotated+truncated ``kmeans_dimension`` subspace, then re-estimated in
+    the full dimension (reference build_options ``kmeans_dimension``,
+    src/index/vchordrq/types.rs:40-106; k_means.rs dim-reduction pass).
+    Cluster assignment only affects which cell stores each vector —
+    exhaustive probing is exact regardless, so the brute-force oracle gates
+    the reduced-dimension build machinery end-to-end."""
+    import tempfile
+
+    from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
+
+    key = (sf_dir, "l2-kmeansdim")
+    idx = _IVF_CACHE.get(key)
+    if idx is None:
+        path = tempfile.mkdtemp(prefix="vc_ivf_kd_")
+        emb = _read(spark, sf_dir, "embeddings")
+        idx = IvfIndex.build(
+            spark, emb, "vec_id", "embedding", path,
+            IvfOptions(metric="l2", lists=[16], kmeans_dimension=4),
+        )
+        _IVF_CACHE[key] = idx
+    res = idx.search(QUERY_VEC, k=10, probes=None, rerank_factor=None)
+    return res.select(F.col("id").alias("vec_id"), "dist")
+
+
 def _sql_ann_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-transparent ANN: a plain ``ORDER BY vc_l2(col, q) LIMIT k`` SQL
     string is rewritten off the analyzed Catalyst plan onto the registered
@@ -1937,6 +1963,7 @@ def catalog() -> dict[str, Q]:
         "ann_prefilter": Q(_ann_prefilter_fn, _ANN_PREFILTER_SQL),
         "ann_ivf_multilevel": Q(_ann_multilevel_fn, _knn_sql("l2")),
         "ann_ivf_external": Q(_ann_external_fn, _knn_sql("l2")),
+        "ann_ivf_kmeans_dim": Q(_ann_kmeans_dim_fn, _knn_sql("l2")),
         "sql_ann": Q(_sql_ann_fn, _knn_sql("l2"), headline=True),
         "sql_ann_range": Q(_sql_ann_range_fn, _RANGE_L2_SQL),
         "sql_ann_maxsim": Q(_sql_ann_maxsim_fn, _MAXSIM_SQL),
