@@ -115,10 +115,11 @@ def test_hourly_stream_matches_batch(spark, sf_dir):
         got = spark.sql(
             "SELECT count(*) AS n, sum(n) AS total FROM hourly_test"
         ).first()
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        from vectorchord_spark.queries import _read
+
+        ev = _read(spark, sf_dir, "events")
         batch = (
-            ev.withColumn("t", F.timestamp_micros(F.expr("ts div 1000")))
+            ev.withColumn("t", F.timestamp_micros(F.col("ts_us")))
             .groupBy(F.date_trunc("hour", "t"), "event_type")
             .count()
         )

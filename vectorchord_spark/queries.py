@@ -25,6 +25,7 @@ from dataclasses import dataclass
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from vectorchord_spark.functions import distances as D
 
@@ -68,10 +69,29 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ensure_worker_imports(spark)
     if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS). Spark's reading of that
+        # physical type changed across versions: older builds need the
+        # legacy nanosAsLong conf (ts comes back BIGINT nanos), newer builds
+        # read it natively as TIMESTAMP_NTZ (micro precision, nanos floored)
+        # and ignore the conf. Derive the canonical µs-epoch column from
+        # whichever type we got — both floor sub-µs digits identically for
+        # the post-1970 data here, so ts_us is version-independent.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts_us", F.expr("ts div 1000"))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # magnitude guard: raw nanos (old reader) vs µs (if a long
+            # arrives already µs-scaled) — see streaming.jobs._ts_us_expr
+            return df.withColumn(
+                "ts_us",
+                F.expr(
+                    "CASE WHEN abs(ts) >= 40000000000000000 "
+                    "THEN ts div 1000 ELSE ts END"
+                ),
+            )
+        return df.withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -28,6 +28,20 @@ EVENTS_SCHEMA = (
     "value double, props string"
 )
 
+# events.parquet stores TIMESTAMP(NANOS); reading it through the explicit
+# LONG schema yields raw nanos on older Spark but µs (the internal repr)
+# on newer Spark. Normalize by magnitude: µs epochs stay < 4e16 until year
+# ~3200 while nano epochs exceed it from 1971 on, so the cutoff is safe
+# for any realistic event time under either reader behavior.
+_NANO_CUTOFF = 40_000_000_000_000_000
+
+
+def _ts_us_expr(col: str = "ts") -> F.Column:
+    return F.expr(
+        f"CASE WHEN abs({col}) >= {_NANO_CUTOFF} "
+        f"THEN {col} div 1000 ELSE {col} END"
+    )
+
 
 def streaming_index_insert(
     index: IvfIndex,
@@ -92,7 +106,7 @@ def streaming_sessionize(
     gap_us = gap_minutes * 60 * 1_000_000
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_path)
     ev = stream.withColumn(
-        "t", F.timestamp_micros(F.expr("ts div 1000"))
+        "t", F.timestamp_micros(_ts_us_expr())
     ).withWatermark("t", f"{gap_minutes * 2} minutes")
 
     out_schema = (
@@ -127,7 +141,10 @@ def streaming_sessionize(
             # rows (and a NaN key); drop them before processing
             pdf = pdf.dropna(subset=["ts"])
             for ts_v, val in zip(pdf["ts"].to_numpy(), pdf["value"].to_numpy()):
-                events.append((int(ts_v) // 1000, float(val)))
+                t = int(ts_v)
+                if abs(t) >= 40_000_000_000_000_000:  # nanos, not µs
+                    t //= 1000
+                events.append((t, float(val)))
         events.sort()
         if state.exists:
             start, last, n, total = state.get
@@ -190,7 +207,7 @@ def hourly_event_counts_stream(
     Late events beyond ``watermark`` are dropped (state is bounded — the
     property that makes this run forever on an unbounded stream)."""
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_path)
-    t = F.timestamp_micros(F.expr("ts div 1000"))
+    t = F.timestamp_micros(_ts_us_expr())
     agg = (
         stream.withColumn("t", t)
         .withWatermark("t", watermark)
