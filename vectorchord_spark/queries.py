@@ -695,6 +695,290 @@ LIMIT 20
 """
 
 
+def _q7_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 shape: bilateral nation-pair trade volume by ship year —
+    the fact table joins both a supplier-side and a customer-side dimension
+    chain, with a disjunctive pair predicate that Catalyst pushes into the
+    two broadcast nation joins."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    sup = _read(spark, sf_dir, "supplier")
+    n1 = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .withColumn("yr", F.year("l_shipdate").cast("bigint"))
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS yr,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, yr
+"""
+
+
+def _q13_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q13 shape: customer order-count distribution — LEFT OUTER join
+    with a join-side predicate (kept out of WHERE so customers with zero
+    qualifying orders survive), then a second aggregation over the first."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def _q15_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 shape: top supplier by quarterly revenue — an aggregated
+    'view' reused twice (once for the scalar max, once for the join-back).
+    Revenue is rounded before the max comparison so the equality predicate
+    is engine-stable."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("total_rev")
+        )
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("m"))
+    sup = _read(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(max_rev), F.col("total_rev") == F.col("m"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def _q17_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 shape: small-quantity orders for one brand — the
+    correlated per-part AVG subquery decorrelated into a broadcast join
+    of a per-part aggregate against the fact table. l_quantity is integral
+    so the average is order-independent (exact double sums)."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11")
+    avg_qty = (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_partkey").alias("ap_partkey"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut"))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#11'
+  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def _q18_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape: large-volume orders — HAVING on a grouped fact
+    aggregate, semi-joined back to the order/customer chain. total_qty sums
+    integral doubles, so the HAVING threshold is engine-stable."""
+    li = _read(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 180.0)
+    )
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice"),
+            F.col("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+_Q18_SQL = """
+SELECT c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_totalprice, total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 180.0) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def _q19_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 shape: disjunction of conjunctive brand/size/quantity
+    ranges — the classic OR-of-ANDs predicate that exercises filter
+    pushdown through a join (Catalyst extracts the common p/l splits)."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 5))
+            & (F.col("l_quantity").between(1.0, 11.0))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(10.0, 20.0))
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(20.0, 30.0))
+        )
+    )
+    return j.where(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+_Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1.0 AND 11.0)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10.0 AND 20.0)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20.0 AND 30.0)
+"""
+
+
+def _q22_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q22 shape: wealthy customers with no orders — a scalar
+    aggregate subquery feeding a threshold plus a NOT EXISTS anti-join.
+    The global average is snapped to an off-grid cutoff (2-decimal grid +
+    0.005) so the comparison can't straddle an engine ulp difference."""
+    cust = _read(spark, sf_dir, "customer")
+    pos = cust.where(F.col("c_acctbal") > 0.0).agg(
+        (F.floor(F.avg("c_acctbal") * 100.0) / 100.0 + 0.005).alias("cut")
+    )
+    # "idle" = no recent orders (the full-history NOT EXISTS is empty on
+    # this data — every wealthy customer ordered at least once)
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01")
+    )
+    nation = _read(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(pos))
+        .where(F.col("c_acctbal") > F.col("cut"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_Q22_SQL = """
+SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT floor(avg(c_acctbal) * 100.0) / 100.0 + 0.005
+                   FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 def _events_json_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: parse the JSON props column, bucket the
     extracted value, aggregate per (event_type, bucket)."""
@@ -1946,6 +2230,244 @@ def _maxsim_ivf_probed_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Temporal joins (as-of / interval) — pipeline operators Spark lacks natively
+# ---------------------------------------------------------------------------
+
+
+def _asof_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event is matched to the latest view event
+    by the same user at or before it. Implemented as the single-shuffle
+    union trick — tag both sides, sort per user by (time, side) in one
+    window, and carry the last seen right-side time forward with
+    ``last(..., ignorenulls)``. No join fan-out, no per-key driver work;
+    one hash exchange on user_id regardless of table size."""
+    ev = _read(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.lit(1).alias("is_left"),
+        F.lit(None).cast("long").alias("r_ts"),
+    )
+    right = ev.where(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts_us",
+        F.lit(0).alias("is_left"),
+        F.col("ts_us").alias("r_ts"),
+    )
+    # at equal ts the right row sorts first, giving inclusive (>=) as-of
+    # semantics; rowsBetween keeps the window a running (streaming) frame
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("view_us", F.last("r_ts", ignorenulls=True).over(w))
+        .where(F.col("is_left") == 1)
+        .select(
+            "event_id",
+            F.col("ts_us").alias("purchase_us"),
+            "view_us",
+        )
+        .orderBy("event_id")
+    )
+
+
+_ASOF_JOIN_SQL = """
+SELECT p.event_id, epoch_us(p.ts) AS purchase_us, epoch_us(v.ts) AS view_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+"""
+
+
+def _range_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: views in the hour before each purchase,
+    counted per purchase. The scalable plan is time-bucket binning — each
+    purchase explodes to the (at most 2) hour buckets its window covers,
+    the join is a plain equi-join on (user, bucket), and the residual
+    range predicate filters inside the bucket. Shuffle keys stay bounded
+    (no per-user cross product), so the plan survives wide windows and
+    hot users at 100× scale."""
+    hour_us = 3_600_000_000
+    ev = _read(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts_us").alias("v_ts"),
+        (F.col("ts_us") / hour_us).cast("long").alias("v_bucket"),
+    )
+    px = p.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                ((F.col("ts_us") - hour_us) / hour_us).cast("long"),
+                (F.col("ts_us") / hour_us).cast("long"),
+            )
+        ),
+    ).dropDuplicates(["event_id", "bucket"])
+    joined = px.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("bucket") == F.col("v_bucket"))
+        & (F.col("v_ts") >= F.col("ts_us") - hour_us)
+        & (F.col("v_ts") < F.col("ts_us")),
+    )
+    counts = joined.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_views_1h")
+    )
+    return (
+        p.join(counts, "event_id", "left_outer")
+        .select(
+            "event_id",
+            F.coalesce("n_views_1h", F.lit(0)).alias("n_views_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_RANGE_JOIN_SQL = """
+SELECT p.event_id, count(v.v_ts) AS n_views_1h
+FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id AS v_user, epoch_us(ts) AS v_ts
+           FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.v_user
+ AND v.v_ts >= p.ts_us - 3600000000
+ AND v.v_ts < p.ts_us
+GROUP BY p.event_id
+ORDER BY p.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Additional text-pipeline entries (quality gate, token histogram)
+# ---------------------------------------------------------------------------
+
+
+def _quality_filter_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score gate: the [0,1] heuristic (length + repetition) as a
+    filter — the shape of a pre-training corpus quality cut. Single IEEE
+    op chain in both engines, so the score and threshold compare are
+    bit-exact (no rounding)."""
+    from vectorchord_spark.pipeline.text import quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", quality_score("text").alias("quality"))
+        .where(F.col("quality") > 0.6)
+        .orderBy("doc_id")
+    )
+
+
+_QUALITY_FILTER_SQL = """
+SELECT doc_id, quality FROM (
+  SELECT doc_id,
+         (least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0)
+          + len(list_distinct(string_split(text, ' ')))::DOUBLE
+            / len(string_split(text, ' '))::DOUBLE) / 2.0 AS quality
+  FROM documents)
+WHERE quality > 0.6
+ORDER BY doc_id
+"""
+
+
+def _token_histogram_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram over the corpus (the BPE-ish regex splitter),
+    bucketed by 50 tokens — the standard corpus-stats pass before a
+    training run. Pure JVM regexp + one agg shuffle."""
+    from vectorchord_spark.pipeline.text import token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select((token_count("text") / 50).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+_TOKEN_HISTOGRAM_SQL = """
+SELECT (len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) // 50)::BIGINT
+         AS bucket,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# Upsert-path and cosine-metric index entries
+# ---------------------------------------------------------------------------
+
+
+def _ann_ivf_upsert_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert (Q12) + delete + vacuum (Q13) under the hash gate: build on
+    ~90% of the table, insert() the rest, delete() a deterministic slice,
+    compact() it away, then an exhaustive-probe search must equal
+    brute-force k-NN over exactly the surviving rows."""
+    import tempfile
+
+    from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
+
+    key = (sf_dir, "l2-upsert")
+    idx = _IVF_CACHE.get(key)
+    if idx is None:
+        emb = _read(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="vc_ivf_upsert_")
+        idx = IvfIndex.build(
+            spark,
+            emb.where(F.col("vec_id") % 10 != 7),
+            "vec_id",
+            "embedding",
+            path,
+            IvfOptions(metric="l2", lists=[16]),
+        )
+        idx.insert(emb.where(F.col("vec_id") % 10 == 7), "vec_id", "embedding")
+        idx.delete(emb.where(F.col("vec_id") % 17 == 3).select("vec_id"))
+        idx.compact()
+        _IVF_CACHE[key] = idx
+    res = idx.search(QUERY_VEC, k=10, probes=None, rerank_factor=None)
+    return res.select(F.col("id").alias("vec_id"), "dist")
+
+
+def _ann_ivf_upsert_sql() -> str:
+    return f"""
+SELECT vec_id, sqrt({_l2sq_chain("embedding", QUERY_VEC)}) AS dist
+FROM embeddings
+WHERE vec_id % 17 <> 3
+ORDER BY dist, vec_id
+LIMIT 10
+"""
+
+
+def _ann_ivf_cos_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-metric IVF (B2 normalize-on-store) through the hash gate:
+    exhaustive probes make the index exact, and the output distance is
+    recomputed with the same fold expression as the brute-force twin so
+    values (not just ids) hash-match."""
+    idx = _get_ivf_index(spark, sf_dir, "cos")
+    res = idx.search(QUERY_VEC, k=10, probes=None, rerank_factor=None)
+    emb = _read(spark, sf_dir, "embeddings")
+    qn = float(np.sqrt(np.sum(np.float64(QUERY_VEC) ** 2)))
+    dist = F.lit(1.0) - D.dot("embedding", D.vec_lit(QUERY_VEC)) / (
+        D.norm("embedding") * F.lit(qn)
+    )
+    return (
+        emb.join(F.broadcast(res.select(F.col("id").alias("vec_id"))), "vec_id")
+        .select("vec_id", dist.alias("dist"))
+        .orderBy("dist", "vec_id")
+    )
+
+
 def catalog() -> dict[str, Q]:
     return {
         "knn_l2": Q(_knn_fn("l2"), _knn_sql("l2"), headline=True),
@@ -1963,6 +2485,17 @@ def catalog() -> dict[str, Q]:
         "q4_priority": Q(_q4_fn, _Q4_SQL),
         "q14_promo": Q(_q14_fn, _Q14_SQL),
         "q10_returned": Q(_q10_fn, _Q10_SQL),
+        "q7_volume": Q(_q7_fn, _Q7_SQL),
+        "q13_custdist": Q(_q13_fn, _Q13_SQL),
+        "q15_topsupp": Q(_q15_fn, _Q15_SQL),
+        "q17_smallqty": Q(_q17_fn, _Q17_SQL),
+        "q18_bigorders": Q(_q18_fn, _Q18_SQL),
+        "q19_disjunct": Q(_q19_fn, _Q19_SQL),
+        "q22_idle_cust": Q(_q22_fn, _Q22_SQL),
+        "asof_join": Q(_asof_join_fn, _ASOF_JOIN_SQL, headline=True),
+        "range_join_count": Q(_range_join_fn, _RANGE_JOIN_SQL),
+        "quality_filter": Q(_quality_filter_fn, _QUALITY_FILTER_SQL),
+        "token_histogram": Q(_token_histogram_fn, _TOKEN_HISTOGRAM_SQL),
         "events_hourly": Q(_events_hourly_fn, _EVENTS_HOURLY_SQL),
         "events_rollup": Q(_events_rollup_fn, _EVENTS_ROLLUP_SQL),
         "events_json": Q(_events_json_fn, _EVENTS_JSON_SQL),
@@ -1997,6 +2530,8 @@ def catalog() -> dict[str, Q]:
         "dedup_groups": Q(_dedup_groups_fn, _dedup_groups_sql()),
         "embed_neardup_lsh": Q(_embed_neardup_lsh_fn, _embed_neardup_lsh_sql(), headline=True),
         "quantize_roundtrip": Q(_quantize_roundtrip_fn, _QUANTIZE_ROUNDTRIP_SQL),
+        "ann_ivf_upsert": Q(_ann_ivf_upsert_fn, _ann_ivf_upsert_sql()),
+        "ann_ivf_cos": Q(_ann_ivf_cos_fn, _knn_sql("cos")),
         "ann_ivf_rabitq8": Q(_ann_ivf_rabitq8_fn, _RECALL_CONTRACT_SQL, headline=True),
         "ann_graph": Q(_ann_graph_fn, _RECALL_CONTRACT_SQL, headline=True),
         "knn_batch_ivf": Q(_knn_batch_ivf_fn, _knn_batch_sql(), headline=True),
