@@ -68,3 +68,41 @@ def test_knn_is_take_ordered(spark, sf_dir):
     # column pruning: only vec_id + embedding read
     schemas = P.read_schemas(df)
     assert any("embedding" in s and "label" not in s for s in schemas), schemas
+
+
+def test_asof_join_is_single_shuffle_window(spark, sf_dir):
+    """The as-of join must be the union+window plan: exactly one hash
+    exchange on user_id feeding a Window — no join operator at all (a
+    join-based as-of fans out per key and dies on hot users at scale)."""
+    from vectorchord_spark.queries import catalog
+
+    df = catalog()["asof_join"].fn(spark, sf_dir)
+    plan = P.explain_str(df)
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoop" not in plan
+    # one exchange for the window partitioning (+ possibly one for the
+    # final orderBy's range partitioning) — but no join shuffles
+    n_hash_exchanges = plan.count("hashpartitioning")
+    assert n_hash_exchanges <= 2, plan
+
+
+def test_range_join_is_bucketed_equi_join(spark, sf_dir):
+    """The interval join must run as an equi-join on (user, hour-bucket)
+    with the range predicate residual — never a nested-loop/cartesian plan
+    (the naive inequality join Spark would otherwise pick)."""
+    from vectorchord_spark.queries import catalog
+
+    df = catalog()["range_join_count"].fn(spark, sf_dir)
+    plan = P.explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_pushes_disjunctive_part_filter(spark, sf_dir):
+    """Catalyst must extract the part-side disjunction (brand IN ... OR'd
+    triples imply p_brand/p_size constraints) into the parquet scan."""
+    from vectorchord_spark.queries import catalog
+
+    df = catalog()["q19_disjunct"].fn(spark, sf_dir)
+    pushed = P.pushed_filters(df)
+    assert any("p_brand" in f or "p_size" in f for f in pushed), pushed
