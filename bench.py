@@ -29,10 +29,11 @@ def main() -> None:
     # warm the JVM/parquet footer caches with one cheap action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    # two passes per query: the first pays one-time costs (python worker
-    # spawn, codegen, index build caches), the second measures steady-state
-    # serving — the regime the reference's QPS claims describe. Both totals
-    # are reported; the headline value is steady-state.
+    # first pass pays one-time costs (python worker spawn, codegen, index
+    # build caches); steady-state is then measured as the MEDIAN of
+    # n_warm repeated runs — single-sample timings at this scale carry
+    # 1.5-2x noise (observed r01 vs r02), medians make rounds comparable.
+    n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     for name, q in headline.items():
@@ -40,11 +41,16 @@ def main() -> None:
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()
         cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        warm = []
+        for _ in range(n_warm):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            warm.append(time.perf_counter() - t0)
+        warm.sort()
+        timings[name] = round(warm[len(warm) // 2], 3)
         print(
-            f"# {name}: cold={cold[name]:.3f}s warm={timings[name]:.3f}s rows={n}",
+            f"# {name}: cold={cold[name]:.3f}s warm_median={timings[name]:.3f}s "
+            f"(runs={['%.3f' % w for w in warm]}) rows={n}",
             file=sys.stderr,
         )
 

@@ -135,3 +135,67 @@ def test_graph_search_batch(spark, vec_df):
             assert len(by_q[qi]) == 10
             rec = len(set(by_q[qi]) & set(brute_topk(vec_df, q, 10))) / 10
             assert rec >= 0.8, (qi, rec)
+
+
+def test_graph_insert_delete_compact(spark, vec_df):
+    """vchordg DML lifecycle (insert.rs:34-395 + bulkdelete/vacuum): build
+    on a subset, incremental insert, tombstone delete, compact — the
+    exhaustive full-traversal search must equal brute force over exactly
+    the surviving rows at every stage."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(9)
+    q = [float(x) for x in rng.uniform(-1, 1, 16)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = VamanaIndex.build(
+            spark, vec_df.where("id < 2500"), "id", "vec", os.path.join(tmp, "g"),
+            VamanaOptions(metric="l2", m=24, ef_construction=48, n_shards=3),
+        )
+        idx.insert(vec_df.where("id >= 2500"), "id", "vec")
+        exact_all = brute_topk(vec_df, q, 10)
+        got = [
+            r.id
+            for r in idx.search(q, k=10, ef_search=1 << 20, probe_shards=None).collect()
+        ]
+        assert got == exact_all
+        idx.delete(vec_df.where(F.col("id") % 11 == 0).select("id"))
+        surviving = vec_df.where(F.col("id") % 11 != 0)
+        exact_surv = brute_topk(surviving, q, 10)
+        got2 = [
+            r.id
+            for r in idx.search(q, k=10, ef_search=1 << 20, probe_shards=None).collect()
+        ]
+        assert got2 == exact_surv
+        idx.compact()
+        assert not os.path.exists(idx._tombstones_path)
+        got3 = [
+            r.id
+            for r in idx.search(q, k=10, ef_search=1 << 20, probe_shards=None).collect()
+        ]
+        assert got3 == exact_surv
+        # degree bound survives the incremental inserts + rebuild (bridge
+        # edges from connectivity repair may exceed m by a handful)
+        import pandas as pd
+
+        deg = pd.read_parquet(idx.graph_path)["neighbors"].map(len)
+        assert deg.max() <= 24 + 8
+        assert deg.mean() <= 24
+
+
+def test_graph_insert_routed_recall(spark, vec_df):
+    """Inserted vectors must be findable through ROUTED (non-exhaustive)
+    search too — the closure assignment places them in the shards a nearby
+    query probes."""
+    rng = np.random.default_rng(21)
+    q = [float(x) for x in rng.uniform(-1, 1, 16)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = VamanaIndex.build(
+            spark, vec_df.where("id < 2500"), "id", "vec", os.path.join(tmp, "g"),
+            VamanaOptions(metric="l2", m=24, ef_construction=48, n_shards=4),
+        )
+        idx.insert(vec_df.where("id >= 2500"), "id", "vec")
+        exact = set(brute_topk(vec_df, q, 10))
+        got = {
+            r.id for r in idx.search(q, k=10, ef_search=64, probe_shards=3).collect()
+        }
+        assert len(got & exact) / 10.0 >= 0.9

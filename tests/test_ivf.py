@@ -341,3 +341,49 @@ def test_external_build(spark, clustered_df):
         exact = brute_topk(clustered_df, q, 10)
         got = [r.id for r in idx.search(q, k=10, probes=None, rerank_factor=None).collect()]
         assert got == exact
+
+
+def test_lazy_descent_matches_exact(spark, clustered_df):
+    """Lazy upper-level descent (search.rs:95-157: RaBitQ estimate + error
+    bound per level, exact re-score on pop) selects the same cells and
+    returns the same rows as exact-scored descent on a 3-level tree."""
+    from vectorchord_spark import kernels as K
+
+    rng = np.random.default_rng(31)
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build(
+            spark, clustered_df, "id", "vec", os.path.join(tmp, "idx"),
+            IvfOptions(metric="l2", lists=[2, 8, 32]),
+        )
+        for probes in ([1, 3, 8], [2, 4, 16], [1, 1, 4]):
+            q = rng.uniform(-1, 1, 8).astype(np.float32)
+            q_rot = K.rotate(q)
+            lazy = sorted(int(c) for c in idx._descend(q_rot, probes, lazy=True))
+            exact = sorted(int(c) for c in idx._descend(q_rot, probes, lazy=False))
+            assert lazy == exact
+            r_lazy = idx.search(
+                [float(x) for x in q], k=10, probes=probes, lazy_descent=True
+            ).collect()
+            r_exact = idx.search([float(x) for x in q], k=10, probes=probes).collect()
+            assert [(r.id, round(r.dist, 9)) for r in r_lazy] == [
+                (r.id, round(r.dist, 9)) for r in r_exact
+            ]
+
+
+def test_persisted_rdds_bounded_across_searches(spark, clustered_df):
+    """Serving processes must not leak block-manager entries: 50 probed
+    searches (each persists a scored DF) leave at most a constant number of
+    persistent RDDs (the bounded one-outstanding-per-index policy)."""
+    rng = np.random.default_rng(41)
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build(
+            spark, clustered_df, "id", "vec", os.path.join(tmp, "idx"),
+            IvfOptions(metric="l2", lists=[33]),
+        )
+        jsc = spark.sparkContext._jsc.sc()
+        idx.search(rng.uniform(-1, 1, 8).tolist(), k=5, probes=8).count()
+        baseline = jsc.getPersistentRDDs().size()
+        for _ in range(50):
+            q = rng.uniform(-1, 1, 8).tolist()
+            idx.search(q, k=5, probes=8).count()
+        assert jsc.getPersistentRDDs().size() <= baseline + 1

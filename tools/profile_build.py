@@ -1,0 +1,90 @@
+"""Profile the IVF build phases (sample / k-means / encode+write) on the
+bench's synthetic 250k x 64d workload to locate the throughput bottleneck.
+Diagnostic only."""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+from typing import Iterator
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+
+def main() -> None:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from vectorchord_spark import IvfIndex, IvfOptions
+    from vectorchord_spark.session import get_spark
+
+    n_rows = int(os.environ.get("ROWS", "250000"))
+    dim = 64
+    spark = get_spark(app_name="vc-build-profile")
+
+    n_centers = 2000
+    centers = np.random.default_rng(77).standard_normal((n_centers, dim)) * 2.0
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64)
+            rng = np.random.default_rng(ids[0] if len(ids) else 0)
+            noise = 0.25 * rng.standard_normal((len(ids), dim))
+            vecs = (centers[ids % n_centers] + noise).astype(np.float32)
+            yield pd.DataFrame({"id": ids, "vec": list(vecs)})
+
+    df = (
+        spark.range(n_rows, numPartitions=32)
+        .mapInPandas(gen, "id long, vec array<float>")
+        .persist()
+    )
+    df.count()
+
+    n_lists = max(16, int(n_rows**0.5))
+    opts = IvfOptions(
+        metric="l2", lists=[n_lists], build_hierarchical=True, sampling_factor=64
+    )
+
+    # instrument build phases by monkeypatching
+    import vectorchord_spark.operators.ivf as ivf_mod
+    import vectorchord_spark.operators.kmeans as km_mod
+
+    t_marks = {}
+    orig_hier = km_mod.hierarchical
+    orig_encode = IvfIndex._encode_and_write
+
+    def timed_hier(*a, **kw):
+        t0 = time.perf_counter()
+        r = orig_hier(*a, **kw)
+        t_marks["kmeans"] = time.perf_counter() - t0
+        return r
+
+    def timed_encode(self, src, mode):
+        t0 = time.perf_counter()
+        r = orig_encode(self, src, mode)
+        t_marks["encode"] = time.perf_counter() - t0
+        return r
+
+    km_mod.hierarchical = timed_hier
+    ivf_mod.KM.hierarchical = timed_hier
+    IvfIndex._encode_and_write = timed_encode
+
+    path = tempfile.mkdtemp(prefix="vc_profile_") + "/idx"
+    t0 = time.perf_counter()
+    IvfIndex.build(spark, df, "id", "vec", path, opts)
+    total = time.perf_counter() - t0
+    sample_etc = total - t_marks.get("kmeans", 0) - t_marks.get("encode", 0)
+    print(
+        f"rows={n_rows} total={total:.1f}s ({n_rows / total:,.0f} rows/s) | "
+        f"sample+misc={sample_etc:.1f}s kmeans={t_marks.get('kmeans', 0):.1f}s "
+        f"encode={t_marks.get('encode', 0):.1f}s"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -158,6 +158,67 @@ def _beam_search(
     return sorted((-d, u) for d, u in worst)
 
 
+def _robust_prune(
+    v64: np.ndarray,
+    metric: str,
+    alphas: list[float],
+    m: int,
+    p: int,
+    cand: list[tuple[float, int]],
+) -> list[int]:
+    """RobustPrune (re-expressed from
+    /root/reference/crates/vchordg/src/prune.rs:19-72): keep nearest-first
+    candidate u iff ∀ kept v: d(p,u) < α·d(u,v); leftovers retried at the
+    next α; backfill nearest pruned up to m."""
+    seen: dict[int, float] = {}
+    for d, u in cand:
+        if u != p and u not in seen:
+            seen[u] = d
+    if not seen:
+        return []
+    order = sorted(seen.items(), key=lambda kv: kv[1])
+    ids = np.array([u for u, _ in order], np.int64)
+    d_p = np.array([d for _, d in order])
+    c = len(ids)
+    # pairwise candidate distances in one shot
+    cm = v64[ids]
+    if metric == "l2":
+        sq = np.einsum("ij,ij->i", cm, cm)
+        pair = sq[:, None] + sq[None, :] - 2.0 * (cm @ cm.T)
+    else:
+        pair = -(cm @ cm.T)
+    kept: list[int] = []
+    taken = np.zeros(c, bool)
+    for alpha in alphas:
+        if len(kept) == m:
+            break
+        # eligible now = untaken candidates compatible (at this alpha)
+        # with everything already kept; greedy pick nearest, then
+        # eliminate in one vector op everything the pick invalidates
+        if kept:
+            elig = ~taken & np.all(
+                d_p[:, None] < alpha * pair[:, kept], axis=1
+            )
+        else:
+            elig = ~taken
+        while len(kept) < m:
+            idxs = np.nonzero(elig)[0]
+            if not len(idxs):
+                break
+            pick = int(idxs[0])
+            kept.append(pick)
+            taken[pick] = True
+            elig &= d_p < alpha * pair[:, pick]
+            elig[pick] = False
+    for idx in range(c):
+        if len(kept) >= m:
+            break
+        if not taken[idx]:
+            kept.append(idx)
+            taken[idx] = True
+    return [int(ids[i]) for i in kept]
+
+
 def _build_vamana(
     vecs: np.ndarray, opts: VamanaOptions, rng: np.random.Generator
 ) -> tuple[list[list[int]], int]:
@@ -176,53 +237,7 @@ def _build_vamana(
     adj: list[list[int]] = [[] for _ in range(n)]
 
     def robust_prune(p: int, cand: list[tuple[float, int]]) -> list[int]:
-        seen: dict[int, float] = {}
-        for d, u in cand:
-            if u != p and u not in seen:
-                seen[u] = d
-        if not seen:
-            return []
-        order = sorted(seen.items(), key=lambda kv: kv[1])
-        ids = np.array([u for u, _ in order], np.int64)
-        d_p = np.array([d for _, d in order])
-        c = len(ids)
-        # pairwise candidate distances in one shot
-        cm = v64[ids]
-        if metric == "l2":
-            sq = np.einsum("ij,ij->i", cm, cm)
-            pair = sq[:, None] + sq[None, :] - 2.0 * (cm @ cm.T)
-        else:
-            pair = -(cm @ cm.T)
-        kept: list[int] = []
-        taken = np.zeros(c, bool)
-        for alpha in alphas:
-            if len(kept) == m:
-                break
-            # eligible now = untaken candidates compatible (at this alpha)
-            # with everything already kept; greedy pick nearest, then
-            # eliminate in one vector op everything the pick invalidates
-            if kept:
-                elig = ~taken & np.all(
-                    d_p[:, None] < alpha * pair[:, kept], axis=1
-                )
-            else:
-                elig = ~taken
-            while len(kept) < m:
-                idxs = np.nonzero(elig)[0]
-                if not len(idxs):
-                    break
-                pick = int(idxs[0])
-                kept.append(pick)
-                taken[pick] = True
-                elig &= d_p < alpha * pair[:, pick]
-                elig[pick] = False
-        for idx in range(c):
-            if len(kept) >= m:
-                break
-            if not taken[idx]:
-                kept.append(idx)
-                taken[idx] = True
-        return [int(ids[i]) for i in kept]
+        return _robust_prune(v64, metric, alphas, m, p, cand)
 
     def exact_fn(vq: np.ndarray):
         def fn(idx: np.ndarray) -> np.ndarray:
@@ -325,6 +340,86 @@ def _make_dist_fn(metric: str, bits: int, grp: pd.DataFrame, dim: int, q_rot: np
     return fn2
 
 
+def _make_assign_fn(bc_cents, metric: str, repl: int, eps: float):
+    """Closure-assignment mapInPandas fn (SPANN-style): primary shard =
+    argmin centroid distance; replicate into up to ``repl`` nearest shards
+    whose distance is within the closure factor of the minimum."""
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc_cents.value
+        c2 = np.einsum("ij,ij->i", c, c)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack([np.asarray(v, np.float32) for v in pdf["vec"]])
+            if metric == "dot":
+                d = -(mat @ c.T)
+            else:
+                # squared l2 up to the constant |x|^2 (argmin/closure
+                # ratios need the true squared distance, so add it)
+                x2 = np.einsum("ij,ij->i", mat, mat)
+                d = x2[:, None] + c2[None, :] - 2.0 * (mat @ c.T)
+            order = np.argsort(d, axis=1, kind="stable")[:, :repl]
+            d_min = d.min(axis=1)
+            if metric == "dot":
+                thresh = d_min + eps * np.abs(d_min)
+            else:
+                thresh = (1.0 + eps) ** 2 * np.maximum(d_min, 0.0)
+            ids = pdf["id"].to_numpy(np.int64)
+            vecs = list(mat)
+            out_id, out_vec, out_shard, out_prim = [], [], [], []
+            for r in range(repl):
+                s = order[:, r]
+                keep = (
+                    np.ones(len(ids), bool)
+                    if r == 0
+                    else d[np.arange(len(ids)), s] <= thresh
+                )
+                idxs = np.nonzero(keep)[0]
+                out_id.append(ids[idxs])
+                out_vec.extend(vecs[i] for i in idxs)
+                out_shard.append(s[idxs].astype(np.int32))
+                out_prim.append(np.full(len(idxs), r == 0, bool))
+            yield pd.DataFrame(
+                {
+                    "id": np.concatenate(out_id),
+                    "vec": out_vec,
+                    "shard": np.concatenate(out_shard),
+                    "is_primary": np.concatenate(out_prim),
+                }
+            )
+
+    return assign
+
+
+def _vertex_codes(vecs: np.ndarray, bits: int) -> dict:
+    """Quantized vertex payload columns for a batch of vectors (the
+    reference's 1/2-bit RaBitQ vertex storage, crates/rabitq/src/bits.rs)."""
+    rot = K.rotate(vecs)
+    n = len(vecs)
+    if bits == 1:
+        cm = K.bit_code(rot)
+        return {
+            "dis_u_2": cm["dis_u_2"],
+            "factor_cnt": cm["factor_cnt"],
+            "factor_ip": cm["factor_ip"],
+            "factor_err": cm["factor_err"],
+            "ext_dis_u_2": np.zeros(n, np.float32),
+            "ext_nol": np.zeros(n, np.float32),
+            "code": K.pack_bits(cm["signs"]),
+        }
+    ext = K.extended_code(rot, 2)
+    return {
+        "dis_u_2": np.zeros(n, np.float32),
+        "factor_cnt": np.zeros(n, np.float32),
+        "factor_ip": np.zeros(n, np.float32),
+        "factor_err": np.zeros(n, np.float32),
+        "ext_dis_u_2": ext["dis_u_2"],
+        "ext_nol": ext["norm_of_lattice"],
+        "code": K.pack_nibbles(ext["code"]),
+    }
+
+
 class VamanaIndex:
     def __init__(self, spark: SparkSession, path: str):
         from vectorchord_spark.session import ensure_worker_imports
@@ -338,7 +433,12 @@ class VamanaIndex:
 
     @property
     def graph_path(self) -> str:
-        return os.path.join(self.path, "graph")
+        v = self.meta.get("graph_version", 0)
+        return os.path.join(self.path, "graph" if v == 0 else f"graph_v{v}")
+
+    @property
+    def _tombstones_path(self) -> str:
+        return os.path.join(self.path, "tombstones")
 
     @classmethod
     def build(
@@ -386,57 +486,9 @@ class VamanaIndex:
         repl = min(int(opts.replication), int(n_shards))
         eps = float(opts.closure_epsilon)
 
-        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            # closure assignment (SPANN-style): primary shard = argmin
-            # centroid distance; additionally replicate into up to `repl`
-            # nearest shards whose distance is within the closure factor of
-            # the minimum, so boundary vectors are present in the shards a
-            # nearby query is likely to route to
-            c = bc_cents.value
-            c2 = np.einsum("ij,ij->i", c, c)
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                mat = np.stack([np.asarray(v, np.float32) for v in pdf["vec"]])
-                if metric == "dot":
-                    d = -(mat @ c.T)
-                else:
-                    # squared l2 up to the constant |x|^2 (argmin/closure
-                    # ratios need the true squared distance, so add it)
-                    x2 = np.einsum("ij,ij->i", mat, mat)
-                    d = x2[:, None] + c2[None, :] - 2.0 * (mat @ c.T)
-                order = np.argsort(d, axis=1, kind="stable")[:, :repl]
-                d_min = d.min(axis=1)
-                if metric == "dot":
-                    thresh = d_min + eps * np.abs(d_min)
-                else:
-                    thresh = (1.0 + eps) ** 2 * np.maximum(d_min, 0.0)
-                ids = pdf["id"].to_numpy(np.int64)
-                vecs = list(mat)
-                out_id, out_vec, out_shard, out_prim = [], [], [], []
-                for r in range(repl):
-                    s = order[:, r]
-                    keep = (
-                        np.ones(len(ids), bool)
-                        if r == 0
-                        else d[np.arange(len(ids)), s] <= thresh
-                    )
-                    idxs = np.nonzero(keep)[0]
-                    out_id.append(ids[idxs])
-                    out_vec.extend(vecs[i] for i in idxs)
-                    out_shard.append(s[idxs].astype(np.int32))
-                    out_prim.append(np.full(len(idxs), r == 0, bool))
-                yield pd.DataFrame(
-                    {
-                        "id": np.concatenate(out_id),
-                        "vec": out_vec,
-                        "shard": np.concatenate(out_shard),
-                        "is_primary": np.concatenate(out_prim),
-                    }
-                )
-
         assigned = src.mapInPandas(
-            assign, "id long, vec array<float>, shard int, is_primary boolean"
+            _make_assign_fn(bc_cents, metric, repl, eps),
+            "id long, vec array<float>, shard int, is_primary boolean",
         )
 
         opts_d = asdict(opts)
@@ -449,30 +501,7 @@ class VamanaIndex:
             vecs = np.stack([np.asarray(v, np.float32) for v in pdf["vec"]])
             rng = np.random.default_rng(seed + shard)
             adj, medoid = _build_vamana(vecs, o, rng)
-            rot = K.rotate(vecs)
             n = len(vecs)
-            if bits == 1:
-                cm = K.bit_code(rot)
-                codes = K.pack_bits(cm["signs"])
-                out_meta = {
-                    "dis_u_2": cm["dis_u_2"],
-                    "factor_cnt": cm["factor_cnt"],
-                    "factor_ip": cm["factor_ip"],
-                    "factor_err": cm["factor_err"],
-                    "ext_dis_u_2": np.zeros(n, np.float32),
-                    "ext_nol": np.zeros(n, np.float32),
-                }
-            else:
-                ext = K.extended_code(rot, 2)
-                codes = K.pack_nibbles(ext["code"])
-                out_meta = {
-                    "dis_u_2": np.zeros(n, np.float32),
-                    "factor_cnt": np.zeros(n, np.float32),
-                    "factor_ip": np.zeros(n, np.float32),
-                    "factor_err": np.zeros(n, np.float32),
-                    "ext_dis_u_2": ext["dis_u_2"],
-                    "ext_nol": ext["norm_of_lattice"],
-                }
             return pd.DataFrame(
                 {
                     "shard": shard,
@@ -482,8 +511,7 @@ class VamanaIndex:
                     "is_primary": pdf["is_primary"].to_numpy(bool),
                     "neighbors": [np.asarray(a, np.int32) for a in adj],
                     "vec": list(vecs),
-                    **out_meta,
-                    "code": codes,
+                    **_vertex_codes(vecs, bits),
                 }
             )
 
@@ -501,6 +529,273 @@ class VamanaIndex:
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
         return cls(spark, path)
+
+    # ------------------------------------------------------------------
+    # DML: insert / delete / compact (the vchordg incremental lifecycle,
+    # /root/reference/crates/vchordg/src/insert.rs:34-395 + bulkdelete)
+    # ------------------------------------------------------------------
+
+    def _write_version(self, updated: DataFrame, affected: list[int]) -> None:
+        """Write ``updated`` (the full new content of the affected shards)
+        to the next graph version dir; unaffected shard partitions are
+        hardlinked from the previous version (locally — on a real
+        deployment this is a metastore partition-pointer swap). Versioning
+        keeps earlier lazy search DataFrames collectable, mirroring
+        IvfIndex.compact's snapshot-ish policy."""
+        old_path = self.graph_path
+        old_v = self.meta.get("graph_version", 0)
+        new_v = old_v + 1
+        new_path = os.path.join(self.path, f"graph_v{new_v}")
+        (
+            updated.repartition(F.col("shard"))
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(new_path)
+        )
+        aff = {int(s) for s in affected}
+        for entry in os.listdir(old_path):
+            if not entry.startswith("shard="):
+                continue
+            if int(entry.split("=", 1)[1]) in aff:
+                continue
+            src_dir = os.path.join(old_path, entry)
+            dst_dir = os.path.join(new_path, entry)
+            os.makedirs(dst_dir, exist_ok=True)
+            for f_name in os.listdir(src_dir):
+                try:
+                    os.link(
+                        os.path.join(src_dir, f_name),
+                        os.path.join(dst_dir, f_name),
+                    )
+                except OSError:
+                    import shutil
+
+                    shutil.copy2(
+                        os.path.join(src_dir, f_name),
+                        os.path.join(dst_dir, f_name),
+                    )
+        self.meta["graph_version"] = new_v
+        with open(os.path.join(self.path, "meta.json"), "w") as f:
+            json.dump(self.meta, f)
+        # reclaim the version *before* the one we just superseded
+        if old_v >= 1:
+            import shutil
+
+            stale = "graph" if old_v == 1 else f"graph_v{old_v - 1}"
+            shutil.rmtree(os.path.join(self.path, stale), ignore_errors=True)
+
+    def insert(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> None:
+        """Incremental insert mirroring the reference's per-row protocol
+        (crates/vchordg/src/insert.rs:34-395): per new vector — greedy beam
+        search for ``ef_construction`` candidate neighbors → RobustPrune
+        with the ascending alpha schedule → bidirectional edge insert with
+        re-prune of overflowing neighbors. Rows route to shards with the
+        same closure assignment as the build, so each affected shard
+        performs its inserts independently (executor-local), and only
+        affected shard partitions are rewritten."""
+        meta = self.meta
+        opts_d = {
+            k: meta[k]
+            for k in (
+                "metric", "m", "ef_construction", "alpha", "bits",
+                "replication", "closure_epsilon", "seed",
+            )
+        }
+        metric = meta["metric"]
+        bits = int(meta.get("bits", 1))
+        src = df.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+        )
+        if metric == "cos":
+            src = src.select("id", D.normalize("vec").cast("array<float>").alias("vec"))
+        cents = np.asarray(self.centroids, np.float32)
+        bc_cents = self.spark.sparkContext.broadcast(cents)
+        repl = min(int(meta["replication"]), int(meta["n_shards"]))
+        assigned = src.mapInPandas(
+            _make_assign_fn(bc_cents, metric, repl, float(meta["closure_epsilon"])),
+            "id long, vec array<float>, shard int, is_primary boolean",
+        )
+        affected = [
+            int(r.shard) for r in assigned.select("shard").distinct().collect()
+        ]
+        if not affected:
+            return
+        old = (
+            self.spark.read.parquet(self.graph_path)
+            .where(F.col("shard").isin(affected))
+            .withColumn("_new", F.lit(False))
+        )
+        new = assigned.select(
+            "shard",
+            "id",
+            F.lit(-1).cast("int").alias("row_no"),
+            F.lit(-1).cast("int").alias("medoid_row"),
+            "is_primary",
+            F.lit(None).cast("array<int>").alias("neighbors"),
+            "vec",
+            *[
+                F.lit(None).cast("float").alias(c)
+                for c in (
+                    "dis_u_2", "factor_cnt", "factor_ip", "factor_err",
+                    "ext_dis_u_2", "ext_nol",
+                )
+            ],
+            F.lit(None).cast("binary").alias("code"),
+            F.lit(True).alias("_new"),
+        )
+
+        def insert_shard(grp: pd.DataFrame) -> pd.DataFrame:
+            o = VamanaOptions(**opts_d)
+            shard = int(grp["shard"].iloc[0])
+            olds = grp[~grp["_new"]].sort_values("row_no")
+            news = grp[grp["_new"]].sort_values("id")
+            new_vecs = (
+                np.stack([np.asarray(v, np.float32) for v in news["vec"]])
+                if len(news)
+                else np.zeros((0, 1), np.float32)
+            )
+            if not len(olds):
+                # shard had no rows yet: fresh build over the inserts
+                rng = np.random.default_rng(o.seed + shard)
+                adj, medoid = _build_vamana(new_vecs, o, rng)
+                n = len(new_vecs)
+                return pd.DataFrame(
+                    {
+                        "shard": shard,
+                        "id": news["id"].to_numpy(np.int64),
+                        "row_no": np.arange(n, dtype=np.int32),
+                        "medoid_row": np.full(n, medoid, np.int32),
+                        "is_primary": news["is_primary"].to_numpy(bool),
+                        "neighbors": [np.asarray(a, np.int32) for a in adj],
+                        "vec": list(new_vecs),
+                        **_vertex_codes(new_vecs, bits),
+                    }
+                )
+            old_vecs = np.stack([np.asarray(v, np.float32) for v in olds["vec"]])
+            v64 = np.concatenate([old_vecs, new_vecs]).astype(np.float64)
+            adj = [list(np.asarray(a, np.int64)) for a in olds["neighbors"]]
+            medoid = int(olds["medoid_row"].iloc[0])
+            internal = "l2" if o.metric == "l2" else "dot"
+            alphas = o.alpha if internal == "l2" else [1.0]
+            m = o.m
+            n_old = len(olds)
+            for j, _ in enumerate(news.itertuples()):
+                i = n_old + j
+                exact_fn = lambda idx: _dists(internal, v64[idx], v64[i])  # noqa: B023,E731
+                cand = _beam_search(exact_fn, adj, medoid, o.ef_construction)
+                adj.append(_robust_prune(v64, internal, alphas, m, i, cand))
+                # bidirectional edges with re-prune on overflow
+                # (insert.rs:235-395)
+                for nb in adj[i]:
+                    if i not in adj[nb]:
+                        adj[nb].append(i)
+                        if len(adj[nb]) > m:
+                            nd = _dists(internal, v64[adj[nb]], v64[nb])
+                            adj[nb] = _robust_prune(
+                                v64, internal, alphas, m, nb,
+                                list(zip(nd.tolist(), adj[nb])),
+                            )
+            n = n_old + len(news)
+            all_vecs = v64.astype(np.float32)
+            return pd.DataFrame(
+                {
+                    "shard": shard,
+                    "id": np.concatenate(
+                        [
+                            olds["id"].to_numpy(np.int64),
+                            news["id"].to_numpy(np.int64),
+                        ]
+                    ),
+                    "row_no": np.arange(n, dtype=np.int32),
+                    "medoid_row": np.full(n, medoid, np.int32),
+                    "is_primary": np.concatenate(
+                        [
+                            olds["is_primary"].to_numpy(bool),
+                            news["is_primary"].to_numpy(bool),
+                        ]
+                    ),
+                    "neighbors": [np.asarray(a, np.int32) for a in adj],
+                    "vec": list(all_vecs),
+                    **_vertex_codes(all_vecs, bits),
+                }
+            )
+
+        updated = (
+            old.unionByName(new)
+            .groupBy("shard")
+            .applyInPandas(insert_shard, GRAPH_SCHEMA)
+        )
+        self._write_version(updated, affected)
+
+    def delete(self, ids: "list[int] | DataFrame") -> None:
+        """Logical delete via tombstones: the vertex stays a traversal
+        waypoint but is excluded from results (the reference's
+        payload-nulled vertices pending vacuum); compact() rebuilds."""
+        if isinstance(ids, DataFrame):
+            tomb = ids.select(F.col(ids.columns[0]).cast("long").alias("id"))
+        else:
+            tomb = self.spark.createDataFrame([(int(i),) for i in ids], "id long")
+        tomb.write.mode("append").parquet(self._tombstones_path)
+
+    def compact(self) -> None:
+        """Vacuum: rebuild every shard containing tombstoned vertices
+        without them (shard-local Vamana rebuild — adjacency is positional,
+        so removal requires a rebuild; the reference's vacuum similarly
+        rewrites vertex pages), then drop the tombstones."""
+        if not os.path.exists(self._tombstones_path):
+            return
+        tomb = self.spark.read.parquet(self._tombstones_path)
+        g = self.spark.read.parquet(self.graph_path)
+        affected = [
+            int(r.shard)
+            for r in g.join(F.broadcast(tomb), "id", "left_semi")
+            .select("shard")
+            .distinct()
+            .collect()
+        ]
+        if affected:
+            opts_d = {
+                k: self.meta[k]
+                for k in (
+                    "metric", "m", "ef_construction", "alpha", "bits",
+                    "replication", "closure_epsilon", "seed",
+                )
+            }
+            bits = int(self.meta.get("bits", 1))
+
+            def rebuild_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+                o = VamanaOptions(**opts_d)
+                shard = int(pdf["shard"].iloc[0])
+                pdf = pdf.sort_values("id")
+                vecs = np.stack([np.asarray(v, np.float32) for v in pdf["vec"]])
+                rng = np.random.default_rng(o.seed + shard)
+                adj, medoid = _build_vamana(vecs, o, rng)
+                n = len(vecs)
+                return pd.DataFrame(
+                    {
+                        "shard": shard,
+                        "id": pdf["id"].to_numpy(np.int64),
+                        "row_no": np.arange(n, dtype=np.int32),
+                        "medoid_row": np.full(n, medoid, np.int32),
+                        "is_primary": pdf["is_primary"].to_numpy(bool),
+                        "neighbors": [np.asarray(a, np.int32) for a in adj],
+                        "vec": list(vecs),
+                        **_vertex_codes(vecs, bits),
+                    }
+                )
+
+            survivors = (
+                g.where(F.col("shard").isin(affected))
+                .join(F.broadcast(tomb), "id", "left_anti")
+                .select("shard", "id", "is_primary", "vec")
+            )
+            updated = survivors.groupBy("shard").applyInPandas(
+                rebuild_shard, GRAPH_SCHEMA
+            )
+            self._write_version(updated, affected)
+        import shutil
+
+        shutil.rmtree(self._tombstones_path, ignore_errors=True)
 
     # ------------------------------------------------------------------
 
@@ -529,11 +824,19 @@ class VamanaIndex:
     def _rescore_src(self, shards: list[int]) -> DataFrame:
         # replicas carry the same (id, vec), so the rescore join may see an
         # id twice; the caller dedupes on (id, dist) — identical rows —
-        # after computing distances (cheap: candidate sets are tiny)
+        # after computing distances (cheap: candidate sets are tiny).
+        # Tombstoned ids stay in the graph as traversal waypoints (the
+        # reference nulls the payload but keeps the vertex until vacuum,
+        # crates/vchordg analogue of bulkdelete) — they are filtered from
+        # the RESULT here, not from the traversal.
         df = self.spark.read.parquet(self.graph_path)
         if len(shards) < self.meta["n_shards"]:
             df = df.where(F.col("shard").isin(shards))
-        return df.select("id", "vec")
+        df = df.select("id", "vec")
+        if os.path.exists(self._tombstones_path):
+            tomb = self.spark.read.parquet(self._tombstones_path)
+            df = df.join(F.broadcast(tomb), "id", "left_anti")
+        return df
 
     def search(
         self,

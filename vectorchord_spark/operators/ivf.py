@@ -542,9 +542,82 @@ class IvfIndex:
     # Search
     # ------------------------------------------------------------------
 
-    def _descend(self, q_rot: np.ndarray, probes: list[int] | None) -> np.ndarray:
+    def _level_bits(self, lvl: int) -> dict:
+        """1-bit RaBitQ codes of a centroid level, computed once per index
+        object (the analogue of the reference's H1 tapes of packed child
+        codes, crates/vchordrq/src/tuples.rs:783)."""
+        cache = getattr(self, "_level_bits_cache", None)
+        if cache is None:
+            cache = self._level_bits_cache = {}
+        if lvl not in cache:
+            cm = K.bit_code(self.levels[lvl]["vec_rot"])
+            cache[lvl] = {"signs": cm["signs"].astype(np.int64), "meta": cm}
+        return cache[lvl]
+
+    def _lazy_select(
+        self,
+        lvl: int,
+        cand: np.ndarray,
+        q_rot: np.ndarray,
+        n_keep: int,
+        epsilon: float = 1.9,
+    ) -> np.ndarray:
+        """Lazy candidate selection for one descent level (re-expressed from
+        /root/reference/crates/vchordrq/src/search.rs:95-157): score the
+        candidates with the RaBitQ estimate + error bound, then exact-score
+        them in ascending lower-bound order, stopping once the n_keep-th
+        best exact distance can no longer be beaten by any remaining lower
+        bound — deep trees touch exact centroid vectors only for the
+        candidates that matter."""
+        import heapq
+
+        metric = self.meta["metric"]
+        internal = "l2" if metric == "l2" else "dot"
+        lb_data = self._level_bits(lvl)
+        lut = K.binary_lut(q_rot)
+        sums = lb_data["signs"][cand] @ lut["qvector"].astype(np.int64)
+        sub = {
+            k: lb_data["meta"][k][cand]
+            for k in ("dis_u_2", "factor_cnt", "factor_ip", "factor_err")
+        }
+        if internal == "l2":
+            rough, err = K.rough_l2(sums, sub, lut)
+        else:
+            rough, err = K.rough_dot(sums, sub, lut)
+        lb = rough - epsilon * err
+        order = np.argsort(lb, kind="stable")
+        vecs = self.levels[lvl]["vec_rot"].astype(np.float64)
+        q64 = q_rot.astype(np.float64)
+        heap: list[float] = []  # max-heap (negated) of the n_keep best exact
+        selected: list[tuple[float, int]] = []
+        for oi in order:
+            ci = int(cand[oi])
+            if len(heap) >= n_keep and -heap[0] <= lb[oi]:
+                break
+            if internal == "l2":
+                d = float(((vecs[ci] - q64) ** 2).sum())
+            else:
+                d = float(-(vecs[ci] @ q64))
+            selected.append((d, ci))
+            if len(heap) < n_keep:
+                heapq.heappush(heap, -d)
+            else:
+                heapq.heappushpop(heap, -d)
+        selected.sort()
+        return np.array([ci for _, ci in selected[:n_keep]], np.int64)
+
+    def _descend(
+        self,
+        q_rot: np.ndarray,
+        probes: list[int] | None,
+        lazy: bool = False,
+    ) -> np.ndarray:
         """Centroid-tree descent on the driver (the tree is small/broadcast;
-        mirrors /root/reference/crates/vchordrq/src/search.rs:95-157)."""
+        mirrors /root/reference/crates/vchordrq/src/search.rs:95-157).
+        ``lazy=True`` scores each level with RaBitQ estimates + error
+        bounds and exact-rescoring on pop (the reference's default); the
+        default scores every candidate exactly (equivalent selection when
+        the ε bounds hold, cheaper for shallow trees)."""
         metric = self.meta["metric"]
         if probes is not None and len(probes) != len(self.levels):
             raise ValueError(
@@ -557,12 +630,15 @@ class IvfIndex:
                 cand = np.where(mask)[0]
             else:
                 cand = keep
-            vecs = level["vec_rot"][cand].astype(np.float64)
-            if metric in ("l2", "cos"):
-                dist = ((vecs - q_rot.astype(np.float64)) ** 2).sum(axis=1)
-            else:
-                dist = -(vecs @ q_rot.astype(np.float64))
             if probes is not None and probes[lvl] < len(cand):
+                if lazy:
+                    keep = self._lazy_select(lvl, cand, q_rot, probes[lvl])
+                    continue
+                vecs = level["vec_rot"][cand].astype(np.float64)
+                if metric in ("l2", "cos"):
+                    dist = ((vecs - q_rot.astype(np.float64)) ** 2).sum(axis=1)
+                else:
+                    dist = -(vecs @ q_rot.astype(np.float64))
                 order = np.argpartition(dist, probes[lvl])[: probes[lvl]]
                 keep = cand[order]
             else:
@@ -590,6 +666,7 @@ class IvfIndex:
         prefilter: DataFrame | None = None,
         base_df: DataFrame | None = None,
         guarantee: bool = True,
+        lazy_descent: bool = False,
     ) -> DataFrame:
         """k-NN search returning a DataFrame (id, dist) ordered by distance.
 
@@ -626,7 +703,7 @@ class IvfIndex:
         q_rot = K.rotate(q)
         if isinstance(probes, int):
             probes = [len(lv["parent"]) for lv in self.levels[:-1]] + [probes]
-        probed = self._descend(q_rot, probes)
+        probed = self._descend(q_rot, probes, lazy=lazy_descent)
         if len(probed) == 0:
             return self._empty_result()
 
@@ -1081,29 +1158,31 @@ class IvfIndex:
         if not guarantee:
             return rerank(pass1)
         # per-query guarantee pass (the batch analogue of the single-query
-        # lazy-rerank contract): rerank everything with lb ≤ the query's
-        # k-th exact distance from pass 1
-        top = rerank(pass1).collect()
-        kth: dict[int, float] = {}
-        counts: dict[int, int] = {}
-        for r in top:
-            counts[r.qid] = counts.get(r.qid, 0) + 1
-            kth[r.qid] = max(kth.get(r.qid, -np.inf), float(r.dist))
-        thresh = []
-        for qi in range(nq):
-            if counts.get(qi, 0) < k:
-                thresh.append(np.inf)
-                continue
-            d_k = kth[qi]
-            if metric == "l2":
-                thresh.append(d_k * d_k)
-            elif metric == "cos":
-                thresh.append(d_k - 1.0)
-            else:
-                thresh.append(d_k)
-        thresh_arr = F.array(*[F.lit(float(t)) for t in thresh])
+        # lazy-rerank contract) as ONE lazy plan: each query's k-th pass-1
+        # exact distance reaches the lb filter as a broadcast nq-row join —
+        # the same no-mid-plan-collect shape as the single-query path
+        if metric == "l2":
+            t = F.col("d_k") * F.col("d_k")
+        elif metric == "cos":
+            t = F.col("d_k") - F.lit(1.0)
+        else:
+            t = F.col("d_k")
+        thresh_df = (
+            rerank(pass1)
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("n_top"), F.max("dist").alias("d_k"))
+            .select(
+                "qid",
+                F.when(F.col("n_top") < int(k), F.lit(float("inf")))
+                .otherwise(t.cast("double"))
+                .alias("_thresh"),
+            )
+        )
         final_cand = (
-            scored.where(F.col("lb") <= F.element_at(thresh_arr, F.col("qid") + 1))
+            # left join: a query with NO pass-1 rows at all has no threshold
+            # row — treat as +inf (rerank everything it scored)
+            scored.join(F.broadcast(thresh_df), "qid", "left")
+            .where(F.col("lb") <= F.coalesce(F.col("_thresh"), F.lit(float("inf"))))
             .select("qid", "id")
             .unionAll(pass1)
             .distinct()

@@ -24,6 +24,17 @@ from pyspark.sql import functions as F
 from vectorchord_spark.operators.ivf import IvfIndex
 
 
+def _persist_bounded(index: IvfIndex, df: DataFrame) -> DataFrame:
+    """At most one outstanding persisted maxsim union per index (same
+    bounded-cache policy as IvfIndex._persist_scored — a serving process
+    must not accumulate one cached RDD per query)."""
+    prev = getattr(index, "_last_maxsim_un", None)
+    if prev is not None:
+        prev.unpersist()
+    index._last_maxsim_un = df.persist()
+    return index._last_maxsim_un
+
+
 def maxsim_search(
     index: IvfIndex,
     doc_of_id=None,
@@ -57,26 +68,25 @@ def maxsim_search(
             )
         shift = IvfIndex.TOKEN_BITS
         doc_of_id = lambda c: F.shiftright(c, shift)  # noqa: E731
-    per_token = []
-    estimations = []
-    for ti, tok in enumerate(query_tokens):
-        res = index.search(
-            list(map(float, tok)),
-            k=per_token_candidates,
-            probes=probes,
-            epsilon=epsilon,
-            rerank_factor=None,
-        )
-        res = res.select(
-            F.lit(ti).alias("tok"),
-            doc_of_id(F.col("id")).cast("long").alias("doc_id"),
-            F.col("dist"),
-        )
-        per_token.append(res)
-    un = per_token[0]
-    for df in per_token[1:]:
-        un = un.unionAll(df)
-    un = un.persist()
+    # ONE pass over the codes table for ALL tokens (search_batch computes
+    # every token's rough estimates from a single bits @ QQᵀ matmul and
+    # reranks with one broadcast join) — the reference issues one
+    # maxsim_search per token, but they share the same index pages; the
+    # Spark-native equivalent of that sharing is a batched scan, not
+    # n_tokens sequential descend+scan DAGs
+    batch = index.search_batch(
+        [list(map(float, t)) for t in query_tokens],
+        k=per_token_candidates,
+        probes=probes,
+        epsilon=epsilon,
+        rerank_factor=None,
+    )
+    un = batch.select(
+        F.col("qid").cast("int").alias("tok"),
+        doc_of_id(F.col("id")).cast("long").alias("doc_id"),
+        F.col("dist"),
+    )
+    un = _persist_bounded(index, un)
 
     # per-token imputation floor for unseen (doc, token) pairs:
     # max(estimation_by_scope, estimation_by_threshold); empty token → 0

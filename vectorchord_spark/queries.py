@@ -1721,6 +1721,23 @@ SELECT CAST(1 AS BIGINT) AS has_rows,
 
 _IVF_CACHE: dict = {}
 
+#: every index tempdir created by catalog entries registers here and is
+#: removed at interpreter exit — long-lived processes running the catalog
+#: repeatedly no longer accumulate orphaned index copies (ADVICE r02)
+_TMPDIRS: list[str] = []
+
+
+def _register_tmpdir(path: str) -> str:
+    if not _TMPDIRS:
+        import atexit
+        import shutil
+
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True) for d in _TMPDIRS]
+        )
+    _TMPDIRS.append(path)
+    return path
+
 
 def _get_ivf_index(spark: SparkSession, sf_dir: str, metric: str):
     """Build (once per process) an IVF index over the embeddings table."""
@@ -1732,7 +1749,7 @@ def _get_ivf_index(spark: SparkSession, sf_dir: str, metric: str):
     idx = _IVF_CACHE.get(key)
     if idx is not None:
         return idx
-    path = tempfile.mkdtemp(prefix=f"vc_ivf_{metric}_")
+    path = _register_tmpdir(tempfile.mkdtemp(prefix=f"vc_ivf_{metric}_"))
     emb = _read(spark, sf_dir, "embeddings")
     idx = IvfIndex.build(
         spark,
@@ -1790,7 +1807,7 @@ def _ann_multilevel_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, "l2-multilevel")
     idx = _IVF_CACHE.get(key)
     if idx is None:
-        path = tempfile.mkdtemp(prefix="vc_ivf_ml_")
+        path = _register_tmpdir(tempfile.mkdtemp(prefix="vc_ivf_ml_"))
         emb = _read(spark, sf_dir, "embeddings")
         idx = IvfIndex.build(
             spark, emb, "vec_id", "embedding", path,
@@ -1827,7 +1844,7 @@ def _ann_external_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent = spark.createDataFrame(
             rows, "id long, parent long, vector array<float>"
         )
-        path = tempfile.mkdtemp(prefix="vc_ivf_ext_")
+        path = _register_tmpdir(tempfile.mkdtemp(prefix="vc_ivf_ext_"))
         idx = IvfIndex.from_centroid_table(
             spark, emb, cent, "vec_id", "embedding", path,
             IvfOptions(metric="l2"),
@@ -1852,7 +1869,7 @@ def _ann_kmeans_dim_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, "l2-kmeansdim")
     idx = _IVF_CACHE.get(key)
     if idx is None:
-        path = tempfile.mkdtemp(prefix="vc_ivf_kd_")
+        path = _register_tmpdir(tempfile.mkdtemp(prefix="vc_ivf_kd_"))
         emb = _read(spark, sf_dir, "embeddings")
         idx = IvfIndex.build(
             spark, emb, "vec_id", "embedding", path,
@@ -1938,16 +1955,22 @@ SELECT CAST(10 AS BIGINT) AS n_results, CAST(1 AS BIGINT) AS recall_ok
 """
 
 
+_EXACT_KNN_CACHE: dict = {}
+
+
 def _exact_knn_ids(spark: SparkSession, sf_dir: str, k: int = 10) -> set:
-    emb = _read(spark, sf_dir, "embeddings")
-    dist = D.l2("embedding", D.vec_lit(QUERY_VEC))
-    return {
-        r.vec_id
-        for r in emb.select("vec_id", dist.alias("d"))
-        .orderBy("d", "vec_id")
-        .limit(k)
-        .collect()
-    }
+    key = (sf_dir, k)
+    if key not in _EXACT_KNN_CACHE:
+        emb = _read(spark, sf_dir, "embeddings")
+        dist = D.l2("embedding", D.vec_lit(QUERY_VEC))
+        _EXACT_KNN_CACHE[key] = {
+            r.vec_id
+            for r in emb.select("vec_id", dist.alias("d"))
+            .orderBy("d", "vec_id")
+            .limit(k)
+            .collect()
+        }
+    return _EXACT_KNN_CACHE[key]
 
 
 def _ann_ivf_probes_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2050,7 +2073,7 @@ def _get_rabitq8_index(spark: SparkSession, sf_dir: str):
     key = (sf_dir, "l2-rabitq8")
     idx = _IVF_CACHE.get(key)
     if idx is None:
-        path = tempfile.mkdtemp(prefix="vc_ivf_rq8_")
+        path = _register_tmpdir(tempfile.mkdtemp(prefix="vc_ivf_rq8_"))
         emb = _read(spark, sf_dir, "embeddings")
         idx = IvfIndex.build(
             spark, emb, "vec_id", "embedding", path,
@@ -2081,7 +2104,7 @@ def _get_graph_index(spark: SparkSession, sf_dir: str):
     key = (sf_dir, "graph-l2")
     idx = _IVF_CACHE.get(key)
     if idx is None:
-        path = tempfile.mkdtemp(prefix="vc_graph_")
+        path = _register_tmpdir(tempfile.mkdtemp(prefix="vc_graph_"))
         emb = _read(spark, sf_dir, "embeddings")
         idx = VamanaIndex.build(
             spark, emb, "vec_id", "embedding", path,
@@ -2136,7 +2159,7 @@ def _get_multivec_index(spark: SparkSession, sf_dir: str):
     if idx is not None:
         return idx
     docs = _multivec_docs(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="vc_ivf_mv_")
+    path = _register_tmpdir(tempfile.mkdtemp(prefix="vc_ivf_mv_"))
     idx = IvfIndex.build_multivector(
         spark, docs, "doc_id", "vecs", path, IvfOptions(metric="dot", lists=[16])
     )
@@ -2422,7 +2445,7 @@ def _ann_ivf_upsert_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _IVF_CACHE.get(key)
     if idx is None:
         emb = _read(spark, sf_dir, "embeddings")
-        path = tempfile.mkdtemp(prefix="vc_ivf_upsert_")
+        path = _register_tmpdir(tempfile.mkdtemp(prefix="vc_ivf_upsert_"))
         idx = IvfIndex.build(
             spark,
             emb.where(F.col("vec_id") % 10 != 7),
@@ -2468,14 +2491,193 @@ def _ann_ivf_cos_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_hierarchical_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical k-means build (B5): coarse √c-cluster pass, Sainte-Laguë
+    seat allocation of per-partition cluster counts, per-partition Lloyd
+    (reference crates/k_means/src/hierarchical.rs:109-199). Cluster
+    assignment only affects cell placement — exhaustive probing is exact
+    regardless, so the brute-force oracle gates the hierarchical build
+    machinery end-to-end (the same protocol as ann_ivf_multilevel)."""
+    import tempfile
+
+    from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
+
+    key = (sf_dir, "l2-hier")
+    idx = _IVF_CACHE.get(key)
+    if idx is None:
+        path = _register_tmpdir(tempfile.mkdtemp(prefix="vc_ivf_hier_"))
+        emb = _read(spark, sf_dir, "embeddings")
+        idx = IvfIndex.build(
+            spark, emb, "vec_id", "embedding", path,
+            IvfOptions(metric="l2", lists=[16], build_hierarchical=True),
+        )
+        _IVF_CACHE[key] = idx
+    res = idx.search(QUERY_VEC, k=10, probes=None, rerank_factor=None)
+    return res.select(F.col("id").alias("vec_id"), "dist")
+
+
+def _ann_deep_lazy_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy upper-level descent (reference default descent semantics,
+    crates/vchordrq/src/search.rs:95-157: RaBitQ estimates + error bounds
+    per level, exact re-scoring on pop) on a 3-level tree, gated by an
+    equivalence contract: on this deterministic dataset the ε=1.9 bounds
+    hold, so the lazy selection must equal the exact-scored selection at
+    every level AND the probed search results must be row-identical."""
+    import tempfile
+
+    from vectorchord_spark import kernels as K
+    from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
+
+    key = (sf_dir, "l2-deep")
+    idx = _IVF_CACHE.get(key)
+    if idx is None:
+        path = _register_tmpdir(tempfile.mkdtemp(prefix="vc_ivf_deep_"))
+        emb = _read(spark, sf_dir, "embeddings")
+        idx = IvfIndex.build(
+            spark, emb, "vec_id", "embedding", path,
+            IvfOptions(metric="l2", lists=[2, 4, 16]),
+        )
+        _IVF_CACHE[key] = idx
+    probes = [1, 2, 8]
+    q_rot = K.rotate(np.asarray(QUERY_VEC, np.float32))
+    cells_lazy = sorted(int(c) for c in idx._descend(q_rot, probes, lazy=True))
+    cells_exact = sorted(int(c) for c in idx._descend(q_rot, probes, lazy=False))
+    lazy_rows = idx.search(
+        QUERY_VEC, k=10, probes=probes, lazy_descent=True
+    ).collect()
+    exact_rows = idx.search(QUERY_VEC, k=10, probes=probes).collect()
+    return spark.createDataFrame(
+        [
+            (
+                int(cells_lazy == cells_exact),
+                int(
+                    [(r.id, round(r.dist, 9)) for r in lazy_rows]
+                    == [(r.id, round(r.dist, 9)) for r in exact_rows]
+                ),
+                len(lazy_rows),
+            )
+        ],
+        "cells_match bigint, results_match bigint, n_results bigint",
+    )
+
+
+_ANN_DEEP_LAZY_SQL = """
+SELECT CAST(1 AS BIGINT) AS cells_match,
+       CAST(1 AS BIGINT) AS results_match,
+       CAST(10 AS BIGINT) AS n_results
+"""
+
+
+def _ann_graph_upsert_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph DML lifecycle under the hash gate (the vchordg incremental
+    protocol, crates/vchordg/src/insert.rs:34-395 + bulkdelete/vacuum):
+    build on ~90% of the table, insert() the rest (beam search →
+    RobustPrune → bidirectional edges with re-prune), delete() a
+    deterministic slice (tombstones), compact() (shard rebuild), then an
+    exhaustive-routing full-traversal search must equal brute-force k-NN
+    over exactly the surviving rows."""
+    import tempfile
+
+    from vectorchord_spark.operators.graph import VamanaIndex, VamanaOptions
+
+    key = (sf_dir, "graph-upsert")
+    idx = _IVF_CACHE.get(key)
+    if idx is None:
+        emb = _read(spark, sf_dir, "embeddings")
+        path = _register_tmpdir(tempfile.mkdtemp(prefix="vc_graph_upsert_"))
+        idx = VamanaIndex.build(
+            spark,
+            emb.where(F.col("vec_id") % 10 != 7),
+            "vec_id",
+            "embedding",
+            path,
+            VamanaOptions(metric="l2", m=24, ef_construction=48, n_shards=2),
+        )
+        idx.insert(emb.where(F.col("vec_id") % 10 == 7), "vec_id", "embedding")
+        idx.delete(emb.where(F.col("vec_id") % 17 == 3).select("vec_id"))
+        idx.compact()
+        _IVF_CACHE[key] = idx
+    # exhaustive ef + all shards ⇒ the beam visits every reachable vertex,
+    # so the search is exact and the brute-force SQL is a valid oracle for
+    # the whole DML lifecycle
+    res = idx.search(QUERY_VEC, k=10, ef_search=1 << 20, probe_shards=None)
+    return res.select(F.col("id").alias("vec_id"), "dist")
+
+
+def _ann_graph_upsert_sql() -> str:
+    return f"""
+SELECT vec_id, sqrt({_l2sq_chain("embedding", QUERY_VEC)}) AS dist
+FROM embeddings
+WHERE vec_id % 17 <> 3
+ORDER BY dist, vec_id
+LIMIT 10
+"""
+
+
 def catalog() -> dict[str, Q]:
+    # ORDER MATTERS: the driver's correctness gate runs a bounded prefix of
+    # this dict, so entries with the least prior verification evidence come
+    # FIRST (the r02 gate truncated at 50 entries and the tail got no row).
+    # The redundant relational variants (free from Spark per SURVEY §2.4,
+    # green in both r01 and r02) sit at the END as the sacrifice zone.
     return {
+        # --- never-verified or gate-truncated in r02: run first ---
+        "quantize_roundtrip": Q(_quantize_roundtrip_fn, _QUANTIZE_ROUNDTRIP_SQL),
+        "ann_ivf_rabitq8": Q(_ann_ivf_rabitq8_fn, _RECALL_CONTRACT_SQL, headline=True),
+        "ann_graph": Q(_ann_graph_fn, _RECALL_CONTRACT_SQL, headline=True),
+        "ann_ivf_upsert": Q(_ann_ivf_upsert_fn, _ann_ivf_upsert_sql()),
+        "ann_graph_upsert": Q(_ann_graph_upsert_fn, _ann_graph_upsert_sql()),
+        "ann_ivf_cos": Q(_ann_ivf_cos_fn, _knn_sql("cos")),
+        "maxsim_ivf_probed": Q(_maxsim_ivf_probed_fn, _RECALL_CONTRACT_SQL),
+        "ann_ivf_hierarchical": Q(_ann_hierarchical_fn, _knn_sql("l2")),
+        "ann_ivf_deep_lazy": Q(_ann_deep_lazy_fn, _ANN_DEEP_LAZY_SQL),
+        "range_ip": Q(_range_ip_fn, _range_ip_sql()),
+        "range_cos": Q(_range_cos_fn, _range_cos_sql()),
+        "simhash_pairs": Q(_simhash_pairs_fn, _simhash_pairs_sql()),
+        "knn_batch_ivf": Q(_knn_batch_ivf_fn, _knn_batch_sql(), headline=True),
+        "embed_neardup_lsh": Q(_embed_neardup_lsh_fn, _embed_neardup_lsh_sql(), headline=True),
+        "dedup_groups": Q(_dedup_groups_fn, _dedup_groups_sql()),
+        # --- vector/ANN operator surface (§2) ---
         "knn_l2": Q(_knn_fn("l2"), _knn_sql("l2"), headline=True),
         "knn_ip": Q(_knn_fn("dot"), _knn_sql("dot"), headline=True),
         "knn_cos": Q(_knn_cos_fn, _knn_sql("cos"), headline=True),
         "range_l2": Q(_range_l2_fn, _RANGE_L2_SQL, headline=True),
         "maxsim": Q(_maxsim_fn, _MAXSIM_SQL, headline=True),
         "knn_join": Q(_knn_join_fn, _KNN_JOIN_SQL, headline=True),
+        "ann_ivf_exhaustive": Q(_ann_ivf_exhaustive_fn, _knn_sql("l2"), headline=True),
+        "ann_prefilter": Q(_ann_prefilter_fn, _ANN_PREFILTER_SQL),
+        "ann_ivf_multilevel": Q(_ann_multilevel_fn, _knn_sql("l2")),
+        "ann_ivf_external": Q(_ann_external_fn, _knn_sql("l2")),
+        "ann_ivf_kmeans_dim": Q(_ann_kmeans_dim_fn, _knn_sql("l2")),
+        "sql_ann": Q(_sql_ann_fn, _knn_sql("l2"), headline=True),
+        "sql_ann_range": Q(_sql_ann_range_fn, _RANGE_L2_SQL),
+        "sql_ann_maxsim": Q(_sql_ann_maxsim_fn, _MAXSIM_SQL),
+        "ann_ivf_probes": Q(_ann_ivf_probes_fn, _ANN_IVF_PROBES_SQL, headline=True),
+        "ivf_recall_exhaustive": Q(_ivf_recall_fn, _IVF_RECALL_SQL),
+        "maxsim_ivf": Q(_maxsim_ivf_fn, _MAXSIM_SQL),
+        # --- LLM-pipeline operators ---
+        "dedup_exact": Q(_dedup_exact_fn, _DEDUP_EXACT_SQL),
+        "dedup_ngram": Q(_dedup_ngram_fn, _DEDUP_NGRAM_SQL, headline=True),
+        "dedup_minhash_lsh": Q(_minhash_fn, _minhash_sql(), headline=True),
+        "simhash": Q(_simhash_fn, _simhash_sql()),
+        # small-scale oracle twin of the LSH path (driver-bounded block
+        # matmul); NOT a headline serving query — the scale path is
+        # embed_neardup_lsh
+        "embed_neardup": Q(_embed_neardup_fn, _EMBED_NEARDUP_SQL),
+        "doc_stats": Q(_doc_stats_fn, _DOC_STATS_SQL),
+        "langid": Q(_langid_fn, _langid_sql()),
+        "fingerprint": Q(_fingerprint_fn, _FINGERPRINT_SQL),
+        "quality_filter": Q(_quality_filter_fn, _QUALITY_FILTER_SQL),
+        "token_histogram": Q(_token_histogram_fn, _TOKEN_HISTOGRAM_SQL),
+        # --- temporal / streaming-twin operators ---
+        "asof_join": Q(_asof_join_fn, _ASOF_JOIN_SQL, headline=True),
+        "range_join_count": Q(_range_join_fn, _RANGE_JOIN_SQL),
+        "events_hourly": Q(_events_hourly_fn, _EVENTS_HOURLY_SQL),
+        "events_rollup": Q(_events_rollup_fn, _EVENTS_ROLLUP_SQL),
+        "events_json": Q(_events_json_fn, _EVENTS_JSON_SQL),
+        "sessionize": Q(_sessionize_fn, _SESSIONIZE_SQL, headline=True),
+        "top_orders_window": Q(_top_orders_fn, _TOP_ORDERS_SQL),
+        # --- relational (Spark SQL native; redundant-coverage tail) ---
         "q1_pricing": Q(_q1_fn, _Q1_SQL, headline=True),
         "q3_shipping": Q(_q3_fn, _Q3_SQL, headline=True),
         "q5_revenue": Q(_q5_fn, _Q5_SQL, headline=True),
@@ -2492,49 +2694,6 @@ def catalog() -> dict[str, Q]:
         "q18_bigorders": Q(_q18_fn, _Q18_SQL),
         "q19_disjunct": Q(_q19_fn, _Q19_SQL),
         "q22_idle_cust": Q(_q22_fn, _Q22_SQL),
-        "asof_join": Q(_asof_join_fn, _ASOF_JOIN_SQL, headline=True),
-        "range_join_count": Q(_range_join_fn, _RANGE_JOIN_SQL),
-        "quality_filter": Q(_quality_filter_fn, _QUALITY_FILTER_SQL),
-        "token_histogram": Q(_token_histogram_fn, _TOKEN_HISTOGRAM_SQL),
-        "events_hourly": Q(_events_hourly_fn, _EVENTS_HOURLY_SQL),
-        "events_rollup": Q(_events_rollup_fn, _EVENTS_ROLLUP_SQL),
-        "events_json": Q(_events_json_fn, _EVENTS_JSON_SQL),
-        "sessionize": Q(_sessionize_fn, _SESSIONIZE_SQL, headline=True),
-        "top_orders_window": Q(_top_orders_fn, _TOP_ORDERS_SQL),
-        "doc_stats": Q(_doc_stats_fn, _DOC_STATS_SQL),
-        "langid": Q(_langid_fn, _langid_sql()),
-        "fingerprint": Q(_fingerprint_fn, _FINGERPRINT_SQL),
-        "dedup_exact": Q(_dedup_exact_fn, _DEDUP_EXACT_SQL),
-        "dedup_ngram": Q(_dedup_ngram_fn, _DEDUP_NGRAM_SQL, headline=True),
-        "dedup_minhash_lsh": Q(_minhash_fn, _minhash_sql(), headline=True),
-        "simhash": Q(_simhash_fn, _simhash_sql()),
-        # small-scale oracle twin of the LSH path (driver-bounded block
-        # matmul); NOT a headline serving query — the scale path is
-        # embed_neardup_lsh
-        "embed_neardup": Q(_embed_neardup_fn, _EMBED_NEARDUP_SQL),
-        "ann_ivf_exhaustive": Q(_ann_ivf_exhaustive_fn, _knn_sql("l2"), headline=True),
-        "ann_prefilter": Q(_ann_prefilter_fn, _ANN_PREFILTER_SQL),
-        "ann_ivf_multilevel": Q(_ann_multilevel_fn, _knn_sql("l2")),
-        "ann_ivf_external": Q(_ann_external_fn, _knn_sql("l2")),
-        "ann_ivf_kmeans_dim": Q(_ann_kmeans_dim_fn, _knn_sql("l2")),
-        "sql_ann": Q(_sql_ann_fn, _knn_sql("l2"), headline=True),
-        "sql_ann_range": Q(_sql_ann_range_fn, _RANGE_L2_SQL),
-        "sql_ann_maxsim": Q(_sql_ann_maxsim_fn, _MAXSIM_SQL),
-        "ann_ivf_probes": Q(_ann_ivf_probes_fn, _ANN_IVF_PROBES_SQL, headline=True),
-        "ivf_recall_exhaustive": Q(_ivf_recall_fn, _IVF_RECALL_SQL),
-        "maxsim_ivf": Q(_maxsim_ivf_fn, _MAXSIM_SQL),
-        "maxsim_ivf_probed": Q(_maxsim_ivf_probed_fn, _RECALL_CONTRACT_SQL),
-        "range_ip": Q(_range_ip_fn, _range_ip_sql()),
-        "range_cos": Q(_range_cos_fn, _range_cos_sql()),
-        "simhash_pairs": Q(_simhash_pairs_fn, _simhash_pairs_sql()),
-        "dedup_groups": Q(_dedup_groups_fn, _dedup_groups_sql()),
-        "embed_neardup_lsh": Q(_embed_neardup_lsh_fn, _embed_neardup_lsh_sql(), headline=True),
-        "quantize_roundtrip": Q(_quantize_roundtrip_fn, _QUANTIZE_ROUNDTRIP_SQL),
-        "ann_ivf_upsert": Q(_ann_ivf_upsert_fn, _ann_ivf_upsert_sql()),
-        "ann_ivf_cos": Q(_ann_ivf_cos_fn, _knn_sql("cos")),
-        "ann_ivf_rabitq8": Q(_ann_ivf_rabitq8_fn, _RECALL_CONTRACT_SQL, headline=True),
-        "ann_graph": Q(_ann_graph_fn, _RECALL_CONTRACT_SQL, headline=True),
-        "knn_batch_ivf": Q(_knn_batch_ivf_fn, _knn_batch_sql(), headline=True),
     }
 
 
