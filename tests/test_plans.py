@@ -28,10 +28,14 @@ def small_index(spark):
 
 
 def test_probe_scan_is_partition_pruned(spark, small_index):
+    """Probe pruning reaches the parquet scan: the cluster_id IN filter is
+    pushed down, so file/row-group min-max stats skip unprobed clusters
+    (the codes layout is cluster-range-bucketed + sorted, giving each file
+    a tight cluster_id range)."""
     q = [0.0] * 8
     res = small_index.search(q, k=5, probes=[4], guarantee=False)
-    parts = P.partition_filters(res)
-    assert any("cluster_id" in p for p in parts), parts
+    pushed = P.pushed_filters(res)
+    assert any("cluster_id" in p for p in pushed), pushed
 
 
 def test_rerank_join_is_broadcast(spark, small_index):

@@ -3,10 +3,11 @@
 Spark-first re-expression of the reference's index lifecycle:
 
 - build = sample job → driver k-means over the bounded sample → broadcast
-  rotated centroid tree → one ``mapInPandas`` encode pass writing a Parquet
-  ``codes`` table partitioned by leaf cluster (replaces tapes/pages:
-  /root/reference/crates/vchordrq/src/build.rs:24-146); the single Spark
-  write job IS the reference's parallel build (am_build.rs:611-789).
+  rotated centroid tree → one ``mapInArrow`` encode pass writing a Parquet
+  ``codes`` table range-bucketed and sorted by leaf cluster (replaces
+  tapes/pages: /root/reference/crates/vchordrq/src/build.rs:24-146); the
+  single Spark write job IS the reference's parallel build
+  (am_build.rs:611-789).
 - search = driver tree descent over the (small, broadcast) centroid tree →
   partition-pruned scan of the probed clusters → Arrow-batched rough
   scoring with ε lower bounds (search.rs:95-196) → bounded candidate top-m
@@ -17,8 +18,10 @@ Spark-first re-expression of the reference's index lifecycle:
 
 Scale notes (the design point is a 1000-executor cluster, not local[32]):
 the centroid tree is ≤ a few hundred MB even at 1M leaves → broadcast;
-``codes`` is partitioned by ``cluster_id`` so probes become partition
-pruning; the rough-score stage reads only (meta, code) columns (column
+``codes`` is cluster-range-bucketed and sorted, so the probes' pushed
+``cluster_id IN`` filter prunes at Parquet file/row-group granularity
+(a directory per cluster would mean 1M directories at 1M leaves);
+the rough-score stage reads only (meta, code) columns (column
 pruning keeps the full vectors out of the Python exchange); the rerank join
 broadcasts the ≤ ``rerank_factor·k`` candidate ids, so the only shuffle in
 the whole query is the final top-k, which TakeOrderedAndProject does with
@@ -436,11 +439,13 @@ class IvfIndex:
                     flat = flat.cast(pa.float32())
                 mat = np.asarray(flat).reshape(n, dim)
                 rot = K.rotate(mat)
+                # argmin distance == argmax score; computing the score
+                # in-place halves the memory traffic of the (n, L) routing
+                # matrix (it dominates encode time at large L)
+                s = rot @ centroids.T
                 if metric == "l2" or metric == "cos":
-                    d = c2[None, :] - 2.0 * (rot @ centroids.T)
-                else:  # dot routing: most-aligned centroid
-                    d = -(rot @ centroids.T)
-                assign = np.argmin(d, axis=1)
+                    s -= 0.5 * c2[None, :]
+                assign = np.argmax(s, axis=1)
                 if residual:
                     target = rot - centroids[assign]
                 else:
@@ -529,12 +534,49 @@ class IvfIndex:
                 )
 
         encoded = src.mapInArrow(encode, schema=CODES_SCHEMA)
-        # co-locate each cluster's codes (one shuffle; at scale this is what
-        # gives probe-time partition pruning its locality)
+        self._write_codes(encoded, mode)
+
+    def _write_codes(self, encoded: DataFrame, mode: str) -> None:
+        """Posting layout (B10): cluster-RANGE-bucketed, cluster-sorted flat
+        Parquet.
+
+        Each output file covers a contiguous cluster range (bucket =
+        cluster_id·n_out div n_leaves — deterministic range partitioning, no
+        sampling pass) and rows are sorted by (cluster_id, id) inside the
+        file, so a probed search prunes via Parquet file/row-group min-max
+        stats on the pushed ``cluster_id IN (...)`` filter. This replaces
+        hive-style ``partitionBy(cluster_id)``: same pruning, but the write
+        is one shuffle + n_out files instead of a dynamic-partition sort +
+        n_leaves directories — at 1M leaves a directory per cluster is a
+        metastore/small-files disaster, and locally it was 7x the write
+        cost. The reference's frozen tapes per leaf
+        (crates/vchordrq/src/build.rs:72-116) are this same
+        contiguous-run-per-cluster idea."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n_leaves = int(self.meta["n_leaves"])
+        n_out = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        n_out = max(1, min(n_out, n_leaves))
+
+        def regroup(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+            blist = list(batches)
+            if not blist:
+                return
+            tbl = pa.Table.from_batches(blist)
+            if tbl.num_rows:
+                order = pc.sort_indices(
+                    tbl,
+                    sort_keys=[("cluster_id", "ascending"), ("id", "ascending")],
+                )
+                yield from tbl.take(order).to_batches()
+
         (
-            encoded.repartition(F.col("cluster_id"))
+            encoded.repartition(
+                n_out, F.expr(f"cluster_id * {n_out} div {n_leaves}")
+            )
+            .mapInArrow(regroup, CODES_SCHEMA)
             .write.mode(mode)
-            .partitionBy("cluster_id")
             .parquet(self.codes_path)
         )
 
@@ -1245,19 +1287,15 @@ class IvfIndex:
         is reclaimed. The cached scored DF is unpersisted since it
         references the old files."""
         old_version = self.meta["codes_version"]
-        new_version = old_version + 1
+        # capture the OLD path before bumping the version (read.parquet
+        # resolves the path eagerly, so the lazy plan keeps reading v_old
+        # while _write_codes targets v_new)
         df = self.spark.read.parquet(self.codes_path)
         if os.path.exists(self._tombstones_path):
             tomb = self.spark.read.parquet(self._tombstones_path)
             df = df.join(F.broadcast(tomb), "id", "left_anti")
-        new_path = os.path.join(self.path, f"codes_v{new_version}")
-        (
-            df.repartition(F.col("cluster_id"))
-            .write.mode("overwrite")
-            .partitionBy("cluster_id")
-            .parquet(new_path)
-        )
-        self.meta["codes_version"] = new_version
+        self.meta["codes_version"] = old_version + 1
+        self._write_codes(df, "overwrite")
         with open(os.path.join(self.path, "meta.json"), "w") as f:
             json.dump(self.meta, f)
         prev = getattr(self, "_last_scored", None)
