@@ -210,3 +210,38 @@ def test_multimodal_plumbing(spark):
     assert arow.n_samples == 1600
     assert abs(arow.duration_s - 0.1) < 1e-9
     assert 0.3 < arow.rms < 0.9 and arow.zero_cross > 0
+
+
+def test_multimodal_real_png_decode(spark):
+    """The REAL decode branch (stdlib PNG codec; PIL would take precedence
+    when importable): width/height/features come from actual pixel data,
+    and strict=True succeeds on decodable input."""
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    rgb = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    grey = rng.integers(0, 256, size=(9, 5), dtype=np.uint8)
+    png_rgb = multimodal.encode_png(rgb)
+    png_grey = multimodal.encode_png(grey)
+
+    # unit: decoder round-trips the exact pixels
+    w, h, px = multimodal._decode_png(png_rgb)
+    assert (w, h) == (23, 17)
+    assert np.array_equal(px, rgb)
+    w2, h2, px2 = multimodal._decode_png(png_grey)
+    assert (w2, h2) == (5, 9)
+    assert np.array_equal(px2[:, :, 0], grey)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(png_rgb)), (2, bytearray(png_grey))], "id long, data binary"
+    )
+    # strict no longer raises: the real branch decodes these
+    rows = {r.id: r for r in multimodal.decode_image_features(df, dim=9, strict=True).collect()}
+    assert (rows[1].width, rows[1].height) == (23, 17)
+    assert (rows[2].width, rows[2].height) == (5, 9)
+    want = multimodal._pixel_features(rgb, 9)
+    assert np.allclose(rows[1].embedding, want)
+    # non-PNG bytes still raise under strict
+    bad = spark.createDataFrame([(3, bytearray(b"not-an-image"))], "id long, data binary")
+    with pytest.raises(Exception):
+        multimodal.decode_image_features(bad, strict=True).collect()

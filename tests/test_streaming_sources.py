@@ -115,9 +115,9 @@ def test_hourly_stream_matches_batch(spark, sf_dir):
         got = spark.sql(
             "SELECT count(*) AS n, sum(n) AS total FROM hourly_test"
         ).first()
-        from vectorchord_spark.queries import _read
+        from vectorchord_spark.sources.events import read_events
 
-        ev = _read(spark, sf_dir, "events")
+        ev = read_events(spark, sf_dir)
         batch = (
             ev.withColumn("t", F.timestamp_micros(F.col("ts_us")))
             .groupBy(F.date_trunc("hour", "t"), "event_type")

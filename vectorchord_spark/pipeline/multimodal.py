@@ -71,16 +71,141 @@ def _fake_decode(buf: bytes, dim: int) -> tuple[int, int, np.ndarray]:
     return width, height, emb
 
 
-def _try_real_decode(buf: bytes):
-    try:  # pragma: no cover - codec libs absent in this container
+def _decode_png(buf: bytes) -> "tuple[int, int, np.ndarray] | None":
+    """Minimal stdlib-only PNG decoder (8-bit grey/RGB/RGBA,
+    non-interlaced): parses IHDR/IDAT, zlib-inflates, un-filters scanlines.
+    Makes the REAL decode branch exercisable with no codec libraries —
+    PIL, when importable, still takes precedence and covers every format."""
+    import struct
+    import zlib
+
+    if len(buf) < 8 or buf[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    try:
+        pos = 8
+        idat = b""
+        w = h = ch = None
+        while pos + 8 <= len(buf):
+            (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+            typ = buf[pos + 4 : pos + 8]
+            data = buf[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+            if typ == b"IHDR":
+                w, h, depth, color, _c, _f, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+                    return None
+                ch = {0: 1, 2: 3, 6: 4}[color]
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+        if w is None or not idat:
+            return None
+        raw = zlib.decompress(idat)
+        stride = w * ch
+        if len(raw) < h * (stride + 1):
+            return None
+        out = np.zeros((h, stride), np.uint8)
+        prev = np.zeros(stride, np.uint8)
+        pos2 = 0
+        for y in range(h):
+            flt = raw[pos2]
+            line = np.frombuffer(
+                raw[pos2 + 1 : pos2 + 1 + stride], np.uint8
+            ).copy()
+            pos2 += 1 + stride
+            if flt == 1:  # Sub
+                for x in range(ch, stride):
+                    line[x] = (int(line[x]) + int(line[x - ch])) & 0xFF
+            elif flt == 2:  # Up (uint8 addition wraps mod 256)
+                line += prev
+            elif flt == 3:  # Average
+                for x in range(stride):
+                    a = int(line[x - ch]) if x >= ch else 0
+                    line[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+            elif flt == 4:  # Paeth
+                for x in range(stride):
+                    a = int(line[x - ch]) if x >= ch else 0
+                    b = int(prev[x])
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[x] = (int(line[x]) + pr) & 0xFF
+            elif flt != 0:
+                return None
+            out[y] = line
+            prev = line
+        return int(w), int(h), out.reshape(h, w, ch)
+    except Exception:
+        return None
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal PNG writer (8-bit grey/RGB/RGBA, filter 0) — the fixture
+    generator for the real-decode branch; stdlib only."""
+    import struct
+    import zlib
+
+    pixels = np.ascontiguousarray(pixels, np.uint8)
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, ch = pixels.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _pixel_features(pixels: np.ndarray, dim: int) -> np.ndarray:
+    """Deterministic pooled feature from decoded pixels: luminance averaged
+    over a g x g grid (g = ceil(sqrt(dim))), flattened and truncated to
+    ``dim``, scaled to [0, 1]."""
+    lum = pixels.astype(np.float32).mean(axis=2)
+    h, w = lum.shape
+    g = int(np.ceil(np.sqrt(dim)))
+    ys = np.linspace(0, h, g + 1).astype(np.int64)
+    xs = np.linspace(0, w, g + 1).astype(np.int64)
+    out = np.zeros((g, g), np.float32)
+    for i in range(g):
+        for j in range(g):
+            cell = lum[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            out[i, j] = cell.mean() if cell.size else 0.0
+    return (out.reshape(-1)[:dim] / 255.0).astype(np.float32)
+
+
+def _try_real_decode(buf: bytes) -> "tuple[int, int, np.ndarray] | None":
+    """Real image decode: PIL when importable (all formats), else the
+    stdlib PNG decoder. Returns (width, height, pixels[h,w,ch]) or None."""
+    try:  # pragma: no cover - PIL absent in this container
         import io
 
         from PIL import Image  # noqa: F401
 
         img = Image.open(io.BytesIO(buf))
-        return img.size
+        arr = np.asarray(img)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        w, h = img.size
+        return w, h, arr
     except Exception:
-        return None
+        return _decode_png(buf)
 
 
 def decode_image_features(
@@ -109,11 +234,11 @@ def decode_image_features(
                 raw = bytes(buf) if buf is not None else b""
                 real = _try_real_decode(raw)
                 if real is not None:
-                    w, h = real
-                    _, _, emb = _fake_decode(raw, dim)
+                    w, h, pixels = real
+                    emb = _pixel_features(pixels, dim)
                 elif strict:
                     raise NotImplementedError(
-                        "no image codec available in this environment"
+                        "no codec for this image format in this environment"
                     )
                 else:
                     w, h, emb = _fake_decode(raw, dim)

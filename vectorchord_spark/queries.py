@@ -25,7 +25,6 @@ from dataclasses import dataclass
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 from vectorchord_spark.functions import distances as D
 
@@ -69,29 +68,11 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ensure_worker_imports(spark)
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS). Spark's reading of that
-        # physical type changed across versions: older builds need the
-        # legacy nanosAsLong conf (ts comes back BIGINT nanos), newer builds
-        # read it natively as TIMESTAMP_NTZ (micro precision, nanos floored)
-        # and ignore the conf. Derive the canonical µs-epoch column from
-        # whichever type we got — both floor sub-µs digits identically for
-        # the post-1970 data here, so ts_us is version-independent.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # magnitude guard: raw nanos (old reader) vs µs (if a long
-            # arrives already µs-scaled) — see streaming.jobs._ts_us_expr
-            return df.withColumn(
-                "ts_us",
-                F.expr(
-                    "CASE WHEN abs(ts) >= 40000000000000000 "
-                    "THEN ts div 1000 ELSE ts END"
-                ),
-            )
-        return df.withColumn(
-            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
-        )
+        # the nanos-vs-µs normalization lives in ONE place:
+        # sources/events.py (shared with the streaming jobs and tests)
+        from vectorchord_spark.sources.events import read_events
+
+        return read_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -2265,7 +2246,11 @@ def _asof_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, and carry the last seen right-side time forward with
     ``last(..., ignorenulls)``. No join fan-out, no per-key driver work;
     one hash exchange on user_id regardless of table size."""
-    ev = _read(spark, sf_dir, "events")
+    # NULL user_ids are excluded on both sides: a SQL equality join (the
+    # DuckDB ASOF oracle) never matches NULL keys, whereas a window
+    # partitionBy would group them together — keep the semantics aligned
+    # under dirty data (ADVICE r02; no NULLs exist in the test tables)
+    ev = _read(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     left = ev.where(F.col("event_type") == "purchase").select(
         "event_id",
         "user_id",
@@ -2318,6 +2303,14 @@ def _range_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no per-user cross product), so the plan survives wide windows and
     hot users at 100× scale."""
     hour_us = 3_600_000_000
+
+    def bucket(col: F.Column) -> F.Column:
+        # FLOOR division (not double-divide + cast, which truncates toward
+        # zero): pre-1970 timestamps would otherwise land in the wrong
+        # bucket and miss matches (ADVICE r02). Doubles are exact here up
+        # to 2^53 µs ≈ year 2255.
+        return F.floor(col / F.lit(hour_us)).cast("long")
+
     ev = _read(spark, sf_dir, "events")
     p = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts_us"
@@ -2325,14 +2318,14 @@ def _range_join_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = ev.where(F.col("event_type") == "view").select(
         F.col("user_id").alias("v_user"),
         F.col("ts_us").alias("v_ts"),
-        (F.col("ts_us") / hour_us).cast("long").alias("v_bucket"),
+        bucket(F.col("ts_us")).alias("v_bucket"),
     )
     px = p.withColumn(
         "bucket",
         F.explode(
             F.array(
-                ((F.col("ts_us") - hour_us) / hour_us).cast("long"),
-                (F.col("ts_us") / hour_us).cast("long"),
+                bucket(F.col("ts_us") - hour_us),
+                bucket(F.col("ts_us")),
             )
         ),
     ).dropDuplicates(["event_id", "bucket"])

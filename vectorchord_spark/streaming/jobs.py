@@ -28,19 +28,14 @@ EVENTS_SCHEMA = (
     "value double, props string"
 )
 
-# events.parquet stores TIMESTAMP(NANOS); reading it through the explicit
-# LONG schema yields raw nanos on older Spark but µs (the internal repr)
-# on newer Spark. Normalize by magnitude: µs epochs stay < 4e16 until year
-# ~3200 while nano epochs exceed it from 1971 on, so the cutoff is safe
-# for any realistic event time under either reader behavior.
-_NANO_CUTOFF = 40_000_000_000_000_000
-
-
-def _ts_us_expr(col: str = "ts") -> F.Column:
-    return F.expr(
-        f"CASE WHEN abs({col}) >= {_NANO_CUTOFF} "
-        f"THEN {col} div 1000 ELSE {col} END"
-    )
+# the nanos-vs-µs magnitude guard is centralized in sources/events.py
+# (shared with batch queries and tests); these aliases keep the streaming
+# module's historical names working
+from vectorchord_spark.sources.events import (  # noqa: E402
+    NANO_CUTOFF as _NANO_CUTOFF,
+)
+from vectorchord_spark.sources.events import normalize_epoch_py  # noqa: E402
+from vectorchord_spark.sources.events import ts_us_expr as _ts_us_expr  # noqa: E402
 
 
 def streaming_index_insert(
@@ -141,10 +136,7 @@ def streaming_sessionize(
             # rows (and a NaN key); drop them before processing
             pdf = pdf.dropna(subset=["ts"])
             for ts_v, val in zip(pdf["ts"].to_numpy(), pdf["value"].to_numpy()):
-                t = int(ts_v)
-                if abs(t) >= 40_000_000_000_000_000:  # nanos, not µs
-                    t //= 1000
-                events.append((t, float(val)))
+                events.append((normalize_epoch_py(int(ts_v)), float(val)))
         events.sort()
         if state.exists:
             start, last, n, total = state.get
