@@ -116,11 +116,19 @@ def test_connected_components(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (5, 6), (8, 9), (9, 1)], "ida long, idb long"
     )
+    want = {(1, 1), (2, 1), (3, 1), (9, 1), (8, 1), (5, 5), (6, 5)}
     got = {
         (r.id, r.component)
         for r in dedup.connected_components(edges).collect()
     }
-    assert got == {(1, 1), (2, 1), (3, 1), (9, 1), (8, 1), (5, 5), (6, 5)}
+    assert got == want
+    # the distributed label-propagation path (driver_threshold=0 forces it)
+    # must produce identical components
+    got_dist = {
+        (r.id, r.component)
+        for r in dedup.connected_components(edges, driver_threshold=0).collect()
+    }
+    assert got_dist == want
 
 
 def test_text_operators(spark):

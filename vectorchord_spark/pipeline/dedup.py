@@ -313,7 +313,11 @@ def embedding_lsh_pairs(
 
 
 def connected_components(
-    edges: DataFrame, a_col: str = "ida", b_col: str = "idb", max_iter: int = 20
+    edges: DataFrame,
+    a_col: str = "ida",
+    b_col: str = "idb",
+    max_iter: int = 20,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation (the dedup
     *grouping* step: near-dup pairs → duplicate clusters → one keeper each).
@@ -325,13 +329,48 @@ def connected_components(
     persisted per round and the loop exits on a fixpoint count check; if the
     budget is exhausted before the fixpoint a RuntimeError is raised rather
     than silently splitting components.
+
+    When the deduplicated edge set is at most ``driver_threshold`` rows the
+    components are solved with driver-side union-find instead — the
+    standard "contract the graph, then solve the small remainder locally"
+    finishing step of distributed CC (each distributed round costs several
+    shuffles; a few-million-edge graph is microseconds of union-find). The
+    iterative path remains the default for anything larger; pass
+    ``driver_threshold=0`` to force it.
     """
+    spark = edges.sparkSession
     sym = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionAll(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
         .persist()
     )
+    if driver_threshold and sym.count() <= driver_threshold:
+        pdf = sym.toPandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for s, d in zip(pdf["src"], pdf["dst"]):
+            s, d = int(s), int(d)
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                # union by min id so component = min reachable id
+                if rs < rd:
+                    parent[rd] = rs
+                else:
+                    parent[rs] = rd
+        rows = [(i, find(i)) for i in parent]
+        sym.unpersist()
+        return spark.createDataFrame(rows, "id long, component long")
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
