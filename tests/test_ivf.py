@@ -387,3 +387,51 @@ def test_persisted_rdds_bounded_across_searches(spark, clustered_df):
             q = rng.uniform(-1, 1, 8).tolist()
             idx.search(q, k=5, probes=8).count()
         assert jsc.getPersistentRDDs().size() <= baseline + 1
+
+
+def test_maxsim_refine_stage(spark):
+    """maxsim_refine (reference scanners/maxsim.rs:601-692): rough pool +
+    top-N exact rerank per token. A refine budget covering the whole pool
+    must reproduce the all-exact result; a partial budget (rough tail
+    values mix into the MaxSim sums) stays close. Needs a dimension where
+    1-bit rough estimates can rank (64), not the 8-dim shared fixture."""
+    from vectorchord_spark.operators.maxsim import maxsim_search
+
+    rng = np.random.default_rng(33)
+    # clustered docs (uniform data has near-tied MaxSim scores and any
+    # bounded pool misses; structure makes the ranking decisive)
+    centers = rng.uniform(-1, 1, size=(25, 64))
+    docs_rows = [
+        (
+            d,
+            [
+                (centers[d % 25] + rng.normal(0, 0.1, 64)).tolist()
+                for _ in range(4)
+            ],
+        )
+        for d in range(250)
+    ]
+    docs = spark.createDataFrame(
+        docs_rows, "doc_id long, vecs array<array<float>>"
+    )
+    tokens = [(centers[i] + rng.normal(0, 0.1, 64)).tolist() for i in range(3)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build_multivector(
+            spark, docs, "doc_id", "vecs", os.path.join(tmp, "idx"),
+            IvfOptions(metric="dot", lists=[8]),
+        )
+        exact = maxsim_search(
+            idx, None, tokens, k=10, per_token_candidates=1 << 30, probes=None
+        )
+        want = {r.doc_id for r in exact.collect()}
+        full = maxsim_search(
+            idx, None, tokens, k=10, per_token_candidates=200, probes=None,
+            maxsim_refine=200,
+        )
+        assert {r.doc_id for r in full.collect()} == want
+        half = maxsim_search(
+            idx, None, tokens, k=10, per_token_candidates=200, probes=None,
+            maxsim_refine=100,
+        )
+        got = {r.doc_id for r in half.collect()}
+        assert len(got & want) >= 5

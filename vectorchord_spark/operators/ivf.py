@@ -996,6 +996,7 @@ class IvfIndex:
         epsilon: float = 1.9,
         rerank_factor: int | None = 4,
         guarantee: bool = True,
+        return_rough: bool = False,
     ) -> DataFrame:
         """Multi-query k-NN in ONE pass over the codes table.
 
@@ -1073,7 +1074,7 @@ class IvfIndex:
                 cids = pdf["cluster_id"].to_numpy(np.int64)
                 ids = pdf["id"].to_numpy(np.int64)
                 delta = pdf["delta"].to_numpy(np.float32) if residual else None
-                out_id, out_qid, out_lb = [], [], []
+                out_id, out_qid, out_lb, out_rough = [], [], [], []
                 for qi in range(nq):
                     mask = probe_mask[cids, qi]
                     if not mask.any():
@@ -1102,6 +1103,7 @@ class IvfIndex:
                     out_id.append(ids[mask])
                     out_qid.append(np.full(mask.sum(), qi, np.int32))
                     out_lb.append((rough - eps * err).astype(np.float64))
+                    out_rough.append(rough.astype(np.float64))
                 if not out_id:
                     continue
                 yield pd.DataFrame(
@@ -1109,6 +1111,7 @@ class IvfIndex:
                         "qid": np.concatenate(out_qid),
                         "id": np.concatenate(out_id),
                         "lb": np.concatenate(out_lb),
+                        "rough": np.concatenate(out_rough),
                     }
                 )
 
@@ -1118,9 +1121,22 @@ class IvfIndex:
         ]
         probed_arr = np.array(sorted(union_probed))
         scored = self._codes_df(probed_arr, meta_cols).mapInPandas(
-            score, "qid int, id long, lb double"
+            score, "qid int, id long, lb double, rough double"
         )
         from pyspark.sql import Window
+
+        if return_rough:
+            # rough-score mode (the reference's maxsim candidate pool keeps
+            # ROUGH distances, scanners/maxsim.rs — exact rerank is the
+            # separate `maxsim_refine` stage): top-k per query by the
+            # estimator value, in the index's INTERNAL distance space
+            # (squared-l2 / negated-dot)
+            w0 = Window.partitionBy("qid").orderBy("rough", "id")
+            return (
+                scored.withColumn("rank", F.row_number().over(w0))
+                .where(F.col("rank") <= k)
+                .select("qid", "id", "rough")
+            )
 
         storage = meta.get("storage", "f32")
         if storage not in ("f32", "f16") or not meta["rerank_in_index"]:

@@ -44,6 +44,7 @@ def maxsim_search(
     probes: list[int] | int | None = None,
     epsilon: float = 1.9,
     maxsim_threshold: int = 0,
+    maxsim_refine: int = 0,
 ) -> DataFrame:
     """Top-k documents by MaxSim score against ``query_tokens``.
 
@@ -59,7 +60,14 @@ def maxsim_search(
     frontier after covering ``threshold`` tuples of probed-plus-nearest
     cells (gucs.rs:440-473; default 0 = scope-only, matching the
     reference's default configuration).
-    """
+
+    ``maxsim_refine`` > 0 enables the reference's refine stage
+    (src/index/vchordrq/scanners/maxsim.rs:601-692): the candidate pool
+    keeps ROUGH (RaBitQ-estimated) distances and only the best
+    ``maxsim_refine`` candidates per token are exact-reranked — the
+    quality/IO knob for wide candidate pools. The default 0 exact-reranks
+    every candidate (a strict quality superset of the reference's default
+    refine=0, which keeps all-rough)."""
     spark = index.spark
     if doc_of_id is None:
         if not index.meta.get("multivector"):
@@ -74,13 +82,59 @@ def maxsim_search(
     # maxsim_search per token, but they share the same index pages; the
     # Spark-native equivalent of that sharing is a batched scan, not
     # n_tokens sequential descend+scan DAGs
-    batch = index.search_batch(
-        [list(map(float, t)) for t in query_tokens],
-        k=per_token_candidates,
-        probes=probes,
-        epsilon=epsilon,
-        rerank_factor=None,
-    )
+    tokens_f = [list(map(float, t)) for t in query_tokens]
+    if maxsim_refine > 0:
+        # reference refine semantics: rough-scored candidate pool + exact
+        # rerank of only the top `maxsim_refine` per token
+        pool = index.search_batch(
+            tokens_f,
+            k=per_token_candidates,
+            probes=probes,
+            epsilon=epsilon,
+            return_rough=True,
+        )
+        from pyspark.sql import Window
+
+        metric = index.meta["metric"]
+        # rough is in internal space (squared-l2 / negated-dot); map to the
+        # output space so refined exact distances compose with it
+        if metric == "l2":
+            rough_out = F.sqrt(F.greatest(F.col("rough"), F.lit(0.0)))
+        elif metric == "cos":
+            rough_out = F.col("rough") + F.lit(1.0)
+        else:
+            rough_out = F.col("rough")
+        w = Window.partitionBy("qid").orderBy("rough", "id")
+        pool = pool.withColumn("_rk", F.row_number().over(w))
+        head = pool.where(F.col("_rk") <= int(maxsim_refine)).select("qid", "id")
+        vec_src = index._codes_df(
+            np.arange(index.meta["n_leaves"]), ["id", "vec"]
+        )
+        from vectorchord_spark.functions import distances as D
+
+        q_arr = F.array(*[D.vec_lit(t) for t in tokens_f])
+        qv = F.element_at(q_arr, F.col("qid") + 1)
+        if metric == "l2":
+            dist = D.l2("vec", qv)
+        elif metric == "dot":
+            dist = D.ip("vec", qv)
+        else:
+            dist = F.lit(1.0) + D.ip("vec", qv)
+        refined = vec_src.join(F.broadcast(head), "id").select(
+            "qid", "id", dist.alias("dist")
+        )
+        tail = pool.where(F.col("_rk") > int(maxsim_refine)).select(
+            "qid", "id", rough_out.alias("dist")
+        )
+        batch = refined.unionAll(tail)
+    else:
+        batch = index.search_batch(
+            tokens_f,
+            k=per_token_candidates,
+            probes=probes,
+            epsilon=epsilon,
+            rerank_factor=None,
+        )
     un = batch.select(
         F.col("qid").cast("int").alias("tok"),
         doc_of_id(F.col("id")).cast("long").alias("doc_id"),

@@ -2484,6 +2484,52 @@ def _ann_ivf_cos_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _maxsim_ivf_refine_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maxsim_refine knob (reference refine stage,
+    src/index/vchordrq/scanners/maxsim.rs:601-692): rough-scored candidate
+    pool, exact rerank of only the top-N per token, rough values kept for
+    the tail. Two deterministic contract bits: a refine budget covering the
+    whole pool reproduces the exhaustive-exact top-10 exactly (the refine
+    machinery + rough pool adequacy), and a half budget — where rough tail
+    values genuinely mix into the MaxSim sums — keeps overlap >= 0.6
+    (observed 0.7; this IS the reference's accuracy/IO tradeoff, whose
+    default refine=0 keeps every candidate rough)."""
+    from vectorchord_spark.operators.maxsim import maxsim_search
+
+    idx = _get_multivec_index(spark, sf_dir)
+    exact = maxsim_search(
+        idx, None, MAXSIM_TOKENS, k=10, per_token_candidates=1 << 30, probes=None
+    )
+    want = {r.doc_id for r in exact.collect()}
+    full = maxsim_search(
+        idx, None, MAXSIM_TOKENS, k=10, per_token_candidates=200,
+        probes=None, maxsim_refine=200,
+    )
+    got_full = {r.doc_id for r in full.collect()}
+    half = maxsim_search(
+        idx, None, MAXSIM_TOKENS, k=10, per_token_candidates=200,
+        probes=None, maxsim_refine=100,
+    )
+    got_half = {r.doc_id for r in half.collect()}
+    return spark.createDataFrame(
+        [
+            (
+                len(got_full),
+                int(got_full == want),
+                int(len(got_half & want) / 10.0 >= 0.6),
+            )
+        ],
+        "n_results bigint, full_refine_exact bigint, half_refine_ok bigint",
+    )
+
+
+_MAXSIM_REFINE_SQL = """
+SELECT CAST(10 AS BIGINT) AS n_results,
+       CAST(1 AS BIGINT) AS full_refine_exact,
+       CAST(1 AS BIGINT) AS half_refine_ok
+"""
+
+
 def _ann_hierarchical_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical k-means build (B5): coarse √c-cluster pass, Sainte-Laguë
     seat allocation of per-partition cluster counts, per-partition Lloyd
@@ -2851,6 +2897,7 @@ def catalog() -> dict[str, Q]:
         "ann_graph_upsert": Q(_ann_graph_upsert_fn, _ann_graph_upsert_sql()),
         "ann_ivf_cos": Q(_ann_ivf_cos_fn, _knn_sql("cos")),
         "maxsim_ivf_probed": Q(_maxsim_ivf_probed_fn, _RECALL_CONTRACT_SQL),
+        "maxsim_ivf_refine": Q(_maxsim_ivf_refine_fn, _MAXSIM_REFINE_SQL),
         "ann_ivf_hierarchical": Q(_ann_hierarchical_fn, _knn_sql("l2")),
         "ann_ivf_deep_lazy": Q(_ann_deep_lazy_fn, _ANN_DEEP_LAZY_SQL),
         "sphere_ops": Q(_sphere_ops_fn, _sphere_ops_sql()),
