@@ -435,3 +435,37 @@ def test_maxsim_refine_stage(spark):
         )
         got = {r.doc_id for r in half.collect()}
         assert len(got & want) >= 5
+
+
+def test_maxsim_refine_cos_metric(spark):
+    """Refine under the cos metric must normalize queries the same way
+    search_batch does — a full-pool refine budget must reproduce the
+    all-exact result on a cosine multivector index."""
+    from vectorchord_spark.operators.maxsim import maxsim_search
+
+    rng = np.random.default_rng(44)
+    centers = rng.uniform(-1, 1, size=(20, 64))
+    docs_rows = [
+        (d, [(centers[d % 20] + rng.normal(0, 0.1, 64)).tolist() for _ in range(3)])
+        for d in range(150)
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, vecs array<array<float>>")
+    tokens = [(3.0 * centers[i] + rng.normal(0, 0.1, 64)).tolist() for i in range(2)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build_multivector(
+            spark, docs, "doc_id", "vecs", os.path.join(tmp, "idx"),
+            IvfOptions(metric="cos", lists=[8]),
+        )
+        exact = maxsim_search(
+            idx, None, tokens, k=10, per_token_candidates=1 << 30, probes=None
+        )
+        # exhaustive pool isolates the refine-path query normalization:
+        # with every (doc, token) pair exact-reranked there is no
+        # estimation floor and the result must be row-identical
+        full = maxsim_search(
+            idx, None, tokens, k=10, per_token_candidates=1 << 30, probes=None,
+            maxsim_refine=1 << 30,
+        )
+        want = [(r.doc_id, round(r.score, 6)) for r in exact.collect()]
+        got = [(r.doc_id, round(r.score, 6)) for r in full.collect()]
+        assert got == want

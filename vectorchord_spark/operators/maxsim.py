@@ -84,6 +84,18 @@ def maxsim_search(
     # n_tokens sequential descend+scan DAGs
     tokens_f = [list(map(float, t)) for t in query_tokens]
     if maxsim_refine > 0:
+        # cos indexes store normalized vectors and search normalized
+        # queries; the refine join computes exact distances itself, so it
+        # must apply the same query normalization search_batch would
+        if index.meta["metric"] == "cos":
+            tn = []
+            for t in tokens_f:
+                arr = np.asarray(t, np.float64)
+                n = float(np.linalg.norm(arr))
+                tn.append((arr / n).tolist() if n > 0 else t)
+            tokens_refine = tn
+        else:
+            tokens_refine = tokens_f
         # reference refine semantics: rough-scored candidate pool + exact
         # rerank of only the top `maxsim_refine` per token
         pool = index.search_batch(
@@ -112,7 +124,7 @@ def maxsim_search(
         )
         from vectorchord_spark.functions import distances as D
 
-        q_arr = F.array(*[D.vec_lit(t) for t in tokens_f])
+        q_arr = F.array(*[D.vec_lit(t) for t in tokens_refine])
         qv = F.element_at(q_arr, F.col("qid") + 1)
         if metric == "l2":
             dist = D.l2("vec", qv)
