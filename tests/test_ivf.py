@@ -469,3 +469,26 @@ def test_maxsim_refine_cos_metric(spark):
         want = [(r.doc_id, round(r.score, 6)) for r in exact.collect()]
         got = [(r.doc_id, round(r.score, 6)) for r in full.collect()]
         assert got == want
+
+
+def test_search_batch_quantized_storage(spark, clustered_df):
+    """search_batch over rabitq8 storage: the batch dequantized rerank must
+    agree row-for-row with the single-query quantized search path."""
+    rng = np.random.default_rng(55)
+    queries = [rng.uniform(-1, 1, 8).tolist() for _ in range(4)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build(
+            spark, clustered_df, "id", "vec", os.path.join(tmp, "idx"),
+            IvfOptions(metric="l2", lists=[33], storage="rabitq8"),
+        )
+        batch = idx.search_batch(queries, k=5, probes=None, rerank_factor=None)
+        rows = batch.collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.qid, []).append((r.id, round(r.dist, 9)))
+        for qi, q in enumerate(queries):
+            single = [
+                (r.id, round(r.dist, 9))
+                for r in idx.search(q, k=5, probes=None, rerank_factor=None).collect()
+            ]
+            assert by_q[qi] == single

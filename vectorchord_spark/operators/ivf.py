@@ -1139,12 +1139,73 @@ class IvfIndex:
             )
 
         storage = meta.get("storage", "f32")
-        if storage not in ("f32", "f16") or not meta["rerank_in_index"]:
+        if not meta["rerank_in_index"]:
             raise NotImplementedError(
-                "search_batch currently requires f32/f16 rerank_in_index storage"
+                "search_batch currently requires rerank_in_index storage"
             )
         w2 = Window.partitionBy("qid").orderBy("dist", "id")
-        if storage == "f32":
+        if storage in ("rabitq8", "rabitq4"):
+            # quantized storage: batch analogue of the single-query
+            # dequantized-estimate rerank (rotation-invariant distances in
+            # rotated space; one decode + row-wise dot per Arrow batch)
+            sq_bits = {"rabitq8": 8, "rabitq4": 4}[storage]
+            Qr64 = np.asarray(Q_rot, np.float64)  # (nq, dim) rotated queries
+            base_off = np.float64(-0.5 * ((1 << sq_bits) - 1))
+            q_norm2 = np.einsum("ij,ij->i", Qr64, Qr64)
+
+            def sq_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    codes = list(pdf["sq_code"])
+                    code = (
+                        np.frombuffer(b"".join(codes), np.uint8).reshape(
+                            len(codes), -1
+                        )[:, :dim]
+                        if sq_bits == 8
+                        else K.unpack_nibbles(codes, dim)
+                    )
+                    scale = (
+                        np.sqrt(pdf["sq_dis_u_2"].to_numpy(np.float64))
+                        / pdf["sq_nol"].to_numpy(np.float64)
+                    )
+                    centered = code.astype(np.float64) + base_off
+                    qids = pdf["qid"].to_numpy(np.int64)
+                    dotq = (
+                        np.einsum("ij,ij->i", centered, Qr64[qids]) * scale
+                    )
+                    if metric == "l2":
+                        deq_n2 = (
+                            np.einsum("ij,ij->i", centered, centered)
+                            * scale
+                            * scale
+                        )
+                        d = np.sqrt(
+                            np.maximum(q_norm2[qids] + deq_n2 - 2.0 * dotq, 0.0)
+                        )
+                    elif metric == "dot":
+                        d = -dotq
+                    else:
+                        d = 1.0 - dotq
+                    yield pd.DataFrame(
+                        {
+                            "qid": pdf["qid"].to_numpy(np.int32),
+                            "id": pdf["id"].to_numpy(np.int64),
+                            "dist": d,
+                        }
+                    )
+
+            sq_src = self._codes_df(
+                probed_arr, ["id", "sq_dis_u_2", "sq_nol", "sq_code"]
+            )
+
+            def exact_dist(cand: DataFrame) -> DataFrame:
+                return (
+                    sq_src.join(F.broadcast(cand), "id")
+                    .mapInPandas(sq_score, "qid int, id long, dist double")
+                )
+
+        elif storage == "f32":
             vec_src = self._codes_df(probed_arr, ["id", "vec"])
             q_arr = F.array(*[D.vec_lit([float(x) for x in Qe[qi]]) for qi in range(nq)])
             qv = F.element_at(q_arr, F.col("qid") + 1)
