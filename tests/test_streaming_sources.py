@@ -176,3 +176,39 @@ def test_prewarm(spark, sf_dir):
             IvfOptions(metric="l2", lists=[8]),
         )
         assert idx.prewarm() == emb.count()
+
+
+def test_binary_wire_roundtrip(spark):
+    """S10 send/recv: pgvector vector wire format and the reference's
+    rabitq8 stream (binary_rabitq8.rs:21-36) round-trip exactly."""
+    import numpy as np
+
+    from vectorchord_spark.functions import quantize as Qz
+    from vectorchord_spark.sources.tables import (
+        binary_to_rabitq,
+        binary_to_vector,
+        rabitq_to_binary,
+        vector_to_binary,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.uniform(-1, 1, 16).astype("f4").tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    rt = df.select(
+        "id", "vec", binary_to_vector(vector_to_binary("vec")).alias("back")
+    )
+    assert rt.where(F.col("vec") != F.col("back")).count() == 0
+    # wire bytes are the documented layout: u16 dim BE + u16 zero + f32 BE
+    first = df.select(vector_to_binary("vec").alias("b")).first().b
+    assert first[:2] == (16).to_bytes(2, "big") and first[2:4] == b"\x00\x00"
+    assert len(first) == 4 + 4 * 16
+
+    q = df.select("id", Qz.quantize_to_rabitq("vec", bits=8).alias("q"))
+    back = q.select(
+        "id",
+        F.col("q").alias("orig"),
+        binary_to_rabitq(rabitq_to_binary("q")).alias("rq"),
+    )
+    assert back.where(F.col("orig") != F.col("rq")).count() == 0
+    blob = q.select(rabitq_to_binary("q").alias("b")).first().b
+    assert blob[:4] == (16).to_bytes(4, "big") and len(blob) == 20 + 16

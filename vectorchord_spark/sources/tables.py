@@ -8,6 +8,8 @@ text-encoded vectors)."""
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -80,3 +82,115 @@ def write_vectors(
         writer.json(path)
     else:
         raise ValueError(f"unsupported format {fmt!r}")
+
+
+# ---------------------------------------------------------------------------
+# Binary wire formats (S10 send/recv: pgvector's vector wire format and the
+# reference's rabitq8 stream — /root/reference/src/datatype/binary_rabitq8.rs
+# :21-36: dim u32 BE, then sum_of_x2 / norm_of_lattice / sum_of_code /
+# sum_of_abs_x as f32 BE, then the packed code bytes)
+# ---------------------------------------------------------------------------
+
+
+def vector_to_binary(col: Column | str) -> Column:
+    """array<float> → pgvector binary wire format (u16 dim BE, u16
+    unused=0, f32 BE elements)."""
+    import struct
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def _send(series: pd.Series) -> pd.Series:
+        out = []
+        for v in series:
+            arr = np.asarray(v, np.float32)
+            out.append(
+                struct.pack(">HH", len(arr), 0)
+                + arr.astype(">f4").tobytes()
+            )
+        return pd.Series(out)
+
+    return _send(F.col(col) if isinstance(col, str) else col)
+
+
+def binary_to_vector(col: Column | str) -> Column:
+    """pgvector binary wire format → array<float>."""
+    import struct
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, FloatType
+
+    @pandas_udf(ArrayType(FloatType()))
+    def _recv(series: pd.Series) -> pd.Series:
+        out = []
+        for buf in series:
+            b = bytes(buf)
+            (dim, _unused) = struct.unpack(">HH", b[:4])
+            out.append(np.frombuffer(b[4 : 4 + 4 * dim], ">f4").astype(np.float32))
+        return pd.Series(out)
+
+    return _recv(F.col(col) if isinstance(col, str) else col)
+
+
+def rabitq_to_binary(col: Column | str) -> Column:
+    """rabitq struct → the reference's send() stream (binary_rabitq8.rs:21):
+    dim u32 BE + 4 metadata f32 BE + packed code bytes."""
+    import struct
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def _send(sdf: pd.DataFrame) -> pd.Series:
+        out = []
+        for _, r in sdf.iterrows():
+            out.append(
+                struct.pack(
+                    ">Iffff",
+                    int(r["dim"]),
+                    float(r["dis_u_2"]),
+                    float(r["norm_of_lattice"]),
+                    float(r["sum_of_code"]),
+                    float(r["sum_of_abs_x"]),
+                )
+                + bytes(r["code"])
+            )
+        return pd.Series(out)
+
+    return _send(F.col(col) if isinstance(col, str) else col)
+
+
+def binary_to_rabitq(col: Column | str) -> Column:
+    """The reference's recv() stream → rabitq struct
+    (binary_rabitq8.rs:36)."""
+    import struct
+
+    from pyspark.sql.functions import pandas_udf
+
+    from vectorchord_spark.functions.quantize import RABITQ_SCHEMA
+
+    @pandas_udf(RABITQ_SCHEMA)
+    def _recv(series: pd.Series) -> pd.DataFrame:
+        dims, du2, nol, soc, sax, codes = [], [], [], [], [], []
+        for buf in series:
+            b = bytes(buf)
+            d, a, c, e, g = struct.unpack(">Iffff", b[:20])
+            dims.append(d)
+            du2.append(a)
+            nol.append(c)
+            soc.append(e)
+            sax.append(g)
+            codes.append(b[20:])
+        return pd.DataFrame(
+            {
+                "dim": np.asarray(dims, np.int32),
+                "dis_u_2": np.asarray(du2, np.float32),
+                "norm_of_lattice": np.asarray(nol, np.float32),
+                "sum_of_code": np.asarray(soc, np.float32),
+                "sum_of_abs_x": np.asarray(sax, np.float32),
+                "code": codes,
+            }
+        )
+
+    return _recv(F.col(col) if isinstance(col, str) else col)
