@@ -2484,6 +2484,37 @@ def _ann_ivf_cos_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivf_f16_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """halfvec-storage IVF (B2: the reference's f16 opclasses — 2-byte
+    packed rerank payload, compute widened to f32): with exhaustive probes
+    the f16-truncated rerank must still rank the true top-10 (truncation
+    error ≪ neighbor gaps on this data), and the output distances are
+    recomputed with the f32 fold expression so the brute-force SQL
+    hash-gates the ids AND values."""
+    import tempfile
+
+    from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
+
+    key = (sf_dir, "l2-f16")
+    idx = _IVF_CACHE.get(key)
+    if idx is None:
+        path = _register_tmpdir(tempfile.mkdtemp(prefix="vc_ivf_f16_"))
+        emb = _read(spark, sf_dir, "embeddings")
+        idx = IvfIndex.build(
+            spark, emb, "vec_id", "embedding", path,
+            IvfOptions(metric="l2", lists=[16], storage="f16"),
+        )
+        _IVF_CACHE[key] = idx
+    res = idx.search(QUERY_VEC, k=10, probes=None, rerank_factor=None)
+    emb = _read(spark, sf_dir, "embeddings")
+    dist = D.l2("embedding", D.vec_lit(QUERY_VEC))
+    return (
+        emb.join(F.broadcast(res.select(F.col("id").alias("vec_id"))), "vec_id")
+        .select("vec_id", dist.alias("dist"))
+        .orderBy("dist", "vec_id")
+    )
+
+
 def _maxsim_ivf_refine_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The maxsim_refine knob (reference refine stage,
     src/index/vchordrq/scanners/maxsim.rs:601-692): rough-scored candidate
@@ -2896,6 +2927,7 @@ def catalog() -> dict[str, Q]:
         "ann_ivf_upsert": Q(_ann_ivf_upsert_fn, _ann_ivf_upsert_sql()),
         "ann_graph_upsert": Q(_ann_graph_upsert_fn, _ann_graph_upsert_sql()),
         "ann_ivf_cos": Q(_ann_ivf_cos_fn, _knn_sql("cos")),
+        "ann_ivf_f16": Q(_ann_ivf_f16_fn, _knn_sql("l2")),
         "maxsim_ivf_probed": Q(_maxsim_ivf_probed_fn, _RECALL_CONTRACT_SQL),
         "maxsim_ivf_refine": Q(_maxsim_ivf_refine_fn, _MAXSIM_REFINE_SQL),
         "ann_ivf_hierarchical": Q(_ann_hierarchical_fn, _knn_sql("l2")),
