@@ -2484,6 +2484,30 @@ def _ann_ivf_cos_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivf_residual_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual quantization build (B9's delta path: codes quantize the
+    vector MINUS its centroid, with the per-row delta correction —
+    crates/vchordrq/src/insert.rs:170-188, bit.rs:68-124): exhaustive
+    probing reranks exactly regardless of the estimator, so the brute-force
+    oracle gates the residual encode/score machinery end-to-end."""
+    import tempfile
+
+    from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
+
+    key = (sf_dir, "l2-residual")
+    idx = _IVF_CACHE.get(key)
+    if idx is None:
+        path = _register_tmpdir(tempfile.mkdtemp(prefix="vc_ivf_res_"))
+        emb = _read(spark, sf_dir, "embeddings")
+        idx = IvfIndex.build(
+            spark, emb, "vec_id", "embedding", path,
+            IvfOptions(metric="l2", lists=[16], residual_quantization=True),
+        )
+        _IVF_CACHE[key] = idx
+    res = idx.search(QUERY_VEC, k=10, probes=None, rerank_factor=None)
+    return res.select(F.col("id").alias("vec_id"), "dist")
+
+
 def _ann_ivf_f16_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """halfvec-storage IVF (B2: the reference's f16 opclasses — 2-byte
     packed rerank payload, compute widened to f32): with exhaustive probes
@@ -2928,6 +2952,7 @@ def catalog() -> dict[str, Q]:
         "ann_graph_upsert": Q(_ann_graph_upsert_fn, _ann_graph_upsert_sql()),
         "ann_ivf_cos": Q(_ann_ivf_cos_fn, _knn_sql("cos")),
         "ann_ivf_f16": Q(_ann_ivf_f16_fn, _knn_sql("l2")),
+        "ann_ivf_residual": Q(_ann_ivf_residual_fn, _knn_sql("l2")),
         "maxsim_ivf_probed": Q(_maxsim_ivf_probed_fn, _RECALL_CONTRACT_SQL),
         "maxsim_ivf_refine": Q(_maxsim_ivf_refine_fn, _MAXSIM_REFINE_SQL),
         "ann_ivf_hierarchical": Q(_ann_hierarchical_fn, _knn_sql("l2")),
