@@ -492,3 +492,24 @@ def test_search_batch_quantized_storage(spark, clustered_df):
                 for r in idx.search(q, k=5, probes=None, rerank_factor=None).collect()
             ]
             assert by_q[qi] == single
+
+
+def test_lazy_descent_cos_metric(spark, clustered_df):
+    """Lazy descent under the cos metric must select in the same space as
+    exact descent (squared-l2 over normalized stored vectors — centroid
+    norms vary, so dot-ordering is NOT selection-equivalent)."""
+    from vectorchord_spark import kernels as K
+
+    rng = np.random.default_rng(61)
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build(
+            spark, clustered_df, "id", "vec", os.path.join(tmp, "idx"),
+            IvfOptions(metric="cos", lists=[2, 8, 32]),
+        )
+        for probes in ([1, 3, 8], [2, 4, 16]):
+            q = rng.uniform(-1, 1, 8)
+            qn = q / np.linalg.norm(q)
+            q_rot = K.rotate(qn.astype(np.float32))
+            lazy = sorted(int(c) for c in idx._descend(q_rot, probes, lazy=True))
+            exact = sorted(int(c) for c in idx._descend(q_rot, probes, lazy=False))
+            assert lazy == exact

@@ -614,7 +614,12 @@ class IvfIndex:
         import heapq
 
         metric = self.meta["metric"]
-        internal = "l2" if metric == "l2" else "dot"
+        # mirror _descend's exact scoring space per metric: l2 AND cos use
+        # squared-l2 over the (for cos: normalized-at-store) rotated
+        # vectors — centroid norms vary, so dot-ordering would NOT be
+        # selection-equivalent for cos; only pure dot indexes descend in
+        # dot space
+        internal = "dot" if metric == "dot" else "l2"
         lb_data = self._level_bits(lvl)
         lut = K.binary_lut(q_rot)
         sums = lb_data["signs"][cand] @ lut["qvector"].astype(np.int64)
