@@ -212,3 +212,42 @@ def test_binary_wire_roundtrip(spark):
     assert back.where(F.col("orig") != F.col("rq")).count() == 0
     blob = q.select(rabitq_to_binary("q").alias("b")).first().b
     assert blob[:4] == (16).to_bytes(4, "big") and len(blob) == 20 + 16
+
+
+def test_streaming_knn_serve(spark):
+    """Streaming ANN serving: query vectors landing as files are answered
+    per micro-batch with one search_batch pass; results must equal the
+    per-query exhaustive searches."""
+    from vectorchord_spark.streaming import streaming_knn_serve
+
+    rng = np.random.default_rng(71)
+    base = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(800)],
+        "id long, vec array<float>",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build(
+            spark, base, "id", "vec", f"{tmp}/idx", IvfOptions(metric="l2", lists=[8])
+        )
+        qsrc = f"{tmp}/queries"
+        os.makedirs(qsrc)
+        queries = [(qi, [float(x) for x in rng.normal(size=8)]) for qi in range(5)]
+        spark.createDataFrame(
+            queries, "qid long, query array<float>"
+        ).write.mode("append").parquet(qsrc)
+        q = streaming_knn_serve(
+            idx, qsrc, f"{tmp}/ckpt", f"{tmp}/out",
+            k=5, probes=None, rerank_factor=None,
+        )
+        q.awaitTermination(120)
+        out = spark.read.parquet(f"{tmp}/out")
+        got = {}
+        for r in out.collect():
+            got.setdefault(r.qid, []).append((r.rank, r.id))
+        assert set(got) == {0, 1, 2, 3, 4}
+        for qi, qv in queries:
+            want = [
+                r.id
+                for r in idx.search(qv, k=5, probes=None, rerank_factor=None).collect()
+            ]
+            assert [i for _, i in sorted(got[qi])] == want

@@ -2,6 +2,7 @@ from vectorchord_spark.streaming.jobs import (
     hourly_event_counts_stream,
     streaming_dedup,
     streaming_index_insert,
+    streaming_knn_serve,
     streaming_sessionize,
 )
 
@@ -10,4 +11,5 @@ __all__ = [
     "hourly_event_counts_stream",
     "streaming_sessionize",
     "streaming_dedup",
+    "streaming_knn_serve",
 ]

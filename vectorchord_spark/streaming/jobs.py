@@ -263,3 +263,55 @@ def streaming_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_knn_serve(
+    index: IvfIndex,
+    queries_path: str,
+    checkpoint_path: str,
+    output_path: str,
+    schema: str = "qid long, query array<float>",
+    k: int = 10,
+    probes: "list[int] | int | None" = None,
+    rerank_factor: "int | None" = 4,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous ANN serving: each micro-batch of query vectors landing as
+    parquet files is answered with ONE ``search_batch`` pass over the index
+    (the amortized serving shape — one codes scan for the whole batch) and
+    the per-query top-k rows are appended to ``output_path`` keyed by the
+    caller's ``qid``.
+
+    This is the streaming face of the engine's query path: the reference
+    serves one query per executor call inside Postgres; the Spark-native
+    equivalent of a query *stream* is micro-batched search_batch, which
+    amortizes the scan/python fixed costs across every query in the batch
+    (docs/SCALE.md: batch serving is ~5x the single-query throughput)."""
+    spark = index.spark
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.select("qid", "query").collect()
+        if not rows:
+            return
+        qids = [int(r.qid) for r in rows]
+        queries = [list(map(float, r.query)) for r in rows]
+        res = index.search_batch(
+            queries, k=k, probes=probes, rerank_factor=rerank_factor
+        )
+        qid_arr = F.array(*[F.lit(q) for q in qids])
+        out = res.select(
+            F.element_at(qid_arr, F.col("qid") + 1).alias("qid"),
+            "id",
+            "dist",
+            "rank",
+        )
+        out.write.mode("append").parquet(output_path)
+
+    stream = (
+        spark.readStream.schema(schema).parquet(queries_path)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        stream = stream.trigger(availableNow=True)
+    return stream.start()
