@@ -253,3 +253,27 @@ def test_multimodal_real_png_decode(spark):
     bad = spark.createDataFrame([(3, bytearray(b"not-an-image"))], "id long, data binary")
     with pytest.raises(Exception):
         multimodal.decode_image_features(bad, strict=True).collect()
+
+
+def test_hash_split_deterministic(spark):
+    """hash_split: reproducible, partition-invariant, fractions ~honored,
+    and stable under corpus growth (old rows keep their split)."""
+    from vectorchord_spark.pipeline.splits import hash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id: r.split for r in hash_split(df, "doc_id").collect()}
+    s2 = {
+        r.doc_id: r.split
+        for r in hash_split(df.repartition(7), "doc_id").collect()
+    }
+    assert s1 == s2
+    frac_train = sum(1 for v in s1.values() if v == "train") / len(s1)
+    assert 0.85 < frac_train < 0.95
+    assert set(s1.values()) == {"train", "val", "test"}
+    # growth stability: a bigger corpus keeps every old row's split
+    big = spark.range(4000).withColumnRenamed("id", "doc_id")
+    s3 = {r.doc_id: r.split for r in hash_split(big, "doc_id").collect()}
+    assert all(s3[k] == v for k, v in s1.items())
+    # a different salt reshuffles
+    s4 = {r.doc_id: r.split for r in hash_split(df, "doc_id", salt="other").collect()}
+    assert s4 != s1

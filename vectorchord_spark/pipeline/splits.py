@@ -1,0 +1,57 @@
+"""Deterministic dataset splits for training pipelines.
+
+Every corpus pipeline ends in a train/val/test split that must be (a)
+reproducible across runs and engines, (b) stable under re-partitioning and
+insertion order, and (c) computable without a shuffle. Hash-based
+bucketing gives all three: the split of a row depends only on its id and
+the salt, never on row order or partitioning — so re-running the pipeline
+on an updated corpus keeps every surviving row in its original split
+(the property random() splits lack).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bucket space; 16-bit md5 prefix mod this (bias < 0.2%, irrelevant for
+#: split fractions and identical in every engine that computes md5)
+_BUCKETS = 10_000
+
+
+def split_bucket(id_col: Column | str, salt: str = "split") -> Column:
+    """Deterministic [0, 10000) bucket from the md5 of ``salt|id``."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(F.lit(f"{salt}|"), c.cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % F.lit(_BUCKETS)
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign each row a named split by hash bucket.
+
+    ``fractions`` maps split name → fraction (must sum to ≤ 1; any
+    remainder falls into the LAST split). Default 90/5/5
+    train/val/test. Pure JVM expression — no shuffle, no RNG state; the
+    same row always lands in the same split on any cluster."""
+    fractions = fractions or {"train": 0.90, "val": 0.05, "test": 0.05}
+    names = list(fractions)
+    bounds = []
+    acc = 0.0
+    for n in names[:-1]:
+        acc += fractions[n]
+        bounds.append(int(round(acc * _BUCKETS)))
+    b = split_bucket(id_col, salt)
+    # CASE bucket < bound_0 → names[0] ... ELSE last name
+    expr = None
+    for name, bound in zip(names[:-1], bounds):
+        cond = b < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn("split", expr)

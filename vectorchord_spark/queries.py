@@ -2715,6 +2715,30 @@ LIMIT 10
 # ---------------------------------------------------------------------------
 
 
+def _train_val_split_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (the reproducible-
+    split primitive every training pipeline needs — stable under
+    re-partitioning, insertion order, and corpus growth, unlike random()
+    splits). Hash-bucket arithmetic is identical in both engines (the
+    md5-hex/conv parity pattern), so the oracle matches bit-for-bit."""
+    from vectorchord_spark.pipeline.splits import hash_split
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs, "doc_id").orderBy("doc_id")
+
+
+_TRAIN_VAL_SPLIT_SQL = """
+SELECT doc_id,
+       CASE
+         WHEN ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10000 < 9000 THEN 'train'
+         WHEN ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10000 < 9500 THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def _sphere_ops_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three sphere containment operators (S4: `<<->>`/`<<#>>`/`<<=>>`,
     sql/install/vchord--1.1.1.sql:802-872) evaluated per row through the
@@ -3002,6 +3026,7 @@ def catalog() -> dict[str, Q]:
         "fingerprint": Q(_fingerprint_fn, _FINGERPRINT_SQL),
         "quality_filter": Q(_quality_filter_fn, _QUALITY_FILTER_SQL),
         "token_histogram": Q(_token_histogram_fn, _TOKEN_HISTOGRAM_SQL),
+        "train_val_split": Q(_train_val_split_fn, _TRAIN_VAL_SPLIT_SQL),
         # --- temporal / streaming-twin operators ---
         "asof_join": Q(_asof_join_fn, _ASOF_JOIN_SQL, headline=True),
         "range_join_count": Q(_range_join_fn, _RANGE_JOIN_SQL),
