@@ -513,3 +513,21 @@ def test_lazy_descent_cos_metric(spark, clustered_df):
             lazy = sorted(int(c) for c in idx._descend(q_rot, probes, lazy=True))
             exact = sorted(int(c) for c in idx._descend(q_rot, probes, lazy=False))
             assert lazy == exact
+
+
+def test_degenerate_single_cluster(spark, clustered_df):
+    """Skew floor: lists=[1] routes every row to one cluster (one bucket,
+    one range) — the layout and search must stay exact."""
+    rng = np.random.default_rng(77)
+    q = [float(x) for x in rng.uniform(-1, 1, 8)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build(
+            spark, clustered_df, "id", "vec", os.path.join(tmp, "idx"),
+            IvfOptions(metric="l2", lists=[1]),
+        )
+        exact = brute_topk(clustered_df, q, 10)
+        got = [
+            r.id
+            for r in idx.search(q, k=10, probes=None, rerank_factor=None).collect()
+        ]
+        assert got == exact
