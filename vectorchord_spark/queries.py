@@ -1581,6 +1581,64 @@ SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id
 """
 
 
+def _dedup_keep_best_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus dedup flow (what a user actually runs):
+    near-dup pairs → connected components → keep the highest-quality doc
+    per duplicate cluster, emit the removal list (doc, its cluster, the
+    keeper that shadows it). Composes three already-hash-gated pieces
+    (ngram pairs, components, bit-exact quality score), so the float
+    ranking in the keeper window matches the oracle exactly."""
+    from pyspark.sql import Window
+
+    from vectorchord_spark.pipeline.dedup import connected_components
+    from vectorchord_spark.pipeline.text import quality_score
+
+    pairs = _dedup_ngram_fn(spark, sf_dir).select("ida", "idb")
+    comp = connected_components(pairs)
+    docs = _read(spark, sf_dir, "documents")
+    q = docs.select(
+        F.col("doc_id").alias("id"), quality_score("text").alias("quality")
+    )
+    ranked = comp.join(q, "id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("component").orderBy(F.desc("quality"), "id")
+        ),
+    )
+    keepers = ranked.where(F.col("rn") == 1).select(
+        F.col("component").alias("kcomp"), F.col("id").alias("keeper_id")
+    )
+    return (
+        ranked.where(F.col("rn") > 1)
+        .join(keepers, F.col("component") == F.col("kcomp"))
+        .select(F.col("id").alias("doc_id"), "component", "keeper_id")
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_keep_best_sql() -> str:
+    groups = _dedup_groups_sql().replace("ORDER BY id", "")
+    return f"""
+WITH comp AS ({groups}),
+q AS (
+  SELECT doc_id AS id,
+         (least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0)
+          + len(list_distinct(string_split(text, ' ')))::DOUBLE
+            / len(string_split(text, ' '))::DOUBLE) / 2.0 AS quality
+  FROM documents),
+ranked AS (
+  SELECT c.id, c.component, q.quality,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.quality DESC, c.id) AS rn
+  FROM comp c JOIN q ON q.id = c.id)
+SELECT r.id AS doc_id, r.component, k.id AS keeper_id
+FROM ranked r
+JOIN ranked k ON k.component = r.component AND k.rn = 1
+WHERE r.rn > 1
+ORDER BY doc_id
+"""
+
+
 _LSH_TABLES = 8
 _LSH_PLANES = 4
 _LSH_SEED = 42
@@ -2994,6 +3052,7 @@ def catalog() -> dict[str, Q]:
         "knn_batch_ivf": Q(_knn_batch_ivf_fn, _knn_batch_sql(), headline=True),
         "embed_neardup_lsh": Q(_embed_neardup_lsh_fn, _embed_neardup_lsh_sql(), headline=True),
         "dedup_groups": Q(_dedup_groups_fn, _dedup_groups_sql()),
+        "dedup_keep_best": Q(_dedup_keep_best_fn, _dedup_keep_best_sql()),
         # --- vector/ANN operator surface (§2) ---
         "knn_l2": Q(_knn_fn("l2"), _knn_sql("l2"), headline=True),
         "knn_ip": Q(_knn_fn("dot"), _knn_sql("dot"), headline=True),
