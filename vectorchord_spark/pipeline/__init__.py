@@ -1,3 +1,3 @@
-from vectorchord_spark.pipeline import dedup, embed, multimodal, text
+from vectorchord_spark.pipeline import dedup, embed, multimodal, splits, text
 
-__all__ = ["dedup", "embed", "text", "multimodal"]
+__all__ = ["dedup", "embed", "text", "multimodal", "splits"]
