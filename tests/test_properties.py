@@ -93,3 +93,25 @@ def test_quantize8_roundtrip_property(xs):
     back = K.extended_dequantize(c["code"], c["dis_u_2"], c["norm_of_lattice"], 8)[0]
     # relative reconstruction error bounded (8-bit lattice: ~1% of norm)
     assert np.linalg.norm(back - v) <= 0.05 * np.linalg.norm(v) + 1e-3
+
+
+f32_any = st.floats(width=32, allow_nan=True, allow_infinity=True)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(f32_any, min_size=0, max_size=500))
+def test_vector_wire_roundtrip_property(xs):
+    """pgvector wire format: bit-exact round-trip for every f32 value
+    including ±inf, ±0, subnormals, and NaN payloads."""
+    from vectorchord_spark.sources.tables import (
+        pack_vector_wire,
+        unpack_vector_wire,
+    )
+
+    v = np.array(xs, np.float32)
+    buf = pack_vector_wire(v)
+    assert len(buf) == 4 + 4 * len(v)
+    assert buf[:2] == len(v).to_bytes(2, "big")
+    back = unpack_vector_wire(buf)
+    # bit-exact comparison (== would fail on NaN)
+    assert back.tobytes() == v.tobytes()

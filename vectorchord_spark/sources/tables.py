@@ -92,43 +92,45 @@ def write_vectors(
 # ---------------------------------------------------------------------------
 
 
+def pack_vector_wire(arr: "np.ndarray") -> bytes:
+    """One vector → pgvector binary wire bytes (u16 dim BE, u16 unused=0,
+    f32 BE elements; bit-preserving incl. NaN payloads)."""
+    import struct
+
+    arr = np.asarray(arr, np.float32)
+    return struct.pack(">HH", len(arr), 0) + arr.astype(">f4").tobytes()
+
+
+def unpack_vector_wire(buf: bytes) -> "np.ndarray":
+    """pgvector binary wire bytes → f32 vector."""
+    import struct
+
+    b = bytes(buf)
+    (dim, _unused) = struct.unpack(">HH", b[:4])
+    return np.frombuffer(b[4 : 4 + 4 * dim], ">f4").astype(np.float32)
+
+
 def vector_to_binary(col: Column | str) -> Column:
     """array<float> → pgvector binary wire format (u16 dim BE, u16
     unused=0, f32 BE elements)."""
-    import struct
-
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
     @pandas_udf(BinaryType())
     def _send(series: pd.Series) -> pd.Series:
-        out = []
-        for v in series:
-            arr = np.asarray(v, np.float32)
-            out.append(
-                struct.pack(">HH", len(arr), 0)
-                + arr.astype(">f4").tobytes()
-            )
-        return pd.Series(out)
+        return pd.Series([pack_vector_wire(v) for v in series])
 
     return _send(F.col(col) if isinstance(col, str) else col)
 
 
 def binary_to_vector(col: Column | str) -> Column:
     """pgvector binary wire format → array<float>."""
-    import struct
-
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, FloatType
 
     @pandas_udf(ArrayType(FloatType()))
     def _recv(series: pd.Series) -> pd.Series:
-        out = []
-        for buf in series:
-            b = bytes(buf)
-            (dim, _unused) = struct.unpack(">HH", b[:4])
-            out.append(np.frombuffer(b[4 : 4 + 4 * dim], ">f4").astype(np.float32))
-        return pd.Series(out)
+        return pd.Series([unpack_vector_wire(b) for b in series])
 
     return _recv(F.col(col) if isinstance(col, str) else col)
 
