@@ -277,3 +277,16 @@ def test_hash_split_deterministic(spark):
     # a different salt reshuffles
     s4 = {r.doc_id: r.split for r in hash_split(df, "doc_id", salt="other").collect()}
     assert s4 != s1
+
+
+def test_connected_components_string_ids(spark):
+    """The driver union-find path must accept non-numeric id types (string
+    doc hashes) just like the distributed path."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "ida string, idb string"
+    )
+    got = {
+        (r.id, r.component)
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}

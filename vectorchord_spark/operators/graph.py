@@ -614,11 +614,16 @@ class VamanaIndex:
         assigned = src.mapInPandas(
             _make_assign_fn(bc_cents, metric, repl, float(meta["closure_epsilon"])),
             "id long, vec array<float>, shard int, is_primary boolean",
-        )
+        ).persist()  # pin ONE evaluation: the affected-shard set and the
+        # rewrite job must see identical routing, or _write_version would
+        # hardlink an old partition over a freshly written one (a
+        # nondeterministic source df — rand()/limit() — could otherwise
+        # route differently between the two jobs)
         affected = [
             int(r.shard) for r in assigned.select("shard").distinct().collect()
         ]
         if not affected:
+            assigned.unpersist()
             return
         old = (
             self.spark.read.parquet(self.graph_path)
@@ -726,6 +731,7 @@ class VamanaIndex:
             .applyInPandas(insert_shard, GRAPH_SCHEMA)
         )
         self._write_version(updated, affected)
+        assigned.unpersist()
 
     def delete(self, ids: "list[int] | DataFrame") -> None:
         """Logical delete via tombstones: the vertex stays a traversal

@@ -572,8 +572,12 @@ class IvfIndex:
                 yield from tbl.take(order).to_batches()
 
         (
+            # bigint arithmetic: cluster_id is int32 and cluster_id * n_out
+            # overflows at ~1M leaves x 4k shuffle partitions (ANSI mode
+            # would fail the build; non-ANSI would silently scatter ranges)
             encoded.repartition(
-                n_out, F.expr(f"cluster_id * {n_out} div {n_leaves}")
+                n_out,
+                F.expr(f"cast(cluster_id as bigint) * {n_out} div {n_leaves}"),
             )
             .mapInArrow(regroup, CODES_SCHEMA)
             .write.mode(mode)
@@ -658,6 +662,7 @@ class IvfIndex:
         q_rot: np.ndarray,
         probes: list[int] | None,
         lazy: bool = False,
+        epsilon: float = 1.9,
     ) -> np.ndarray:
         """Centroid-tree descent on the driver (the tree is small/broadcast;
         mirrors /root/reference/crates/vchordrq/src/search.rs:95-157).
@@ -679,7 +684,9 @@ class IvfIndex:
                 cand = keep
             if probes is not None and probes[lvl] < len(cand):
                 if lazy:
-                    keep = self._lazy_select(lvl, cand, q_rot, probes[lvl])
+                    keep = self._lazy_select(
+                        lvl, cand, q_rot, probes[lvl], epsilon=epsilon
+                    )
                     continue
                 vecs = level["vec_rot"][cand].astype(np.float64)
                 if metric in ("l2", "cos"):
@@ -691,6 +698,28 @@ class IvfIndex:
             else:
                 keep = cand
         return keep
+
+    def probed_union(
+        self,
+        queries: "list[list[float]] | np.ndarray",
+        probes: list[int] | int | None,
+    ) -> np.ndarray:
+        """Union of probed leaf cells across a query batch (the same
+        normalization + descent search_batch performs) — lets callers prune
+        auxiliary scans (e.g. the maxsim refine join) to the probed cells."""
+        meta = self.meta
+        Qe = np.asarray(queries, np.float64)
+        if meta["metric"] == "cos":
+            norms = np.linalg.norm(Qe, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            Qe = Qe / norms
+        Q_rot = K.rotate(Qe.astype(np.float32))
+        if isinstance(probes, int):
+            probes = [len(lv["parent"]) for lv in self.levels[:-1]] + [probes]
+        union: set[int] = set()
+        for qi in range(len(Q_rot)):
+            union.update(int(c) for c in self._descend(Q_rot[qi], probes))
+        return np.array(sorted(union))
 
     def _codes_df(self, probed: np.ndarray, columns: list[str]) -> DataFrame:
         df = self.spark.read.parquet(self.codes_path)
@@ -750,7 +779,7 @@ class IvfIndex:
         q_rot = K.rotate(q)
         if isinstance(probes, int):
             probes = [len(lv["parent"]) for lv in self.levels[:-1]] + [probes]
-        probed = self._descend(q_rot, probes, lazy=lazy_descent)
+        probed = self._descend(q_rot, probes, lazy=lazy_descent, epsilon=epsilon)
         if len(probed) == 0:
             return self._empty_result()
 

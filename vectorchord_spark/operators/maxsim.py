@@ -24,15 +24,16 @@ from pyspark.sql import functions as F
 from vectorchord_spark.operators.ivf import IvfIndex
 
 
-def _persist_bounded(index: IvfIndex, df: DataFrame) -> DataFrame:
-    """At most one outstanding persisted maxsim union per index (same
+def _persist_bounded(index: IvfIndex, df: DataFrame, slot: str = "un") -> DataFrame:
+    """At most one outstanding persisted DF per (index, slot) (same
     bounded-cache policy as IvfIndex._persist_scored — a serving process
     must not accumulate one cached RDD per query)."""
-    prev = getattr(index, "_last_maxsim_un", None)
+    attr = f"_last_maxsim_{slot}"
+    prev = getattr(index, attr, None)
     if prev is not None:
         prev.unpersist()
-    index._last_maxsim_un = df.persist()
-    return index._last_maxsim_un
+    setattr(index, attr, df.persist())
+    return getattr(index, attr)
 
 
 def maxsim_search(
@@ -84,6 +85,16 @@ def maxsim_search(
     # n_tokens sequential descend+scan DAGs
     tokens_f = [list(map(float, t)) for t in query_tokens]
     if maxsim_refine > 0:
+        # the refine join reads materialized vectors — only f32
+        # rerank_in_index storage has them (mirror search_batch's guard
+        # instead of silently computing NULL distances for the head)
+        if (
+            index.meta.get("storage", "f32") != "f32"
+            or not index.meta["rerank_in_index"]
+        ):
+            raise NotImplementedError(
+                "maxsim_refine requires f32 rerank_in_index storage"
+            )
         # cos indexes store normalized vectors and search normalized
         # queries; the refine join computes exact distances itself, so it
         # must apply the same query normalization search_batch would
@@ -105,6 +116,9 @@ def maxsim_search(
             epsilon=epsilon,
             return_rough=True,
         )
+        # the pool feeds BOTH the head (exact rerank) and the tail (rough
+        # passthrough); persist so the scoring scan runs once, not twice
+        pool = _persist_bounded(index, pool, slot="pool")
         from pyspark.sql import Window
 
         metric = index.meta["metric"]
@@ -119,8 +133,10 @@ def maxsim_search(
         w = Window.partitionBy("qid").orderBy("rough", "id")
         pool = pool.withColumn("_rk", F.row_number().over(w))
         head = pool.where(F.col("_rk") <= int(maxsim_refine)).select("qid", "id")
+        # prune the vector fetch to the probed cells (head candidates can
+        # only come from there) — same pruning search_batch's own rerank uses
         vec_src = index._codes_df(
-            np.arange(index.meta["n_leaves"]), ["id", "vec"]
+            index.probed_union(tokens_f, probes), ["id", "vec"]
         )
         from vectorchord_spark.functions import distances as D
 

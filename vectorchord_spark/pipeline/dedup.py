@@ -346,10 +346,12 @@ def connected_components(
         .persist()
     )
     if driver_threshold and sym.count() <= driver_threshold:
-        pdf = sym.toPandas()
-        parent: dict[int, int] = {}
+        from pyspark.sql.types import StructField, StructType
 
-        def find(x: int) -> int:
+        pdf = sym.toPandas()
+        parent: dict = {}
+
+        def find(x):
             r = x
             while parent[r] != r:
                 r = parent[r]
@@ -357,8 +359,10 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for s, d in zip(pdf["src"], pdf["dst"]):
-            s, d = int(s), int(d)
+        # .tolist() converts numpy scalars to Python natives; non-numeric
+        # id types (string hashes, etc.) pass through unchanged — the
+        # driver path must accept everything the distributed path does
+        for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
             parent.setdefault(s, s)
             parent.setdefault(d, d)
             rs, rd = find(s), find(d)
@@ -369,8 +373,12 @@ def connected_components(
                 else:
                     parent[rs] = rd
         rows = [(i, find(i)) for i in parent]
+        id_type = sym.schema["src"].dataType
+        schema = StructType(
+            [StructField("id", id_type), StructField("component", id_type)]
+        )
         sym.unpersist()
-        return spark.createDataFrame(rows, "id long, component long")
+        return spark.createDataFrame(rows, schema)
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()

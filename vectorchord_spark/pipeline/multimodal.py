@@ -199,6 +199,12 @@ def _try_real_decode(buf: bytes) -> "tuple[int, int, np.ndarray] | None":
         from PIL import Image  # noqa: F401
 
         img = Image.open(io.BytesIO(buf))
+        # normalize to 8-bit channels: palette images would otherwise feed
+        # palette INDICES to the feature pool, and 16-bit depths would
+        # break the [0, 1] feature contract (the stdlib PNG path rejects
+        # non-8-bit input outright)
+        if img.mode not in ("L", "RGB", "RGBA"):
+            img = img.convert("RGB")
         arr = np.asarray(img)
         if arr.ndim == 2:
             arr = arr[:, :, None]

@@ -305,7 +305,13 @@ def streaming_knn_serve(
             "dist",
             "rank",
         )
-        out.write.mode("append").parquet(output_path)
+        # epoch-keyed overwrite makes foreachBatch replays idempotent: a
+        # re-fired epoch rewrites its own subdirectory instead of
+        # appending duplicate result rows (readers partition-discover the
+        # epoch column from output_path)
+        out.write.mode("overwrite").parquet(
+            os.path.join(output_path, f"epoch={int(epoch_id)}")
+        )
 
     stream = (
         spark.readStream.schema(schema).parquet(queries_path)
