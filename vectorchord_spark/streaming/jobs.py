@@ -275,6 +275,8 @@ def streaming_knn_serve(
     probes: "list[int] | int | None" = None,
     rerank_factor: "int | None" = 4,
     available_now: bool = True,
+    max_files_per_trigger: int | None = 8,
+    chunk_size: int = 4096,
 ) -> StreamingQuery:
     """Continuous ANN serving: each micro-batch of query vectors landing as
     parquet files is answered with ONE ``search_batch`` pass over the index
@@ -290,31 +292,42 @@ def streaming_knn_serve(
     spark = index.spark
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        # the driver materializes only query VECTORS (k·dim floats each),
+        # never result rows — and in bounded chunks, so an availableNow
+        # backlog of many files cannot OOM the driver or blow up the
+        # rerank expression tree (one broadcast query matrix per chunk)
         rows = batch_df.select("qid", "query").collect()
         if not rows:
             return
-        qids = [int(r.qid) for r in rows]
-        queries = [list(map(float, r.query)) for r in rows]
-        res = index.search_batch(
-            queries, k=k, probes=probes, rerank_factor=rerank_factor
-        )
-        qid_arr = F.array(*[F.lit(q) for q in qids])
-        out = res.select(
-            F.element_at(qid_arr, F.col("qid") + 1).alias("qid"),
-            "id",
-            "dist",
-            "rank",
-        )
-        # epoch-keyed overwrite makes foreachBatch replays idempotent: a
-        # re-fired epoch rewrites its own subdirectory instead of
-        # appending duplicate result rows (readers partition-discover the
-        # epoch column from output_path)
-        out.write.mode("overwrite").parquet(
-            os.path.join(output_path, f"epoch={int(epoch_id)}")
-        )
+        for j in range(0, len(rows), chunk_size):
+            chunk = rows[j : j + chunk_size]
+            queries = [list(map(float, r.query)) for r in chunk]
+            res = index.search_batch(
+                queries, k=k, probes=probes, rerank_factor=rerank_factor
+            )
+            # caller-qid mapping as a broadcast join (not a literal array:
+            # a chunk-sized expression literal would be re-serialized into
+            # every task binary)
+            qmap = spark.createDataFrame(
+                [(i, int(r.qid)) for i, r in enumerate(chunk)],
+                "qid long, caller_qid long",
+            )
+            out = res.join(F.broadcast(qmap), "qid").select(
+                F.col("caller_qid").alias("qid"), "id", "dist", "rank"
+            )
+            # epoch/chunk-keyed overwrite makes foreachBatch replays
+            # idempotent: a re-fired epoch rewrites its own subdirectories
+            # instead of appending duplicate result rows (readers
+            # partition-discover the epoch/chunk columns from output_path)
+            out.write.mode("overwrite").parquet(
+                os.path.join(output_path, f"epoch={int(epoch_id)}", f"chunk={j}")
+            )
 
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     stream = (
-        spark.readStream.schema(schema).parquet(queries_path)
+        reader.parquet(queries_path)
         .writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_path)
     )
