@@ -63,23 +63,61 @@ def main() -> None:
     build = _bench_build(spark, build_rows)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock_steady_state",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_total": round(sum(cold.values()), 3),
-                "cold_queries": cold,
-                "build_rows": build_rows,
-                "build_secs": build["secs"],
-                "build_rows_per_s": build["rows_per_s"],
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall_clock_steady_state",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_total": round(sum(cold.values()), 3),
+        "cold_queries": cold,
+        "build_rows": build_rows,
+        "build_secs": build["secs"],
+        "build_rows_per_s": build["rows_per_s"],
+        "sf": sf,
+    }
+    out.update(_vs_prev_ratios(timings, sf))
+    print(json.dumps(out))
     spark.stop()
+
+
+def _vs_prev_ratios(timings: dict[str, float], sf: float) -> dict:
+    """Ratio of this run's common-query total vs prior rounds' BENCH files
+    (computed here, not by hand — the r03 ROUND_NOTES hand-computed this
+    and got it wrong). Sum over queries present in BOTH runs, this/prev."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev: dict[int, dict[str, float]] = {}
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as f:
+                data = json.load(f)
+            parsed = data.get("parsed", data)
+            q = parsed.get("queries")
+            if parsed.get("sf") != sf:  # only compare same-scale runs
+                continue
+        except (OSError, ValueError, AttributeError):
+            continue
+        if isinstance(q, dict) and q:
+            prev[int(m.group(1))] = q
+    out: dict[str, float] = {}
+    for label, rnd in (
+        ("common_vs_prev_ratio", max(prev) if prev else None),
+        ("common_vs_r01_ratio", 1 if 1 in prev else None),
+    ):
+        if rnd is None:
+            continue
+        common = sorted(set(timings) & set(prev[rnd]))
+        denom = sum(prev[rnd][q] for q in common)
+        if common and denom > 0:
+            out[label] = round(sum(timings[q] for q in common) / denom, 3)
+            out[label.replace("_ratio", "_round")] = rnd
+            out[label.replace("_ratio", "_n_queries")] = len(common)
+    return out
 
 
 def _bench_build(spark, n_rows: int, dim: int = 64) -> dict:

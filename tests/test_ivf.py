@@ -45,8 +45,9 @@ def brute_topk(df, q, k, metric="l2"):
         IvfOptions(metric="l2", lists=[33], kmeans_dimension=4),
         IvfOptions(metric="cos", lists=[33], spherical_centroids=True),
         IvfOptions(metric="dot", lists=[33]),
+        IvfOptions(metric="l2", lists=[33], distributed_kmeans=True),
     ],
-    ids=["l2", "l2-residual", "l2-hier", "l2-kdim", "cos", "dot"],
+    ids=["l2", "l2-residual", "l2-hier", "l2-kdim", "cos", "dot", "l2-distkm"],
 )
 def test_build_and_recall(spark, clustered_df, opts):
     rng = np.random.default_rng(11)

@@ -255,6 +255,61 @@ def test_multimodal_real_png_decode(spark):
         multimodal.decode_image_features(bad, strict=True).collect()
 
 
+def test_multimodal_real_wav_decode(spark):
+    """The REAL audio branch (stdlib wave codec, no external deps):
+    sample count / duration / rms come from the decoded WAV (honoring its
+    own sample rate and downmixing stereo), and strict=True succeeds."""
+    import io
+    import wave
+
+    import numpy as np
+
+    rate = 8000
+    t = np.linspace(0, 0.25, rate // 4, endpoint=False)
+    mono = (np.sin(2 * np.pi * 440 * t) * 20000).astype("<i2")
+
+    def wav_bytes(frames: bytes, n_ch: int, width: int, rate: int) -> bytes:
+        bio = io.BytesIO()
+        with wave.open(bio, "wb") as w:
+            w.setnchannels(n_ch)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            w.writeframes(frames)
+        return bio.getvalue()
+
+    wav_mono = wav_bytes(mono.tobytes(), 1, 2, rate)
+    stereo = np.repeat(mono, 2).astype("<i2")  # L==R
+    wav_stereo = wav_bytes(stereo.tobytes(), 2, 2, rate)
+
+    # unit: decoder honors rate, width, and channel downmix
+    got_rate, got_pcm = multimodal._decode_wav(wav_mono)
+    assert got_rate == rate and np.array_equal(got_pcm, mono)
+    st_rate, st_pcm = multimodal._decode_wav(wav_stereo)
+    assert st_rate == rate and np.array_equal(st_pcm, mono)
+    assert multimodal._decode_wav(b"not-audio-at-all") is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav_mono)), (2, bytearray(wav_stereo))],
+        "id long, data binary",
+    )
+    # strict=True passes through the REAL branch (sample_rate arg is the
+    # stub fallback only — the WAV's own 8kHz must win)
+    rows = {
+        r.id: r
+        for r in multimodal.audio_features(
+            df, sample_rate=16000, strict=True
+        ).collect()
+    }
+    assert rows[1].n_samples == rate // 4
+    assert abs(rows[1].duration_s - 0.25) < 1e-9
+    assert 0.3 < rows[1].rms < 0.9 and rows[1].zero_cross > 100
+    assert rows[2].n_samples == rows[1].n_samples  # stereo downmixed
+    # non-WAV bytes still raise under strict
+    bad = spark.createDataFrame([(3, bytearray(b"\x00" * 64))], "id long, data binary")
+    with pytest.raises(Exception):
+        multimodal.audio_features(bad, strict=True).collect()
+
+
 def test_hash_split_deterministic(spark):
     """hash_split: reproducible, partition-invariant, fractions ~honored,
     and stable under corpus growth (old rows keep their split)."""

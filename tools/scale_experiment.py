@@ -60,6 +60,48 @@ def main() -> None:
     gen_s = time.perf_counter() - t0
     print(f"generate {n_rows} rows: {gen_s:.1f}s")
 
+    if "--graph" in sys.argv:
+        # graph-at-scale point (r03 verdict #4): default shard count must
+        # grow with input and per-shard build memory stay bounded
+        from vectorchord_spark import VamanaIndex
+
+        gpath = tempfile.mkdtemp(prefix="vc_scale_graph_") + "/gidx"
+        t0 = time.perf_counter()
+        gidx = VamanaIndex.build(spark, df, "id", "vec", gpath)
+        gbuild_s = time.perf_counter() - t0
+        n_shards = int(gidx.meta["n_shards"])
+        sizes = (
+            spark.read.parquet(gidx.graph_path)
+            .groupBy("shard")
+            .count()
+            .agg(F.min("count"), F.max("count"), F.avg("count"))
+            .first()
+        )
+        print(
+            f"graph build: {gbuild_s:.1f}s ({n_rows / gbuild_s:,.0f} rows/s), "
+            f"n_shards={n_shards}, shard rows min/avg/max = "
+            f"{sizes[0]}/{sizes[2]:.0f}/{sizes[1]}"
+        )
+        rng = np.random.default_rng(123)
+        gq = (
+            centers[rng.integers(0, n_centers)] + 0.25 * rng.standard_normal(dim)
+            if clustered
+            else rng.standard_normal(dim)
+        ).tolist()
+        got = [r.id for r in gidx.search(gq, k=10, ef_search=64, probe_shards=3).collect()]
+        exact = [r.id for r in knn_exact(df, "id", "vec", gq, k=10).collect()]
+        print(f"graph recall@10 (ef=64, 3 shards probed): "
+              f"{len(set(got) & set(exact)) / 10.0:.2f}")
+        spark.stop()
+        return
+
+    dist_km = "--distkm" in sys.argv
+    if dist_km:
+        # distributed-kmeans point (r03 verdict #5): lists=[10000] leaf
+        # clustering as a Spark job — the driver-sample path would need a
+        # 10000·64 = 640k-vector driver sample; the distributed path's
+        # driver sample is only √10000·256 = 25.6k vectors
+        n_lists = min(10_000, n_lists * 10)
     path = tempfile.mkdtemp(prefix="vc_scale_") + "/idx"
     t0 = time.perf_counter()
     idx = IvfIndex.build(
@@ -71,12 +113,16 @@ def main() -> None:
         IvfOptions(
             metric="l2",
             lists=[n_lists],
-            build_hierarchical=True,
+            build_hierarchical=not dist_km,
+            distributed_kmeans=dist_km,
             sampling_factor=64,
         ),
     )
     build_s = time.perf_counter() - t0
-    print(f"build lists=[{n_lists}]: {build_s:.1f}s ({n_rows / build_s:,.0f} rows/s)")
+    print(
+        f"build lists=[{n_lists}] distributed_kmeans={dist_km}: "
+        f"{build_s:.1f}s ({n_rows / build_s:,.0f} rows/s)"
+    )
 
     rng = np.random.default_rng(123)
     if clustered:

@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from vectorchord_spark import kernels as K
 from vectorchord_spark.functions import distances as D
 from vectorchord_spark.operators import kmeans as KM
+from vectorchord_spark.operators.sampling import bounded_sample_vectors
 
 GRAPH_SCHEMA = (
     "shard int, id long, row_no int, medoid_row int, is_primary boolean, "
@@ -464,19 +465,22 @@ class VamanaIndex:
         n_shards = opts.n_shards
         if n_shards is None:
             total = src.count()
-            n_shards = max(1, min(64, total // 5000 + 1))
+            # dense sharding at small scale (one shard per ~5k vectors so
+            # local[N] parallelism is used), bounded per-shard size at
+            # large scale: past ~320k vectors the count grows one shard
+            # per 250k rows instead of capping at 64, keeping each
+            # single-task Vamana build ≤ ~250k vectors (the pure-Python
+            # build inside one applyInPandas task would otherwise
+            # OOM/stall at the 100M-row design point)
+            n_shards = max(1, min(total // 5000 + 1, 64 + total // 250_000))
 
         # --- shard centroids: bounded sample → driver k-means (the same
-        # sampling shape as the IVF build; shards are spatial clusters so
-        # query routing = centroid argmin, the SPANN-style layout) ---
+        # single-pass per-partition sampler as the IVF build — a global
+        # orderBy(rand).limit degenerates into sort-everything at scale;
+        # shards are spatial clusters so query routing = centroid argmin,
+        # the SPANN-style layout) ---
         cap = max(n_shards * 256, 1024)
-        sample_pd = (
-            src.select("vec", F.rand(opts.seed).alias("_u"))
-            .orderBy("_u")
-            .limit(cap)
-            .select("vec")
-            .toPandas()
-        )
+        sample_pd = bounded_sample_vectors(src, cap, opts.seed)
         samples = np.stack(sample_pd["vec"].to_numpy()).astype(np.float32)
         dim = samples.shape[1]
         cents = KM.lloyd(samples, n_shards, 10, opts.seed, False).astype(np.float32)
@@ -539,8 +543,13 @@ class VamanaIndex:
         """Write ``updated`` (the full new content of the affected shards)
         to the next graph version dir; unaffected shard partitions are
         hardlinked from the previous version (locally — on a real
-        deployment this is a metastore partition-pointer swap). Versioning
-        keeps earlier lazy search DataFrames collectable, mirroring
+        deployment this is a metastore partition-pointer swap).
+
+        Retention window: only the two newest versions are kept (older
+        dirs are rmtree'd below), so a lazy search DataFrame stays
+        materializable for exactly ONE subsequent DML operation; a
+        DataFrame captured two or more DML operations ago fails at
+        materialization when its files are garbage-collected. Mirrors
         IvfIndex.compact's snapshot-ish policy."""
         old_path = self.graph_path
         old_v = self.meta.get("graph_version", 0)

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from vectorchord_spark import kernels as K
 from vectorchord_spark.functions import distances as D
 from vectorchord_spark.operators import kmeans as KM
+from vectorchord_spark.operators.sampling import bounded_sample_vectors
 
 CODES_SCHEMA = (
     "id long, cluster_id int, dis_u_2 float, factor_cnt float, factor_ip float, "
@@ -51,6 +52,122 @@ CODES_SCHEMA = (
     "vec_f16 binary, sq_dis_u_2 float, sq_nol float, sq_code binary"
 )
 SCORE_SCHEMA = "id long, cluster_id int, lb double, rough double"
+
+
+def _distributed_leaf_kmeans(
+    src: DataFrame, n_leaves: int, opts: "IvfOptions"
+) -> np.ndarray:
+    """Leaf centroids as a Spark job (the ``distributed_kmeans`` build
+    path): the cluster-scale analogue of the two-stage hierarchical build
+    (crates/k_means/src/hierarchical.rs:109-199).
+
+    Stage 1 (driver): coarse √c k-means over a √c·256 bounded sample —
+    tiny even at lists=1M (√1M·256 = 256k vectors).
+    Stage 2 (cluster): every row is assigned to its coarse cell and
+    per-cell leaf counts are Sainte-Laguë-allocated from the TRUE cell
+    sizes (the driver path only sees sample-estimated sizes); each cell
+    then down-samples to seats·sampling_factor rows via a seeded rand
+    filter and runs Lloyd inside ONE applyInPandas task. The driver never
+    materializes a vector sample larger than the coarse stage's; it
+    collects only the final c×dim centroid matrix (which it must hold
+    anyway to broadcast the descent tree).
+    """
+    from vectorchord_spark.session import ensure_worker_imports
+
+    spark = src.sparkSession
+    ensure_worker_imports(spark)  # KM runs inside executor closures below
+    coarse_k = max(1, int(np.sqrt(n_leaves)))
+    sub_pd = bounded_sample_vectors(src, coarse_k * 256, opts.seed)
+    sub = np.stack(sub_pd["vec"].to_numpy()).astype(np.float32)
+    coarse = KM.lloyd(
+        sub, coarse_k, opts.kmeans_iterations, opts.seed, opts.spherical_centroids
+    )
+    bc = spark.sparkContext.broadcast(coarse.astype(np.float32))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf["vec"].to_numpy()).astype(np.float32)
+            labels = KM._assign(vecs, bc.value)
+            yield pd.DataFrame(
+                {
+                    "cell": labels.astype(np.int32),
+                    "vec": list(vecs),
+                    "_u": pdf["_u"].to_numpy(np.float64),
+                }
+            )
+
+    assigned = src.select("vec", F.rand(opts.seed + 1).alias("_u")).mapInPandas(
+        assign, "cell int, vec array<float>, _u double"
+    )
+
+    def assign_cells_only(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # counts pass: same assignment, but only the 4-byte label crosses
+        # Arrow (two passes over the data instead of persisting a full
+        # vector copy — the scan is the cheap part at scale)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf["vec"].to_numpy()).astype(np.float32)
+            yield pd.DataFrame({"cell": KM._assign(vecs, bc.value).astype(np.int32)})
+
+    counts_pd = (
+        src.select("vec")
+        .mapInPandas(assign_cells_only, "cell int")
+        .groupBy("cell")
+        .count()
+        .toPandas()
+    )
+    counts = np.zeros(coarse_k, np.int64)
+    counts[counts_pd["cell"].to_numpy(np.int64)] = counts_pd["count"].to_numpy(
+        np.int64
+    )
+    seats = KM.sainte_lague_seats(counts, n_leaves)
+
+    # per-cell bounded sample BEFORE the shuffle: keep fraction =
+    # seats·sampling_factor / cell_count, so each applyInPandas group is
+    # ≤ ~seats[g]·sampling_factor rows regardless of input size
+    frac = [
+        min(1.0, (int(seats[g]) * opts.sampling_factor) / counts[g])
+        if counts[g] > 0 and seats[g] > 0
+        else 0.0
+        for g in range(coarse_k)
+    ]
+    frac_arr = F.array(*[F.lit(float(x)) for x in frac])
+    sampled = assigned.where(
+        F.col("_u") < F.element_at(frac_arr, F.col("cell") + 1)
+    ).select("cell", "vec")
+
+    seed, iters, spherical = opts.seed, opts.kmeans_iterations, opts.spherical_centroids
+    seats_list = [int(s) for s in seats]
+
+    def cell_lloyd(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(pdf["cell"].iloc[0])
+        k_g = seats_list[g]
+        vecs = np.stack(pdf["vec"].to_numpy()).astype(np.float32)
+        cents = KM.lloyd(vecs, k_g, iters, seed + 1 + g, spherical)
+        return pd.DataFrame(
+            {
+                "cell": np.full(k_g, g, np.int32),
+                "cid": np.arange(k_g, dtype=np.int32),
+                "vec": list(cents),
+            }
+        )
+
+    parts = sampled.groupBy("cell").applyInPandas(
+        cell_lloyd, "cell int, cid int, vec array<float>"
+    )
+    out_pd = parts.toPandas().sort_values(["cell", "cid"], kind="mergesort")
+    leaves = np.stack(out_pd["vec"].to_numpy()).astype(np.float32)
+    if len(leaves) < n_leaves:
+        # cells whose sampled rows came back empty (tiny inputs): refill
+        # deterministically from the coarse sample, mirroring lloyd's
+        # empty-cluster refill
+        rng = np.random.default_rng(opts.seed)
+        pad = sub[rng.integers(0, len(sub), size=n_leaves - len(leaves))]
+        leaves = np.concatenate([leaves, pad.astype(np.float32)])
+    return leaves[:n_leaves]
 
 
 @dataclass
@@ -75,6 +192,13 @@ class IvfOptions:
     #: reference's quantized-column index mode, <1% recall loss at 8 bits
     #: per /root/reference/README.md:45)
     storage: str = "f32"
+    #: run the leaf k-means as a Spark job (coarse stage on a small driver
+    #: sample, then one Lloyd task per coarse cell) instead of collecting
+    #: the full lists[-1]·sampling_factor sample to the driver. The escape
+    #: hatch for lists ≥ ~50k, where the driver sample alone is >25M
+    #: vectors (the reference shares the driver-bound design,
+    #: am_build.rs:1292-1311 — this is the 100x path beyond it).
+    distributed_kmeans: bool = False
     seed: int = 42
 
     def validate(self) -> None:
@@ -147,35 +271,15 @@ class IvfIndex:
             src = src.select("id", D.normalize("vec").cast("array<float>").alias("vec"))
 
         n_leaves = opts.lists[-1]
+        if opts.distributed_kmeans:
+            leaves = _distributed_leaf_kmeans(src, n_leaves, opts)
+            dim = int(leaves.shape[1])
+            return cls._finish_build(spark, src, path, opts, leaves, dim)
+        # sample capped at lists[-1]·sampling_factor rows, which must fit
+        # the driver anyway for the k-means step (see operators/sampling.py
+        # for the single-pass bounded-sample design)
         cap = n_leaves * opts.sampling_factor
-        # single-pass bounded sample, no preliminary count scan: each
-        # partition keeps its cap/n_parts smallest rows by a seeded random
-        # key, so the driver merges ~cap rows instead of sorting the whole
-        # table (when cap exceeds the rows-per-partition a global
-        # TakeOrdered degenerates into collect-everything). The sample is
-        # capped at lists[-1]·sampling_factor rows, which must fit the
-        # driver anyway for the k-means step — the same bound the
-        # reference's Feistel TSM sampling enforces (am_build.rs:1306-1311).
-        n_parts = max(1, src.rdd.getNumPartitions())
-        per_part = -(-cap // n_parts)
-
-        def _local_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            best: pd.DataFrame | None = None
-            for pdf in batches:
-                cur = pdf if best is None else pd.concat([best, pdf], ignore_index=True)
-                if len(cur) > per_part:
-                    keep = np.argpartition(cur["_u"].to_numpy(), per_part)[:per_part]
-                    cur = cur.iloc[keep].reset_index(drop=True)
-                best = cur
-            if best is not None and len(best):
-                yield best[["vec"]]
-
-        sample_pd = (
-            src.select("vec", F.rand(opts.seed).alias("_u"))
-            .mapInPandas(_local_sample, "vec array<float>")
-            .limit(cap)
-            .toPandas()
-        )
+        sample_pd = bounded_sample_vectors(src, cap, opts.seed)
         samples = np.stack(sample_pd["vec"].to_numpy()).astype(np.float32)
         dim = samples.shape[1]
 
@@ -198,7 +302,21 @@ class IvfIndex:
             leaves = KM.lloyd(
                 samples, n_leaves, opts.kmeans_iterations, opts.seed, opts.spherical_centroids
             )
+        return cls._finish_build(spark, src, path, opts, leaves, dim)
 
+    @classmethod
+    def _finish_build(
+        cls,
+        spark: SparkSession,
+        src: DataFrame,
+        path: str,
+        opts: "IvfOptions",
+        leaves: np.ndarray,
+        dim: int,
+    ) -> "IvfIndex":
+        """Upper tree levels + centroid/meta persistence + encode job —
+        shared by the driver-sample and distributed leaf k-means paths."""
+        n_leaves = opts.lists[-1]
         level_vecs = [leaves]
         for c in reversed(opts.lists[:-1]):
             level_vecs.append(
@@ -540,11 +658,19 @@ class IvfIndex:
         """Posting layout (B10): cluster-RANGE-bucketed, cluster-sorted flat
         Parquet.
 
-        Each output file covers a contiguous cluster range (bucket =
-        cluster_id·n_out div n_leaves — deterministic range partitioning, no
-        sampling pass) and rows are sorted by (cluster_id, id) inside the
-        file, so a probed search prunes via Parquet file/row-group min-max
-        stats on the pushed ``cluster_id IN (...)`` filter. This replaces
+        Rows are bucketed by cluster range (bucket = cluster_id·n_out div
+        n_leaves — deterministic, no sampling pass) and sorted by
+        (cluster_id, id) inside each file, so a probed search prunes via
+        Parquet row-group min-max stats on the pushed ``cluster_id IN
+        (...)`` filter. Note the bucket→file assignment is HASH
+        distribution of the bucket value: distinct buckets can collide into
+        one output partition, so a file's cluster ranges may be disjoint
+        and FILE-level stats pruning degrades to ROW-GROUP granularity for
+        collided files (each bucket is still a contiguous sorted run
+        within the file). repartitionByRange would guarantee file-level
+        contiguity but its range-boundary sampling job re-executes the
+        encode stage — a ~2x build cost for a second-order pruning win, so
+        hash bucketing is the deliberate choice. This replaces
         hive-style ``partitionBy(cluster_id)``: same pruning, but the write
         is one shuffle + n_out files instead of a dynamic-partition sort +
         n_leaves directories — at 1M leaves a directory per cluster is a
@@ -556,7 +682,13 @@ class IvfIndex:
         import pyarrow.compute as pc
 
         n_leaves = int(self.meta["n_leaves"])
-        n_out = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        try:
+            # the conf is 'auto' under AQE-managed deployments — fall back
+            # to the cluster's default parallelism instead of failing the
+            # build
+            n_out = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        except ValueError:
+            n_out = int(self.spark.sparkContext.defaultParallelism)
         n_out = max(1, min(n_out, n_leaves))
 
         def regroup(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
@@ -984,10 +1116,14 @@ class IvfIndex:
             # exhaustive: rerank everything that was scored
             return rerank(scored).limit(int(k))
 
+        if not guarantee or max_scan_tuples is not None:
+            # single-consumer plan: persisting here would only add cache
+            # churn (the scored scan is read exactly once)
+            return rerank(scored.orderBy("lb").limit(int(m_cand))).limit(int(k))
+        # the guarantee pass reads `scored` twice (pass-1 top-m and the
+        # lb ≤ D_k sweep) — persist so the python scoring stage runs once
         scored = self._persist_scored(scored)
         pass1 = scored.orderBy("lb").limit(int(m_cand))
-        if not guarantee or max_scan_tuples is not None:
-            return rerank(pass1).limit(int(k))
         # guarantee pass as ONE lazy plan (no mid-plan driver collect — the
         # k-th pass-1 distance reaches the lb filter as a broadcast 1-row
         # join, so the whole search is a single Spark action): rerank

@@ -330,25 +330,34 @@ def connected_components(
     budget is exhausted before the fixpoint a RuntimeError is raised rather
     than silently splitting components.
 
-    When the deduplicated edge set is at most ``driver_threshold`` rows the
-    components are solved with driver-side union-find instead — the
-    standard "contract the graph, then solve the small remainder locally"
-    finishing step of distributed CC (each distributed round costs several
-    shuffles; a few-million-edge graph is microseconds of union-find). The
-    iterative path remains the default for anything larger; pass
-    ``driver_threshold=0`` to force it.
+    When the deduplicated UNDIRECTED edge set is at most
+    ``driver_threshold`` rows the components are solved with driver-side
+    union-find instead — the standard "contract the graph, then solve the
+    small remainder locally" finishing step of distributed CC (each
+    distributed round costs several shuffles; a few-million-edge graph is
+    microseconds of union-find). Driver memory bound: the threshold caps
+    the ``toPandas`` at ``driver_threshold`` undirected edges (~tens of MB
+    for long ids at the 2M default; size the threshold down for wide
+    string ids). The iterative path remains the default for anything
+    larger; pass ``driver_threshold=0`` to force it (skipping the
+    path-selection count job too).
     """
     spark = edges.sparkSession
-    sym = (
-        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionAll(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    # canonicalize to undirected (min,max) pairs BEFORE the path decision:
+    # the threshold compares against true undirected edge count (not the
+    # 2x symmetrized set) and the driver pull is half the size
+    und = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("src"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("dst"),
+        )
         .distinct()
         .persist()
     )
-    if driver_threshold and sym.count() <= driver_threshold:
+    if driver_threshold and und.count() <= driver_threshold:
         from pyspark.sql.types import StructField, StructType
 
-        pdf = sym.toPandas()
+        pdf = und.toPandas()
         parent: dict = {}
 
         def find(x):
@@ -373,12 +382,18 @@ def connected_components(
                 else:
                     parent[rs] = rd
         rows = [(i, find(i)) for i in parent]
-        id_type = sym.schema["src"].dataType
+        id_type = und.schema["src"].dataType
         schema = StructType(
             [StructField("id", id_type), StructField("component", id_type)]
         )
-        sym.unpersist()
+        und.unpersist()
         return spark.createDataFrame(rows, schema)
+    sym = (
+        und.unionAll(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    und.unpersist()
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
@@ -431,4 +446,6 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} rounds"
         )
+    # labels is persisted and already materialized by the fixpoint count
+    sym.unpersist()
     return labels

@@ -349,6 +349,38 @@ def resize_image(
     return df.mapInPandas(resize, out_schema)
 
 
+def _decode_wav(raw: bytes) -> "tuple[int, np.ndarray] | None":
+    """Real RIFF/WAVE decode via the stdlib ``wave`` module (no external
+    codec needed). Returns (sample_rate, mono i16 samples), or None when
+    the bytes are not a parseable WAV (caller falls back to the stub)."""
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        return None
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(raw), "rb") as w:
+            rate = w.getframerate()
+            n_ch = w.getnchannels()
+            width = w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    except Exception:
+        return None
+    if width == 2:
+        pcm = np.frombuffer(frames[: len(frames) - (len(frames) % 2)], "<i2")
+    elif width == 1:  # WAV 8-bit is unsigned
+        pcm = ((np.frombuffer(frames, np.uint8).astype(np.int16) - 128) << 8)
+    elif width == 4:
+        pcm = (np.frombuffer(frames[: len(frames) - (len(frames) % 4)], "<i4") >> 16
+               ).astype(np.int16)
+    else:
+        return None
+    if n_ch > 1:
+        n = (len(pcm) // n_ch) * n_ch
+        pcm = pcm[:n].reshape(-1, n_ch).mean(axis=1).astype(np.int16)
+    return int(rate), pcm
+
+
 def audio_features(
     df: DataFrame,
     binary_col: str = "data",
@@ -356,8 +388,12 @@ def audio_features(
     strict: bool = False,
 ) -> DataFrame:
     """Audio feature extraction → (n_samples, duration_s, rms, zero_cross).
-    STUB decoder: tries soundfile, else interprets the raw bytes as i16 PCM
-    (deterministic, codec-free); real decode changes only the numpy body."""
+
+    Decode ladder per row: (1) REAL stdlib ``wave`` decode for RIFF/WAVE
+    bytes (honors the file's own sample rate and channel count); (2) the
+    soundfile codec when importable; (3) deterministic stub interpreting
+    raw bytes as i16 PCM mono at ``sample_rate``. ``strict=True`` raises
+    instead of falling to (3)."""
     other_cols = [c for c in df.columns if c != binary_col]
     out_schema = ", ".join(
         f"{c} {df.schema[c].dataType.simpleString()}" for c in other_cols
@@ -374,19 +410,25 @@ def audio_features(
         for pdf in batches:
             if not len(pdf):
                 continue
-            if strict and not have_codec:
-                raise NotImplementedError(
-                    "no audio codec available in this environment"
-                )
             out = pdf[other_cols].copy()
             ns, dur, rms, zc = [], [], [], []
             for buf in pdf[binary_col]:
                 raw = bytes(buf) if buf is not None else b""
-                # STUB: treat bytes as little-endian i16 PCM mono
-                pcm = np.frombuffer(raw[: len(raw) - (len(raw) % 2)], "<i2")
+                wav = _decode_wav(raw)
+                if wav is not None:
+                    rate, pcm = wav
+                elif strict and not have_codec:
+                    raise NotImplementedError(
+                        "bytes are not RIFF/WAVE and no audio codec is "
+                        "available in this environment"
+                    )
+                else:
+                    # STUB: treat bytes as little-endian i16 PCM mono
+                    rate = sample_rate
+                    pcm = np.frombuffer(raw[: len(raw) - (len(raw) % 2)], "<i2")
                 n = len(pcm)
                 ns.append(n)
-                dur.append(n / float(sample_rate))
+                dur.append(n / float(rate))
                 x = pcm.astype(np.float64) / 32768.0
                 rms.append(float(np.sqrt(np.mean(x * x))) if n else 0.0)
                 zc.append(int(np.count_nonzero(np.diff(np.signbit(pcm)))) if n > 1 else 0)
