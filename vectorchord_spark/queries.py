@@ -2750,6 +2750,32 @@ def _ann_hierarchical_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(F.col("id").alias("vec_id"), "dist")
 
 
+def _ann_distkm_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed leaf k-means build (the lists≥50k escape hatch for the
+    driver-sample ceiling — operators/ivf.py:_distributed_leaf_kmeans):
+    coarse stage on a bounded driver sample, Sainte-Laguë seats from true
+    cell counts, per-cell Lloyd in applyInPandas. Cluster placement only
+    affects cell assignment — exhaustive probing is exact regardless, so
+    the brute-force oracle gates the distributed build machinery
+    end-to-end (same protocol as ann_ivf_hierarchical)."""
+    import tempfile
+
+    from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
+
+    key = (sf_dir, "l2-distkm")
+    idx = _IVF_CACHE.get(key)
+    if idx is None:
+        path = _register_tmpdir(tempfile.mkdtemp(prefix="vc_ivf_distkm_"))
+        emb = _read(spark, sf_dir, "embeddings")
+        idx = IvfIndex.build(
+            spark, emb, "vec_id", "embedding", path,
+            IvfOptions(metric="l2", lists=[16], distributed_kmeans=True),
+        )
+        _IVF_CACHE[key] = idx
+    res = idx.search(QUERY_VEC, k=10, probes=None, rerank_factor=None)
+    return res.select(F.col("id").alias("vec_id"), "dist")
+
+
 def _ann_deep_lazy_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lazy upper-level descent (reference default descent semantics,
     crates/vchordrq/src/search.rs:95-157: RaBitQ estimates + error bounds
@@ -3173,6 +3199,7 @@ def _catalog_canonical() -> dict[str, Q]:
         "maxsim_ivf_probed": Q(_maxsim_ivf_probed_fn, _RECALL_CONTRACT_SQL),
         "maxsim_ivf_refine": Q(_maxsim_ivf_refine_fn, _MAXSIM_REFINE_SQL),
         "ann_ivf_hierarchical": Q(_ann_hierarchical_fn, _knn_sql("l2")),
+        "ann_ivf_distkm": Q(_ann_distkm_fn, _knn_sql("l2")),
         "ann_ivf_deep_lazy": Q(_ann_deep_lazy_fn, _ANN_DEEP_LAZY_SQL),
         "sphere_ops": Q(_sphere_ops_fn, _sphere_ops_sql()),
         "rabitq_distance": Q(_rabitq_distance_fn, _RABITQ_DISTANCE_SQL),
