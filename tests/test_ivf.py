@@ -532,3 +532,28 @@ def test_degenerate_single_cluster(spark, clustered_df):
             for r in idx.search(q, k=10, probes=None, rerank_factor=None).collect()
         ]
         assert got == exact
+
+
+def test_bounded_sample_vectors(spark):
+    """Shared build sampler (operators/sampling.py): bounded by cap,
+    deterministic for a fixed (partitioning, seed), and drawn across
+    partitions (per-partition bound — not a head-of-table take)."""
+    import pandas as pd
+
+    from vectorchord_spark.operators.sampling import bounded_sample_vectors
+
+    df = (
+        spark.range(10_000, numPartitions=8)
+        .selectExpr("array(cast(id as float), cast(id % 7 as float)) as vec")
+    )
+    s1 = bounded_sample_vectors(df, 500, seed=5)
+    assert isinstance(s1, pd.DataFrame) and 0 < len(s1) <= 500
+    s2 = bounded_sample_vectors(df, 500, seed=5)
+    ids1 = sorted(int(v[0]) for v in s1["vec"])
+    ids2 = sorted(int(v[0]) for v in s2["vec"])
+    assert ids1 == ids2, "same seed + partitioning must reproduce the sample"
+    # rows are range-partitioned 1250/partition: a head-take of 500 would
+    # come entirely from partition 0 (ids < 1250)
+    assert max(ids1) > 5000, "sample must draw from late partitions too"
+    s3 = bounded_sample_vectors(df, 500, seed=6)
+    assert sorted(int(v[0]) for v in s3["vec"]) != ids1, "seed must matter"
