@@ -557,3 +557,65 @@ def test_bounded_sample_vectors(spark):
     assert max(ids1) > 5000, "sample must draw from late partitions too"
     s3 = bounded_sample_vectors(df, 500, seed=6)
     assert sorted(int(v[0]) for v in s3["vec"]) != ids1, "seed must matter"
+
+
+def test_null_and_nonfinite_vectors(spark):
+    """Reference contracts tests/fail/null.fail + tests/general/issue_427.slt:
+    NULL vector rows must not break build/insert/search (they are simply
+    absent from results), NaN/Inf rows index fine and sort after every
+    finite distance, and an all-NULL table builds an empty-but-usable
+    index."""
+    rows = [(i, [0.001 * i, 0.001 * i, 0.001 * i]) for i in range(1, 101)]
+    rows += [(1000 + i, [float("nan"), float("inf"), float("-inf")]) for i in range(100)]
+    rows += [(2000 + i, None) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build(
+            spark, df, "id", "vec", os.path.join(tmp, "idx"),
+            IvfOptions(metric="l2", lists=[4]),
+        )
+        got = idx.search([0.0031, 0.0031, 0.0031], k=10, probes=None,
+                         rerank_factor=None).collect()
+        assert len(got) == 10
+        assert all(r.id < 1000 for r in got), "non-finite rows must rank last"
+        assert got[0].id == 3  # nearest to 0.0031 on the 0.001-grid
+        # insert path must also skip NULLs
+        idx.insert(
+            spark.createDataFrame(
+                [(3000, [0.0032, 0.0032, 0.0032]), (3001, None)],
+                "id long, vec array<float>",
+            )
+        )
+        got2 = idx.search([0.0031, 0.0031, 0.0031], k=2, probes=None,
+                          rerank_factor=None).collect()
+        assert [r.id for r in got2] == [3000, 3]
+
+        # issue_427: an ALL-NULL column still builds and searches (0 rows);
+        # the declared dim stands in for the reference's vector(3) typmod
+        nulls = spark.createDataFrame([(i, None) for i in range(50)],
+                                      "id long, vec array<float>")
+        idx2 = IvfIndex.build(
+            spark, nulls, "id", "vec", os.path.join(tmp, "idx2"),
+            IvfOptions(metric="l2", lists=[2], dim=3),
+        )
+        assert idx2.search([0.1, 0.1, 0.1], k=5, probes=None,
+                           rerank_factor=None).count() == 0
+        with pytest.raises(ValueError, match="dimension"):
+            IvfIndex.build(
+                spark, nulls, "id", "vec", os.path.join(tmp, "idx3"),
+                IvfOptions(metric="l2", lists=[2]),
+            )
+
+
+def test_null_vectors_graph(spark):
+    """Graph twin of the null contract (issue_427 builds BOTH access
+    methods over the all-NULL column)."""
+    from vectorchord_spark.operators.graph import VamanaIndex, VamanaOptions
+
+    rows = [(i, [0.001 * i, 0.001 * i, 0.001 * i]) for i in range(1, 101)]
+    rows += [(2000 + i, None) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    with tempfile.TemporaryDirectory() as tmp:
+        gidx = VamanaIndex.build(spark, df, "id", "vec", os.path.join(tmp, "g"))
+        got = gidx.search([0.0031, 0.0031, 0.0031], k=10).collect()
+        assert len(got) == 10 and all(r.id < 1000 for r in got)

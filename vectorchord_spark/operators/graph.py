@@ -91,6 +91,9 @@ class VamanaOptions:
     #: when routing probes a neighboring shard
     replication: int = 2
     closure_epsilon: float = 0.4
+    #: declared vector dimension — required only for empty/all-NULL
+    #: builds (reference issue_427 contract), else inferred from data
+    dim: int | None = None
     seed: int = 42
 
     def validate(self) -> None:
@@ -483,7 +486,8 @@ class VamanaIndex:
         opts = options or VamanaOptions()
         opts.validate()
         os.makedirs(path, exist_ok=True)
-        src = df.select(
+        # NULL vectors are skipped (reference null.fail / issue_427 contract)
+        src = df.where(F.col(vec_col).isNotNull()).select(
             F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
         )
         if opts.metric == "cos":
@@ -507,8 +511,19 @@ class VamanaIndex:
         # the SPANN-style layout) ---
         cap = max(n_shards * 256, 1024)
         sample_pd = bounded_sample_vectors(src, cap, opts.seed)
-        samples = np.stack(sample_pd["vec"].to_numpy()).astype(np.float32)
-        dim = samples.shape[1]
+        if len(sample_pd):
+            samples = np.stack(sample_pd["vec"].to_numpy()).astype(np.float32)
+            dim = samples.shape[1]
+        elif opts.dim:
+            # empty/all-NULL input builds an empty-but-searchable graph
+            # (reference issue_427 contract)
+            samples = np.zeros((0, int(opts.dim)), np.float32)
+            dim = int(opts.dim)
+        else:
+            raise ValueError(
+                "cannot infer vector dimension from an empty (or all-NULL) "
+                "input; pass VamanaOptions(dim=...)"
+            )
         cents = KM.lloyd(samples, n_shards, 10, opts.seed, False).astype(np.float32)
         bc_cents = spark.sparkContext.broadcast(cents)
 
@@ -638,7 +653,8 @@ class VamanaIndex:
         }
         metric = meta["metric"]
         bits = int(meta.get("bits", 1))
-        src = df.select(
+        # NULL vectors are skipped (reference null.fail / issue_427 contract)
+        src = df.where(F.col(vec_col).isNotNull()).select(
             F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
         )
         if metric == "cos":

@@ -78,6 +78,13 @@ def _distributed_leaf_kmeans(
     ensure_worker_imports(spark)  # KM runs inside executor closures below
     coarse_k = max(1, int(np.sqrt(n_leaves)))
     sub_pd = bounded_sample_vectors(src, coarse_k * 256, opts.seed)
+    if not len(sub_pd):
+        if opts.dim:
+            return np.zeros((n_leaves, int(opts.dim)), np.float32)
+        raise ValueError(
+            "cannot infer vector dimension from an empty (or all-NULL) "
+            "input; pass IvfOptions(dim=...)"
+        )
     sub = np.stack(sub_pd["vec"].to_numpy()).astype(np.float32)
     coarse = KM.lloyd(
         sub, coarse_k, opts.kmeans_iterations, opts.seed, opts.spherical_centroids
@@ -199,6 +206,11 @@ class IvfOptions:
     #: vectors (the reference shares the driver-bound design,
     #: am_build.rs:1292-1311 — this is the 100x path beyond it).
     distributed_kmeans: bool = False
+    #: declared vector dimension (the reference's `vector(d)` typmod).
+    #: Optional — normally inferred from the data; required only to build
+    #: over an empty or all-NULL column (issue_427 contract: such a build
+    #: must succeed and produce an empty-but-searchable index)
+    dim: int | None = None
     seed: int = 42
 
     def validate(self) -> None:
@@ -264,7 +276,13 @@ class IvfIndex:
         opts.validate()
         os.makedirs(path, exist_ok=True)
 
-        src = df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec"))
+        # NULL vectors are skipped, matching the reference index behavior
+        # (tests/fail/null.fail, tests/general/issue_427.slt: NULL rows are
+        # absent from index results; NaN/Inf rows index fine and sort after
+        # every finite distance)
+        src = df.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+        )
         if opts.metric == "cos":
             # cosine opclasses L2-normalize at store time and work in dot
             # space (/root/reference/src/index/vchordrq/opclass.rs:49-68)
@@ -280,8 +298,19 @@ class IvfIndex:
         # for the single-pass bounded-sample design)
         cap = n_leaves * opts.sampling_factor
         sample_pd = bounded_sample_vectors(src, cap, opts.seed)
-        samples = np.stack(sample_pd["vec"].to_numpy()).astype(np.float32)
-        dim = samples.shape[1]
+        if len(sample_pd):
+            samples = np.stack(sample_pd["vec"].to_numpy()).astype(np.float32)
+            dim = samples.shape[1]
+        elif opts.dim:
+            # empty/all-NULL input: zero-sample k-means yields placeholder
+            # centroids; the index is empty but searchable (issue_427)
+            samples = np.zeros((0, int(opts.dim)), np.float32)
+            dim = int(opts.dim)
+        else:
+            raise ValueError(
+                "cannot infer vector dimension from an empty (or all-NULL) "
+                "input; pass IvfOptions(dim=...)"
+            )
 
         # --- centroid tree (driver; sample is bounded by construction) ---
         if opts.kmeans_dimension and opts.kmeans_dimension < dim:
@@ -496,7 +525,9 @@ class IvfIndex:
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
         index = cls(spark, path)
-        src = df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec"))
+        src = df.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+        )
         if opts.metric == "cos":
             src = src.select("id", D.normalize("vec").cast("array<float>").alias("vec"))
         index._encode_and_write(src, mode="overwrite")
@@ -1509,7 +1540,9 @@ class IvfIndex:
     def insert(self, df: DataFrame, id_col: str = "id", vec_col: str = "vec") -> None:
         """Append new rows (encode with the existing centroid tree — the
         batch analogue of the appendable-tape insert path)."""
-        src = df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec"))
+        src = df.where(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+        )
         if self.meta["metric"] == "cos":
             src = src.select("id", D.normalize("vec").cast("array<float>").alias("vec"))
         self._encode_and_write(src, mode="append")
