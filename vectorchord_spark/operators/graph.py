@@ -524,12 +524,21 @@ def _build_vamana_bulk(
     return adj, medoid
 
 
+#: above this shard size the bulk builder's O(n²) exact-kNN candidate
+#: pass costs more than the incremental insert loop (measured crossover
+#: ~70k rows at 64d); auto-sharding keeps shards below this, but a user
+#: forcing a small n_shards on a huge input must not quietly go quadratic
+_BULK_MAX_ROWS = 100_000
+
+
 def _build_graph(
     vecs: np.ndarray, opts: VamanaOptions, rng: np.random.Generator
 ) -> tuple[list[list[int]], int]:
     """Dispatch on ``opts.build_mode`` (bulk default, incremental for
-    reference-protocol parity)."""
-    if opts.build_mode == "incremental":
+    reference-protocol parity), with a size safety valve: oversized shards
+    fall back to the incremental build rather than paying the bulk
+    builder's quadratic candidate pass."""
+    if opts.build_mode == "incremental" or len(vecs) > _BULK_MAX_ROWS:
         return _build_vamana(vecs, opts, rng)
     return _build_vamana_bulk(vecs, opts, rng)
 
@@ -708,11 +717,14 @@ class VamanaIndex:
             # dense sharding at small scale (one shard per ~5k vectors so
             # local[N] parallelism is used), bounded per-shard size at
             # large scale: past ~320k vectors the count grows one shard
-            # per 250k rows instead of capping at 64, keeping each
-            # single-task Vamana build ≤ ~250k vectors (the pure-Python
-            # build inside one applyInPandas task would otherwise
-            # OOM/stall at the 100M-row design point)
-            n_shards = max(1, min(total // 5000 + 1, 64 + total // 250_000))
+            # per 50k raw rows (~100k per shard after 2x closure
+            # replication). This keeps every single-task build inside the
+            # bulk builder's O(n²)-candidate sweet spot (crossover vs the
+            # incremental insert loop is ~70k rows/shard) AND bounds
+            # per-shard memory; at 100M rows it yields ~2k shards, which
+            # routing (a rows x n_shards matvec) and the driver shard
+            # k-means both absorb easily
+            n_shards = max(1, min(total // 5000 + 1, 64 + total // 50_000))
 
         # --- shard centroids: bounded sample → driver k-means (the same
         # single-pass per-partition sampler as the IVF build — a global
