@@ -23,7 +23,7 @@ def main() -> None:
     from vectorchord_spark.session import get_spark
 
     n_rows = int(os.environ.get("ROWS", "250000"))
-    dim = 64
+    dim = int(os.environ.get("DIM", "64"))
     spark = get_spark(app_name="vc-build-profile")
 
     n_centers = 2000

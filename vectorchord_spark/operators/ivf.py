@@ -709,9 +709,6 @@ class IvfIndex:
         cost. The reference's frozen tapes per leaf
         (crates/vchordrq/src/build.rs:72-116) are this same
         contiguous-run-per-cluster idea."""
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
         n_leaves = int(self.meta["n_leaves"])
         try:
             # the conf is 'auto' under AQE-managed deployments — fall back
@@ -722,18 +719,6 @@ class IvfIndex:
             n_out = int(self.spark.sparkContext.defaultParallelism)
         n_out = max(1, min(n_out, n_leaves))
 
-        def regroup(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
-            blist = list(batches)
-            if not blist:
-                return
-            tbl = pa.Table.from_batches(blist)
-            if tbl.num_rows:
-                order = pc.sort_indices(
-                    tbl,
-                    sort_keys=[("cluster_id", "ascending"), ("id", "ascending")],
-                )
-                yield from tbl.take(order).to_batches()
-
         (
             # bigint arithmetic: cluster_id is int32 and cluster_id * n_out
             # overflows at ~1M leaves x 4k shuffle partitions (ANSI mode
@@ -742,7 +727,12 @@ class IvfIndex:
                 n_out,
                 F.expr(f"cast(cluster_id as bigint) * {n_out} div {n_leaves}"),
             )
-            .mapInArrow(regroup, CODES_SCHEMA)
+            # Tungsten in-partition sort: the earlier mapInArrow regroup
+            # did the same (cluster_id, id) ordering in pyarrow but paid a
+            # full JVM->Python->JVM Arrow round-trip of every byte of the
+            # codes table (vectors included) — at 768d that copy dominated
+            # the encode stage
+            .sortWithinPartitions("cluster_id", "id")
             .write.mode(mode)
             .parquet(self.codes_path)
         )
