@@ -2905,6 +2905,112 @@ ORDER BY doc_id
 """
 
 
+def _multimodal_image_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image pipeline through the REAL decode branch
+    (`strict=True`): synthesize a solid-color PNG per document (pixel
+    value, width, height are closed-form functions of doc_id), run the
+    typed-media decode + pooled-luminance featurizer, and emit
+    integer-exact outputs. A solid w×h image pools to luminance == pixel
+    value in every grid cell (sums stay < 2^24, so the f32 means are
+    exact), which is what makes a DuckDB oracle possible for a codec
+    pipeline: the oracle recomputes the same integers from doc_id. Wrong
+    PNG encode, decode, channel handling, or pooling ⇒ wrong integers."""
+    from vectorchord_spark.pipeline import multimodal as MM
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+
+        from vectorchord_spark.pipeline.multimodal import encode_png
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy("int64")
+            bufs = []
+            for i in ids:
+                v = int(i) % 256
+                w = 4 + int(i) % 13
+                h = 3 + int(i) % 11
+                bufs.append(encode_png(np.full((h, w, 3), v, np.uint8)))
+            yield pd.DataFrame({"doc_id": ids, "data": bufs})
+
+    media = docs.mapInPandas(gen, "doc_id long, data binary")
+    feats = MM.decode_image_features(media, "data", dim=16, strict=True)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.element_at("embedding", 1) * 255).cast("int").alias("lum"),
+        F.round(F.element_at("embedding", 16) * 255).cast("int").alias("lum_last"),
+    ).orderBy("doc_id")
+
+
+_MULTIMODAL_IMAGE_SQL = """
+SELECT doc_id,
+       CAST(4 + doc_id % 13 AS INTEGER) AS width,
+       CAST(3 + doc_id % 11 AS INTEGER) AS height,
+       CAST(doc_id % 256 AS INTEGER) AS lum,
+       CAST(doc_id % 256 AS INTEGER) AS lum_last
+FROM documents ORDER BY doc_id
+"""
+
+
+def _multimodal_audio_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audio pipeline through the REAL stdlib-wave decode branch
+    (`strict=True`): synthesize a constant-amplitude 16 kHz mono WAV per
+    document (sample count and amplitude are closed-form functions of
+    doc_id) and emit integer-exact features — a constant signal's RMS is
+    |amplitude|/32768, so round(rms·32768) recovers the amplitude exactly
+    and duration_ms = n_samples/16. Wrong RIFF parsing, sample-width
+    handling, or RMS math ⇒ wrong integers."""
+    from vectorchord_spark.pipeline import multimodal as MM
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy("int64")
+            bufs = []
+            for i in ids:
+                n = 800 + (int(i) % 5) * 160
+                a = (int(i) * 37) % 30000 - 15000
+                bio = io.BytesIO()
+                with wave.open(bio, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(16000)
+                    wf.writeframes(np.full(n, a, "<i2").tobytes())
+                bufs.append(bio.getvalue())
+            yield pd.DataFrame({"doc_id": ids, "data": bufs})
+
+    media = docs.mapInPandas(gen, "doc_id long, data binary")
+    feats = MM.audio_features(media, "data", strict=True)
+    return feats.select(
+        "doc_id",
+        "n_samples",
+        F.round(F.col("duration_s") * 1000).cast("bigint").alias("duration_ms"),
+        F.round(F.col("rms") * 32768).cast("bigint").alias("amp"),
+        "zero_cross",
+    ).orderBy("doc_id")
+
+
+_MULTIMODAL_AUDIO_SQL = """
+SELECT doc_id,
+       CAST(800 + (doc_id % 5) * 160 AS BIGINT) AS n_samples,
+       CAST((800 + (doc_id % 5) * 160) // 16 AS BIGINT) AS duration_ms,
+       CAST(ABS((doc_id * 37) % 30000 - 15000) AS BIGINT) AS amp,
+       CAST(0 AS BIGINT) AS zero_cross
+FROM documents ORDER BY doc_id
+"""
+
+
 def _sphere_ops_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three sphere containment operators (S4: `<<->>`/`<<#>>`/`<<=>>`,
     sql/install/vchord--1.1.1.sql:802-872) evaluated per row through the
@@ -3250,6 +3356,8 @@ def _catalog_canonical() -> dict[str, Q]:
         "quality_filter": Q(_quality_filter_fn, _QUALITY_FILTER_SQL),
         "token_histogram": Q(_token_histogram_fn, _TOKEN_HISTOGRAM_SQL),
         "train_val_split": Q(_train_val_split_fn, _TRAIN_VAL_SPLIT_SQL),
+        "multimodal_image": Q(_multimodal_image_fn, _MULTIMODAL_IMAGE_SQL),
+        "multimodal_audio": Q(_multimodal_audio_fn, _MULTIMODAL_AUDIO_SQL),
         # --- temporal / streaming-twin operators ---
         "asof_join": Q(_asof_join_fn, _ASOF_JOIN_SQL, headline=True),
         "range_join_count": Q(_range_join_fn, _RANGE_JOIN_SQL),
