@@ -3011,6 +3011,45 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _multimodal_video_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out (one row per sampled frame). The frame
+    decoder is the documented deterministic stub (64-byte slices — no
+    video codec ships in this container), but the Spark-side plumbing under
+    test is real: per-document byte buffers are a closed-form size
+    (64·(3 + doc_id % 4)), so the exploded (frame_no, frame_len) shape is
+    oracle-checkable — wrong stride, tail handling, or repeat counts in
+    the vectorized fan-out ⇒ wrong rows."""
+    from vectorchord_spark.pipeline import multimodal as MM
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy("int64")
+            bufs = [
+                bytes([int(i) % 256]) * (64 * (3 + int(i) % 4)) for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "data": bufs})
+
+    media = docs.mapInPandas(gen, "doc_id long, data binary")
+    frames = MM.frame_sample(media, "data", every_n=2)
+    return frames.select(
+        "doc_id",
+        "frame_no",
+        F.length("frame").cast("int").alias("frame_len"),
+    ).orderBy("doc_id", "frame_no")
+
+
+_MULTIMODAL_VIDEO_SQL = """
+SELECT doc_id,
+       CAST(unnest(range(0, 3 + doc_id % 4, 2)) AS INTEGER) AS frame_no,
+       CAST(64 AS INTEGER) AS frame_len
+FROM documents ORDER BY doc_id, frame_no
+"""
+
+
 def _sphere_ops_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three sphere containment operators (S4: `<<->>`/`<<#>>`/`<<=>>`,
     sql/install/vchord--1.1.1.sql:802-872) evaluated per row through the
@@ -3358,6 +3397,7 @@ def _catalog_canonical() -> dict[str, Q]:
         "train_val_split": Q(_train_val_split_fn, _TRAIN_VAL_SPLIT_SQL),
         "multimodal_image": Q(_multimodal_image_fn, _MULTIMODAL_IMAGE_SQL),
         "multimodal_audio": Q(_multimodal_audio_fn, _MULTIMODAL_AUDIO_SQL),
+        "multimodal_video": Q(_multimodal_video_fn, _MULTIMODAL_VIDEO_SQL),
         # --- temporal / streaming-twin operators ---
         "asof_join": Q(_asof_join_fn, _ASOF_JOIN_SQL, headline=True),
         "range_join_count": Q(_range_join_fn, _RANGE_JOIN_SQL),
