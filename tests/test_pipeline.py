@@ -254,6 +254,21 @@ def test_multimodal_real_png_decode(spark):
     with pytest.raises(Exception):
         multimodal.decode_image_features(bad, strict=True).collect()
 
+    # REAL resize branch: decodable input is nearest-neighbor resampled
+    # and re-encoded as PNG (strict succeeds); the pixel-center mapping is
+    # checked against a hand-computed gather
+    res = {
+        r.id: r
+        for r in multimodal.resize_image(df, width=6, height=4, strict=True).collect()
+    }
+    rw, rh, rpx = multimodal._decode_png(bytes(res[1].resized))
+    assert (rw, rh) == (6, 4)
+    ys = ((np.arange(4) + 0.5) * 17 / 4).astype(np.int64)
+    xs = ((np.arange(6) + 0.5) * 23 / 6).astype(np.int64)
+    assert np.array_equal(rpx, rgb[ys][:, xs])
+    with pytest.raises(Exception):
+        multimodal.resize_image(bad, strict=True).collect()
+
 
 def test_multimodal_real_wav_decode(spark):
     """The REAL audio branch (stdlib wave codec, no external deps):

@@ -315,10 +315,14 @@ def resize_image(
     strict: bool = False,
 ) -> DataFrame:
     """Resize images to ``width`` x ``height`` → (resized binary, out_w,
-    out_h). STUB decoder: without a codec the output bytes are a
-    deterministic content hash stretched to the target byte budget (3
-    bytes/pixel), so downstream batching/size accounting is realistic; the
-    Spark plumbing (schema, Arrow batching, passthrough columns) is real."""
+    out_h).
+
+    REAL branch: any image the decode ladder can read (PIL when
+    importable, else the stdlib PNG decoder) is nearest-neighbor
+    resampled (pixel-center mapping) and re-encoded as PNG. Fallback for
+    undecodable bytes: a deterministic content-hash buffer stretched to
+    the 3-bytes/pixel budget (keeps downstream batching/size accounting
+    realistic); ``strict=True`` raises instead."""
     other_cols = [c for c in df.columns if c != binary_col]
     out_schema = ", ".join(
         f"{c} {df.schema[c].dataType.simpleString()}" for c in other_cols
@@ -330,17 +334,28 @@ def resize_image(
         for pdf in batches:
             if not len(pdf):
                 continue
-            if strict:
-                raise NotImplementedError(
-                    "no image codec available in this environment"
-                )
             out = pdf[other_cols].copy()
             resized = []
             for buf in pdf[binary_col]:
                 raw = bytes(buf) if buf is not None else b""
-                h = hashlib.md5(raw).digest()
-                reps = -(-n_bytes // len(h))
-                resized.append((h * reps)[:n_bytes])
+                real = _try_real_decode(raw)
+                if real is not None:
+                    _, _, pixels = real
+                    ys = ((np.arange(height) + 0.5) * pixels.shape[0] / height).astype(
+                        np.int64
+                    )
+                    xs = ((np.arange(width) + 0.5) * pixels.shape[1] / width).astype(
+                        np.int64
+                    )
+                    resized.append(encode_png(pixels[ys][:, xs]))
+                elif strict:
+                    raise NotImplementedError(
+                        "no codec for this image format in this environment"
+                    )
+                else:
+                    h = hashlib.md5(raw).digest()
+                    reps = -(-n_bytes // len(h))
+                    resized.append((h * reps)[:n_bytes])
             out["resized"] = resized
             out["out_w"] = np.int32(width)
             out["out_h"] = np.int32(height)

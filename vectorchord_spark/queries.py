@@ -3050,6 +3050,57 @@ FROM documents ORDER BY doc_id, frame_no
 """
 
 
+def _multimodal_resize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real resize pipeline: solid-color PNG → nearest-neighbor resample +
+    PNG re-encode (`resize_image`, strict=True) → real decode + feature
+    pool. A solid image stays solid under any resample, so the resized
+    image's decoded (width, height, luminance) are closed-form — wrong
+    resample indexing, re-encode, or decode ⇒ wrong integers."""
+    from vectorchord_spark.pipeline import multimodal as MM
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+
+        from vectorchord_spark.pipeline.multimodal import encode_png
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy("int64")
+            bufs = []
+            for i in ids:
+                v = int(i) % 256
+                w = 4 + int(i) % 13
+                h = 3 + int(i) % 11
+                bufs.append(encode_png(np.full((h, w, 3), v, np.uint8)))
+            yield pd.DataFrame({"doc_id": ids, "data": bufs})
+
+    media = docs.mapInPandas(gen, "doc_id long, data binary")
+    small = MM.resize_image(media, "data", width=6, height=4, strict=True)
+    feats = MM.decode_image_features(
+        small.select("doc_id", F.col("resized").alias("data")),
+        "data",
+        dim=16,
+        strict=True,
+    )
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.element_at("embedding", 1) * 255).cast("int").alias("lum"),
+    ).orderBy("doc_id")
+
+
+_MULTIMODAL_RESIZE_SQL = """
+SELECT doc_id,
+       CAST(6 AS INTEGER) AS width,
+       CAST(4 AS INTEGER) AS height,
+       CAST(doc_id % 256 AS INTEGER) AS lum
+FROM documents ORDER BY doc_id
+"""
+
+
 def _sphere_ops_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three sphere containment operators (S4: `<<->>`/`<<#>>`/`<<=>>`,
     sql/install/vchord--1.1.1.sql:802-872) evaluated per row through the
@@ -3398,6 +3449,7 @@ def _catalog_canonical() -> dict[str, Q]:
         "multimodal_image": Q(_multimodal_image_fn, _MULTIMODAL_IMAGE_SQL),
         "multimodal_audio": Q(_multimodal_audio_fn, _MULTIMODAL_AUDIO_SQL),
         "multimodal_video": Q(_multimodal_video_fn, _MULTIMODAL_VIDEO_SQL),
+        "multimodal_resize": Q(_multimodal_resize_fn, _MULTIMODAL_RESIZE_SQL),
         # --- temporal / streaming-twin operators ---
         "asof_join": Q(_asof_join_fn, _ASOF_JOIN_SQL, headline=True),
         "range_join_count": Q(_range_join_fn, _RANGE_JOIN_SQL),
