@@ -205,7 +205,10 @@ class IvfOptions:
     #: hatch for lists ≥ ~50k, where the driver sample alone is >25M
     #: vectors (the reference shares the driver-bound design,
     #: am_build.rs:1292-1311 — this is the 100x path beyond it).
-    distributed_kmeans: bool = False
+    #: None = auto: enabled exactly when lists[-1] ≥ 50_000, so a default
+    #: build at the 100M-row design point never hits the driver ceiling;
+    #: True/False force the path either way.
+    distributed_kmeans: bool | None = None
     #: declared vector dimension (the reference's `vector(d)` typmod).
     #: Optional — normally inferred from the data; required only to build
     #: over an empty or all-NULL column (issue_427 contract: such a build
@@ -289,7 +292,12 @@ class IvfIndex:
             src = src.select("id", D.normalize("vec").cast("array<float>").alias("vec"))
 
         n_leaves = opts.lists[-1]
-        if opts.distributed_kmeans:
+        use_distkm = (
+            opts.distributed_kmeans
+            if opts.distributed_kmeans is not None
+            else n_leaves >= 50_000
+        )
+        if use_distkm:
             leaves = _distributed_leaf_kmeans(src, n_leaves, opts)
             dim = int(leaves.shape[1])
             return cls._finish_build(spark, src, path, opts, leaves, dim)
