@@ -298,15 +298,26 @@ def embedding_lsh_pairs(
     # move only (pair ids + the candidate rows' vectors); the JVM fold
     # expressions keep the arithmetic bit-identical to a left-assoc SQL
     # chain. Catalyst/AQE is free to broadcast the *candidate* side when it
-    # is small — never the vector table.
-    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    # is small — never the vector table. Norms are folded ONCE PER ROW in
+    # this projection rather than once per pair — with coarse buckets a row
+    # appears in many candidate pairs, and the norm chain is 2/3 of the
+    # per-pair fold work; the value (and therefore the verified sim) is
+    # bit-identical because it is the same fold over the same array.
+    vecs = df.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_v"),
+        D.norm(vec_col).alias("_n"),
+    )
     withv = (
         cand.join(vecs, cand["ida"] == vecs["_vid"])
-        .select("ida", "idb", F.col("_v").alias("va"))
+        .select("ida", "idb", F.col("_v").alias("va"), F.col("_n").alias("na"))
         .join(vecs, F.col("idb") == vecs["_vid"])
-        .select("ida", "idb", "va", F.col("_v").alias("vb"))
+        .select(
+            "ida", "idb", "va", "na",
+            F.col("_v").alias("vb"), F.col("_n").alias("nb"),
+        )
     )
-    sim = D.dot("va", "vb") / (D.norm("va") * D.norm("vb"))
+    sim = D.dot("va", "vb") / (F.col("na") * F.col("nb"))
     return withv.select("ida", "idb", sim.alias("sim")).where(
         F.col("sim") >= threshold
     )
