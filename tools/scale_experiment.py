@@ -82,16 +82,31 @@ def main() -> None:
             f"n_shards={n_shards}, shard rows min/avg/max = "
             f"{sizes[0]}/{sizes[2]:.0f}/{sizes[1]}"
         )
+        # mean over 20 queries (a single query is a ±0.3 coin flip at
+        # k=10), at two probe settings to show the probes-vs-shard-count
+        # serving tradeoff
         rng = np.random.default_rng(123)
-        gq = (
-            centers[rng.integers(0, n_centers)] + 0.25 * rng.standard_normal(dim)
-            if clustered
-            else rng.standard_normal(dim)
-        ).tolist()
-        got = [r.id for r in gidx.search(gq, k=10, ef_search=64, probe_shards=3).collect()]
-        exact = [r.id for r in knn_exact(df, "id", "vec", gq, k=10).collect()]
-        print(f"graph recall@10 (ef=64, 3 shards probed): "
-              f"{len(set(got) & set(exact)) / 10.0:.2f}")
+        for probes in (3, 6):
+            hits = 0
+            for _ in range(20):
+                gq = (
+                    centers[rng.integers(0, n_centers)]
+                    + 0.25 * rng.standard_normal(dim)
+                    if clustered
+                    else rng.standard_normal(dim)
+                ).tolist()
+                got = [
+                    r.id
+                    for r in gidx.search(
+                        gq, k=10, ef_search=64, probe_shards=probes
+                    ).collect()
+                ]
+                exact = [r.id for r in knn_exact(df, "id", "vec", gq, k=10).collect()]
+                hits += len(set(got) & set(exact))
+            print(
+                f"graph recall@10 (ef=64, {probes} shards probed, 20 queries): "
+                f"{hits / 200.0:.3f}"
+            )
         spark.stop()
         return
 
