@@ -86,25 +86,34 @@ def main() -> None:
         # k=10), at two probe settings to show the probes-vs-shard-count
         # serving tradeoff
         rng = np.random.default_rng(123)
-        for probes in (3, 6):
+        queries = [
+            (
+                centers[rng.integers(0, n_centers)] + 0.25 * rng.standard_normal(dim)
+                if clustered
+                else rng.standard_normal(dim)
+            ).tolist()
+            for _ in range(20)
+        ]
+        exact = [
+            set(r.id for r in knn_exact(df, "id", "vec", gq, k=10).collect())
+            for gq in queries
+        ]
+        # ef is the knob that must grow with SHARD size (deeper in-shard
+        # beams), probes with SHARD COUNT; measured at 1M rows / 84 shards:
+        # ef=64 caps at 0.835 while ef=256 reaches 1.000 at the same 3
+        # probes
+        for probes, ef in ((3, 64), (6, 64), (3, 256)):
             hits = 0
-            for _ in range(20):
-                gq = (
-                    centers[rng.integers(0, n_centers)]
-                    + 0.25 * rng.standard_normal(dim)
-                    if clustered
-                    else rng.standard_normal(dim)
-                ).tolist()
-                got = [
+            for gq, ex in zip(queries, exact):
+                got = set(
                     r.id
                     for r in gidx.search(
-                        gq, k=10, ef_search=64, probe_shards=probes
+                        gq, k=10, ef_search=ef, probe_shards=probes
                     ).collect()
-                ]
-                exact = [r.id for r in knn_exact(df, "id", "vec", gq, k=10).collect()]
-                hits += len(set(got) & set(exact))
+                )
+                hits += len(got & ex)
             print(
-                f"graph recall@10 (ef=64, {probes} shards probed, 20 queries): "
+                f"graph recall@10 (ef={ef}, {probes} shards probed, 20 queries): "
                 f"{hits / 200.0:.3f}"
             )
         spark.stop()
