@@ -86,6 +86,31 @@ def test_bulk_build_clustered_recall():
     assert hits / 400 >= 0.95, f"bulk clustered recall {hits / 400}"
 
 
+def test_build_mode_dispatch(monkeypatch):
+    """build_mode and the oversized-shard safety valve pick the right
+    constructor: bulk by default, incremental when forced or when the
+    shard exceeds _BULK_MAX_ROWS (where the bulk O(n²) candidate pass
+    would cost more than the insert loop)."""
+    import vectorchord_spark.operators.graph as G
+
+    calls = []
+    monkeypatch.setattr(
+        G, "_build_vamana", lambda v, o, r: (calls.append("incr"), ([[]] * len(v), 0))[1]
+    )
+    monkeypatch.setattr(
+        G,
+        "_build_vamana_bulk",
+        lambda v, o, r: (calls.append("bulk"), ([[]] * len(v), 0))[1],
+    )
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(50, 4)).astype(np.float32)
+    G._build_graph(vecs, VamanaOptions(), rng)
+    G._build_graph(vecs, VamanaOptions(build_mode="incremental"), rng)
+    monkeypatch.setattr(G, "_BULK_MAX_ROWS", 10)
+    G._build_graph(vecs, VamanaOptions(), rng)
+    assert calls == ["bulk", "incr", "incr"]
+
+
 def test_bulk_build_tiny_inputs():
     """Degenerate shard sizes must not crash the batched code paths."""
     rng = np.random.default_rng(0)
