@@ -33,9 +33,13 @@ def main() -> None:
     # build caches); steady-state is then measured as the MEDIAN of
     # n_warm repeated runs — single-sample timings at this scale carry
     # 1.5-2x noise (observed r01 vs r02), medians make rounds comparable.
-    n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Default 5 runs with per-query IQR reported (documented same-day
+    # variance reaches 60%, so per-query regression calls below ~2x need
+    # a spread to be statistically grounded — r04 verdict item 9).
+    n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name, q in headline.items():
         fn = serving.get(name, q.fn)
         t0 = time.perf_counter()
@@ -47,9 +51,21 @@ def main() -> None:
             fn(spark, sf_dir).count()
             warm.append(time.perf_counter() - t0)
         warm.sort()
+
+        def _pct(p: float) -> float:
+            # nearest-rank percentile over the sorted warm runs
+            return warm[min(len(warm) - 1, int(p * len(warm)))]
+
         timings[name] = round(warm[len(warm) // 2], 3)
+        spread[name] = {
+            "iqr": round(_pct(0.75) - _pct(0.25), 3),
+            "min": round(warm[0], 3),
+            "max": round(warm[-1], 3),
+            "n": len(warm),
+        }
         print(
             f"# {name}: cold={cold[name]:.3f}s warm_median={timings[name]:.3f}s "
+            f"iqr={spread[name]['iqr']:.3f}s "
             f"(runs={['%.3f' % w for w in warm]}) rows={n}",
             file=sys.stderr,
         )
@@ -68,6 +84,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_spread": spread,
         "cold_total": round(sum(cold.values()), 3),
         "cold_queries": cold,
         "build_rows": build_rows,

@@ -495,6 +495,63 @@ def test_search_batch_quantized_storage(spark, clustered_df):
             assert by_q[qi] == single
 
 
+def test_search_batch_rerank_in_table(spark, clustered_df):
+    """search_batch(base_df=...) reranks against the caller's table: an
+    index built with rerank_in_index=False stores no payload, so batch
+    serving must (a) refuse without base_df and (b) be exact with it —
+    the batch analogue of Q5 (reference rerank.rs:113-137, whose rerank
+    heap works for every storage)."""
+    rng = np.random.default_rng(23)
+    qs = [[float(x) for x in rng.uniform(-1, 1, 8)] for _ in range(3)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build(
+            spark, clustered_df, "id", "vec", os.path.join(tmp, "idx"),
+            IvfOptions(metric="l2", lists=[33], rerank_in_index=False),
+        )
+        with pytest.raises(ValueError, match="base_df"):
+            idx.search_batch(qs, k=10, probes=None, rerank_factor=None)
+        res = idx.search_batch(
+            qs, k=10, probes=None, rerank_factor=None, base_df=clustered_df
+        ).collect()
+        by_q = {}
+        for r in res:
+            by_q.setdefault(r.qid, []).append(r.id)
+        for qi, q in enumerate(qs):
+            assert by_q[qi] == brute_topk(clustered_df, q, 10)
+
+
+def test_maxsim_refine_f16_storage(spark):
+    """maxsim_refine beyond f32 storage (the round-4 parity gap): on an
+    f16-storage multivector index, a full-pool refine budget reproduces
+    the all-exact result row-identically (both paths rerank on the same
+    f16 payload through the shared _batch_exact_dist dispatch)."""
+    from vectorchord_spark.operators.maxsim import maxsim_search
+
+    rng = np.random.default_rng(45)
+    centers = rng.uniform(-1, 1, size=(20, 32))
+    docs_rows = [
+        (d, [(centers[d % 20] + rng.normal(0, 0.1, 32)).tolist() for _ in range(3)])
+        for d in range(150)
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, vecs array<array<float>>")
+    tokens = [(centers[i] + rng.normal(0, 0.1, 32)).tolist() for i in range(2)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build_multivector(
+            spark, docs, "doc_id", "vecs", os.path.join(tmp, "idx"),
+            IvfOptions(metric="dot", lists=[8], storage="f16"),
+        )
+        exact = maxsim_search(
+            idx, None, tokens, k=10, per_token_candidates=1 << 30, probes=None
+        )
+        full = maxsim_search(
+            idx, None, tokens, k=10, per_token_candidates=1 << 30, probes=None,
+            maxsim_refine=1 << 30,
+        )
+        want = [(r.doc_id, round(r.score, 6)) for r in exact.collect()]
+        got = [(r.doc_id, round(r.score, 6)) for r in full.collect()]
+        assert got == want
+
+
 def test_lazy_descent_cos_metric(spark, clustered_df):
     """Lazy descent under the cos metric must select in the same space as
     exact descent (squared-l2 over normalized stored vectors — centroid

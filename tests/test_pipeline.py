@@ -270,6 +270,48 @@ def test_multimodal_real_png_decode(spark):
         multimodal.resize_image(bad, strict=True).collect()
 
 
+def test_multimodal_real_video_decode(spark):
+    """The REAL video branch: a concatenated-PNG image sequence (the
+    MJPEG shape with a stdlib-decodable codec) splits into actual frames;
+    each sampled frame is a complete decodable PNG, and strict=True
+    succeeds on sequences but still raises on arbitrary bytes."""
+    import numpy as np
+
+    frames_px = [
+        np.full((4, 6, 3), 10 * (f + 1), np.uint8) for f in range(5)
+    ]
+    seq = b"".join(multimodal.encode_png(p) for p in frames_px)
+
+    # unit: the splitter recovers the exact per-frame byte strings
+    parts = multimodal._split_png_stream(seq)
+    assert parts is not None and len(parts) == 5
+    for f, part in enumerate(parts):
+        _, _, px = multimodal._decode_png(part)
+        assert np.array_equal(px, frames_px[f])
+    assert multimodal._split_png_stream(b"not-a-video") is None
+    assert multimodal._split_png_stream(seq + b"trailing-garbage") is None
+
+    df = spark.createDataFrame([(1, bytearray(seq))], "id long, data binary")
+    rows = sorted(
+        multimodal.frame_sample(df, every_n=2, strict=True).collect(),
+        key=lambda r: r.frame_no,
+    )
+    assert [r.frame_no for r in rows] == [0, 2, 4]
+    for r in rows:
+        _, _, px = multimodal._decode_png(bytes(r.frame))
+        assert np.array_equal(px, frames_px[r.frame_no])
+    # sampled frames compose with the downstream image decode
+    feats = multimodal.decode_image_features(
+        multimodal.frame_sample(df, every_n=2, strict=True), "frame", strict=True
+    )
+    assert {(r.width, r.height) for r in feats.collect()} == {(6, 4)}
+    bad = spark.createDataFrame([(2, bytearray(b"x" * 640))], "id long, data binary")
+    with pytest.raises(Exception):
+        multimodal.frame_sample(bad, every_n=2, strict=True).collect()
+    # non-strict keeps the documented byte-slice stub for arbitrary bytes
+    assert multimodal.frame_sample(bad, every_n=10).count() == 1
+
+
 def test_multimodal_real_wav_decode(spark):
     """The REAL audio branch (stdlib wave codec, no external deps):
     sample count / duration / rms come from the decoded WAV (honoring its

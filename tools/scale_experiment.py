@@ -101,8 +101,10 @@ def main() -> None:
         # ef is the knob that must grow with SHARD size (deeper in-shard
         # beams), probes with SHARD COUNT; measured at 1M rows / 84 shards:
         # ef=64 caps at 0.835 while ef=256 reaches 1.000 at the same 3
-        # probes
-        for probes, ef in ((3, 64), (6, 64), (3, 256)):
+        # probes. ef=None is the AUTO default (max probed shard rows /
+        # 100, floored at 64) — the configuration a user gets without
+        # tuning, which must land ≥ 0.95 here.
+        for probes, ef in ((3, 64), (6, 64), (3, 256), (3, None)):
             hits = 0
             for gq, ex in zip(queries, exact):
                 got = set(
@@ -112,8 +114,12 @@ def main() -> None:
                     ).collect()
                 )
                 hits += len(got & ex)
+            label = "auto" if ef is None else str(ef)
+            if ef is None:
+                auto = gidx._auto_ef_search(gidx._route(np.asarray(queries[0]), probes), 10)
+                label = f"auto={auto}"
             print(
-                f"graph recall@10 (ef={ef}, {probes} shards probed, 20 queries): "
+                f"graph recall@10 (ef={label}, {probes} shards probed, 20 queries): "
                 f"{hits / 200.0:.3f}"
             )
         spark.stop()

@@ -1,0 +1,118 @@
+"""Probe auto-tuning from sampled queries (the operational loop the
+reference's recall + sampling functions exist for: evaluate_query_recall
+over vchordrq_sampled_queries, /root/reference/sql/install/
+vchord--1.1.1.sql:1021-1092 and :936-1013).
+
+Replays an index's RECORDED production queries (S14) through
+``evaluate_query_recall`` (S13) across a probe grid and prints the
+recall/latency frontier, then recommends the cheapest probe setting whose
+mean recall clears the target. This closes the serve → sample → replay →
+tune loop: the tuning workload is what users actually sent, not synthetic
+queries.
+
+Usage:
+  python tools/tune_probes.py [sf_dir] [--index PATH] [--grid 1,2,4,8,16]
+                              [--target 0.95] [--k 10]
+
+With ``--index`` the tool loads an existing IvfIndex (it must have
+sampled queries recorded). Without it, a self-contained demo builds an
+index over ``sf_dir/embeddings.parquet``, enables sampling, serves the
+bench query workload to populate the log, then tunes from that log.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _arg(flag: str, default: str) -> str:
+    if flag in sys.argv:
+        return sys.argv[sys.argv.index(flag) + 1]
+    return default
+
+
+def main() -> None:
+    sf_dir = next(
+        (a for a in sys.argv[1:] if not a.startswith("--") and os.path.isdir(a)),
+        "/root/testdata/sf0.01",
+    )
+    grid = [int(x) for x in _arg("--grid", "1,2,4,8,12,16").split(",")]
+    target = float(_arg("--target", "0.95"))
+    k = int(_arg("--k", "10"))
+    index_path = _arg("--index", "")
+
+    from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
+    from vectorchord_spark.session import get_spark
+
+    spark = get_spark(app_name="tune-probes")
+
+    if index_path:
+        idx = IvfIndex(spark, index_path)
+    else:
+        # demo: build + serve to populate the sampled-query log
+        import tempfile
+
+        from vectorchord_spark.queries import _BATCH_QUERIES
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        path = tempfile.mkdtemp(prefix="vc_tune_") + "/idx"
+        idx = IvfIndex.build(
+            spark, emb, "vec_id", "embedding", path,
+            IvfOptions(metric="l2", lists=[16]),
+        )
+        idx.enable_query_sampling(rate=1.0, max_records=100)
+        for qv in _BATCH_QUERIES:
+            jitter = np.random.default_rng(len(qv)).normal(0, 0.05, len(qv))
+            idx.search(qv, k=k, probes=[4]).collect()
+            idx.search((np.asarray(qv) + jitter).tolist(), k=k, probes=[4]).collect()
+
+    sampled = [list(r.query) for r in idx.sampled_queries().collect()]
+    if not sampled:
+        print("no sampled queries recorded — enable_query_sampling() first")
+        sys.exit(1)
+    print(f"replaying {len(sampled)} sampled queries, probe grid {grid}")
+
+    # warm the serving path once so latencies are steady-state
+    idx.search(sampled[0], k=k, probes=[grid[0]]).collect()
+
+    frontier = []
+    for p in grid:
+        recalls, lats = [], []
+        for q in sampled:
+            t0 = time.perf_counter()
+            r = idx.evaluate_query_recall(q, k=k, probes=[p])
+            lats.append(time.perf_counter() - t0)
+            if not np.isnan(r):
+                recalls.append(r)
+        mean_recall = float(np.mean(recalls)) if recalls else float("nan")
+        med_lat = float(np.median(lats))
+        frontier.append((p, mean_recall, med_lat))
+        print(
+            f"probes={p:>4}  mean recall@{k} = {mean_recall:.3f}  "
+            f"median replay latency = {med_lat:.3f}s"
+        )
+
+    ok = [f for f in frontier if f[1] >= target]
+    if ok:
+        best = min(ok, key=lambda f: f[0])
+        print(
+            f"recommendation: probes={best[0]} (cheapest setting with mean "
+            f"recall {best[1]:.3f} >= target {target})"
+        )
+    else:
+        print(
+            f"no grid point reaches target {target}; best is probes="
+            f"{max(frontier, key=lambda f: f[1])[0]} at recall "
+            f"{max(frontier, key=lambda f: f[1])[1]:.3f} — widen the grid"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

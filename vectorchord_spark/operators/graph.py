@@ -539,6 +539,17 @@ def _build_graph(
     fall back to the incremental build rather than paying the bulk
     builder's quadratic candidate pass."""
     if opts.build_mode == "incremental" or len(vecs) > _BULK_MAX_ROWS:
+        if opts.build_mode != "incremental":
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "graph shard of %d rows exceeds _BULK_MAX_ROWS=%d; falling "
+                "back to the 10-20x slower incremental build — raise "
+                "n_shards (or let auto-sharding pick it) to stay on the "
+                "bulk path",
+                len(vecs),
+                _BULK_MAX_ROWS,
+            )
         return _build_vamana(vecs, opts, rng)
     return _build_vamana_bulk(vecs, opts, rng)
 
@@ -717,14 +728,17 @@ class VamanaIndex:
             # dense sharding at small scale (one shard per ~5k vectors so
             # local[N] parallelism is used), bounded per-shard size at
             # large scale: past ~320k vectors the count grows one shard
-            # per 50k raw rows (~100k per shard after 2x closure
-            # replication). This keeps every single-task build inside the
-            # bulk builder's O(n²)-candidate sweet spot (crossover vs the
-            # incremental insert loop is ~70k rows/shard) AND bounds
-            # per-shard memory; at 100M rows it yields ~2k shards, which
-            # routing (a rows x n_shards matvec) and the driver shard
-            # k-means both absorb easily
-            n_shards = max(1, min(total // 5000 + 1, 64 + total // 50_000))
+            # per 30k raw rows (~60k per shard after 2x closure
+            # replication — deliberately BELOW the _BULK_MAX_ROWS=100k
+            # safety valve so an above-average shard still takes the fast
+            # bulk build rather than silently tripping the 10-20x-slower
+            # incremental fallback). This keeps every single-task build
+            # inside the bulk builder's O(n²)-candidate sweet spot
+            # (crossover vs the incremental insert loop is ~70k
+            # rows/shard) AND bounds per-shard memory; at 100M rows it
+            # yields ~3.4k shards, which routing (a rows x n_shards
+            # matvec) and the driver shard k-means both absorb easily
+            n_shards = max(1, min(total // 5000 + 1, 64 + total // 30_000))
 
         # --- shard centroids: bounded sample → driver k-means (the same
         # single-pass per-partition sampler as the IVF build — a global
@@ -787,11 +801,23 @@ class VamanaIndex:
             "shard"
         ).parquet(os.path.join(path, "graph"))
 
+        # per-shard row counts (replicas included — they are traversal
+        # vertices) so serving can auto-scale ef_search with shard size;
+        # a count-only scan over the freshly written column-pruned parquet
+        shard_rows = {
+            str(r["shard"]): int(r["cnt"])
+            for r in spark.read.parquet(os.path.join(path, "graph"))
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
         meta = {
             **opts_d,
             "n_shards": int(n_shards),
             "dim": int(dim),
             "centroids": [[float(x) for x in c] for c in cents],
+            "shard_rows": shard_rows,
         }
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
@@ -849,6 +875,8 @@ class VamanaIndex:
         self.meta["graph_version"] = new_v
         with open(os.path.join(self.path, "meta.json"), "w") as f:
             json.dump(self.meta, f)
+        # refresh per-shard counts so ef_search auto-scaling tracks DML
+        self._record_shard_rows()
         # reclaim the version *before* the one we just superseded
         if old_v >= 1:
             import shutil
@@ -1080,6 +1108,44 @@ class VamanaIndex:
 
     # ------------------------------------------------------------------
 
+    def _record_shard_rows(self) -> dict[str, int]:
+        """Count rows per shard in the current graph version and persist
+        the counts into ``meta.json``. Serving reads these to auto-scale
+        ``ef_search`` with shard size; DML refreshes them per version."""
+        shard_rows = {
+            str(r["shard"]): int(r["cnt"])
+            for r in self.spark.read.parquet(self.graph_path)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        self.meta["shard_rows"] = shard_rows
+        with open(os.path.join(self.path, "meta.json"), "w") as f:
+            json.dump(self.meta, f)
+        return shard_rows
+
+    #: reference serving default (`/root/reference/src/index/gucs.rs:337-360`)
+    #: — tuned for ONE global graph; used here as the FLOOR of the
+    #: auto-scaled per-shard beam width
+    _EF_SEARCH_FLOOR = 64
+
+    def _auto_ef_search(self, shards: list[int], k: int) -> int:
+        """Compute the default beam width from the probed shards' sizes.
+
+        The reference's fixed ``ef_search=64`` default assumes one global
+        graph; under cluster sharding the beam explores each probed shard
+        independently, and a fixed 64 caps recall at 0.835 on the 1M-row
+        scale point (docs/SCALE.md) where shards hold ~24k vertices. The
+        builder's measured guidance is ef ≳ shard_rows/100 (ef=256
+        restores recall 1.000 there), so the default is computed from the
+        LARGEST probed shard, floored at the reference's 64. Explicitly
+        passed ``ef_search`` values are never overridden."""
+        rows = self.meta.get("shard_rows")
+        if rows is None:  # index built before shard_rows existed
+            rows = self._record_shard_rows()
+        mx = max((int(rows.get(str(s), 0)) for s in shards), default=0)
+        return max(self._EF_SEARCH_FLOOR, int(k), -(-mx // 100))
+
     def _route(self, q: np.ndarray, probe_shards: int | None) -> list[int]:
         """Driver-side shard routing: nearest shards by centroid distance
         (L2 for l2/cos — cos vectors are stored normalized — dot for ip)."""
@@ -1123,7 +1189,7 @@ class VamanaIndex:
         self,
         query: "np.ndarray | list[float]",
         k: int = 10,
-        ef_search: int = 64,
+        ef_search: int | None = None,
         probe_shards: int | None = None,
         rescore_factor: int = 4,
     ) -> DataFrame:
@@ -1134,7 +1200,11 @@ class VamanaIndex:
         configuration). Traversal expands neighbors on quantized estimates
         and rescores each popped vertex exactly (reference
         search.rs:34-140), so the per-shard ef window is already
-        exact-ranked; ``rescore_factor`` optionally widens it."""
+        exact-ranked; ``rescore_factor`` optionally widens it.
+
+        ``ef_search=None`` (the default) auto-scales the beam width with
+        the probed shards' sizes (see ``_auto_ef_search``); pass an int to
+        pin it (the reference's fixed GUC behavior)."""
         meta = self.meta
         metric = meta["metric"]
         dim = meta["dim"]
@@ -1146,8 +1216,10 @@ class VamanaIndex:
                 q_exact = q_exact / n
         q32 = q_exact.astype(np.float32)
         q_rot = K.rotate(q32)
-        ef = int(max(ef_search, k)) * max(1, int(rescore_factor))
         shards = self._route(q_exact, probe_shards)
+        if ef_search is None:
+            ef_search = self._auto_ef_search(shards, k)
+        ef = int(max(ef_search, k)) * max(1, int(rescore_factor))
 
         internal = "l2" if metric == "l2" else "dot"
 
@@ -1191,7 +1263,7 @@ class VamanaIndex:
         self,
         queries: "list[list[float]] | np.ndarray",
         k: int = 10,
-        ef_search: int = 64,
+        ef_search: int | None = None,
         probe_shards: int | None = None,
         rescore_factor: int = 4,
     ) -> DataFrame:
@@ -1199,7 +1271,9 @@ class VamanaIndex:
 
         Every query routes independently; a shard is scanned once and
         beam-searches only the queries routed to it. Returns
-        (qid, id, dist, rank) with rank ≤ k per query."""
+        (qid, id, dist, rank) with rank ≤ k per query.
+        ``ef_search=None`` auto-scales with probed shard size (one shared
+        value over the batch's union of probed shards — see ``search``)."""
         from pyspark.sql import Window
 
         meta = self.meta
@@ -1217,12 +1291,14 @@ class VamanaIndex:
             Qe = Qe / norms
         nq = len(Qe)
         Q_rot = K.rotate(Qe.astype(np.float32))
-        ef = int(max(ef_search, k)) * max(1, int(rescore_factor))
         shard_qids: dict[int, list[int]] = {}
         for qi in range(nq):
             for s in self._route(Qe[qi], probe_shards):
                 shard_qids.setdefault(s, []).append(qi)
         shards = sorted(shard_qids)
+        if ef_search is None:
+            ef_search = self._auto_ef_search(shards, k)
+        ef = int(max(ef_search, k)) * max(1, int(rescore_factor))
         sq = {int(s): qids for s, qids in shard_qids.items()}
 
         internal = "l2" if metric == "l2" else "dot"

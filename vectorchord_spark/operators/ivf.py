@@ -53,6 +53,13 @@ CODES_SCHEMA = (
 )
 SCORE_SCHEMA = "id long, cluster_id int, lb double, rough double"
 
+#: hard per-cell sample bound for the distributed leaf k-means stage —
+#: caps ONE applyInPandas task's input even when coarse-cell skew
+#: concentrates most Sainte-Laguë seats into a single cell (200k rows at
+#: 768d f32 ≈ 600 MB; with sampling_factor 64 this supports ~3k seats
+#: per cell at full sample quality)
+_CELL_SAMPLE_CAP = 200_000
+
 
 def _distributed_leaf_kmeans(
     src: DataFrame, n_leaves: int, opts: "IvfOptions"
@@ -134,9 +141,17 @@ def _distributed_leaf_kmeans(
 
     # per-cell bounded sample BEFORE the shuffle: keep fraction =
     # seats·sampling_factor / cell_count, so each applyInPandas group is
-    # ≤ ~seats[g]·sampling_factor rows regardless of input size
+    # ≤ ~seats[g]·sampling_factor rows regardless of input size. Under
+    # coarse-cell skew one cell can win most of the seats and concentrate
+    # ~n_leaves·sampling_factor rows into ONE task — the hard per-cell cap
+    # bounds that single-executor memory too (at 768d f32 the cap is
+    # ~600 MB of vectors; Lloyd quality holds while seats ≤ cap/factor)
     frac = [
-        min(1.0, (int(seats[g]) * opts.sampling_factor) / counts[g])
+        min(
+            1.0,
+            min(int(seats[g]) * opts.sampling_factor, _CELL_SAMPLE_CAP)
+            / counts[g],
+        )
         if counts[g] > 0 and seats[g] > 0
         else 0.0
         for g in range(coarse_k)
@@ -153,6 +168,22 @@ def _distributed_leaf_kmeans(
         g = int(pdf["cell"].iloc[0])
         k_g = seats_list[g]
         vecs = np.stack(pdf["vec"].to_numpy()).astype(np.float32)
+        if len(vecs) > _CELL_SAMPLE_CAP:
+            # rand-filter overshoot beyond the expectation-level cap:
+            # enforce the hard bound on the REALIZED sample too
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "distributed k-means cell %d sample %d exceeds cap %d; "
+                "truncating (quality unaffected while seats*factor <= cap)",
+                g,
+                len(vecs),
+                _CELL_SAMPLE_CAP,
+            )
+            keep = np.random.default_rng(seed + 7 + g).choice(
+                len(vecs), _CELL_SAMPLE_CAP, replace=False
+            )
+            vecs = vecs[keep]
         cents = KM.lloyd(vecs, k_g, iters, seed + 1 + g, spherical)
         return pd.DataFrame(
             {
@@ -1187,6 +1218,182 @@ class IvfIndex:
         )
         return rerank(final_cand).limit(int(k))
 
+    def _batch_exact_dist(
+        self,
+        probed_arr: np.ndarray,
+        Qe: np.ndarray,
+        Q_rot: np.ndarray,
+        base_df: DataFrame | None = None,
+    ):
+        """Storage-dispatched batch rerank: returns a function mapping a
+        candidate DataFrame (qid, id) to exact (or dequantized-estimate)
+        distances (qid, id, dist) — the batch analogue of the reference's
+        storage-agnostic rerank heap (crates/vchordrq/src/rerank.rs:113-137).
+        Shared by ``search_batch`` and the maxsim refine stage.
+
+        ``Qe`` is the (nq, dim) f64 query matrix ALREADY normalized for cos
+        metrics; ``Q_rot`` its rotated f32 counterpart (used by quantized
+        storage). ``base_df`` switches to rerank-in-table mode (Q5)."""
+        meta = self.meta
+        metric = meta["metric"]
+        dim = meta["dim"]
+        storage = meta.get("storage", "f32")
+        nq = len(Qe)
+
+        if base_df is not None:
+            # rerank-in-table: exact distances against the caller's base
+            # table — same broadcast-candidate join shape as the in-index
+            # f32 branch, just a different vector source
+            base_src = base_df.select("id", "vec")
+            if metric == "cos":
+                base_src = base_df.select(
+                    "id", D.normalize("vec").cast("array<float>").alias("vec")
+                )
+            bq_arr = F.array(
+                *[D.vec_lit([float(x) for x in Qe[qi]]) for qi in range(nq)]
+            )
+            bqv = F.element_at(bq_arr, F.col("qid") + 1)
+            if metric == "l2":
+                b_dist = D.l2("vec", bqv)
+            elif metric == "dot":
+                b_dist = D.ip("vec", bqv)
+            else:
+                b_dist = F.lit(1.0) + D.ip("vec", bqv)
+
+            def exact_dist(cand: DataFrame) -> DataFrame:
+                return (
+                    base_src.join(F.broadcast(cand), "id")
+                    .select("qid", "id", b_dist.alias("dist"))
+                )
+
+            return exact_dist
+
+        if storage in ("rabitq8", "rabitq4"):
+            # quantized storage: batch analogue of the single-query
+            # dequantized-estimate rerank (rotation-invariant distances in
+            # rotated space; one decode + row-wise dot per Arrow batch)
+            sq_bits = {"rabitq8": 8, "rabitq4": 4}[storage]
+            Qr64 = np.asarray(Q_rot, np.float64)  # (nq, dim) rotated queries
+            base_off = np.float64(-0.5 * ((1 << sq_bits) - 1))
+            q_norm2 = np.einsum("ij,ij->i", Qr64, Qr64)
+
+            def sq_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    codes = list(pdf["sq_code"])
+                    code = (
+                        np.frombuffer(b"".join(codes), np.uint8).reshape(
+                            len(codes), -1
+                        )[:, :dim]
+                        if sq_bits == 8
+                        else K.unpack_nibbles(codes, dim)
+                    )
+                    scale = (
+                        np.sqrt(pdf["sq_dis_u_2"].to_numpy(np.float64))
+                        / pdf["sq_nol"].to_numpy(np.float64)
+                    )
+                    centered = code.astype(np.float64) + base_off
+                    qids = pdf["qid"].to_numpy(np.int64)
+                    dotq = (
+                        np.einsum("ij,ij->i", centered, Qr64[qids]) * scale
+                    )
+                    if metric == "l2":
+                        deq_n2 = (
+                            np.einsum("ij,ij->i", centered, centered)
+                            * scale
+                            * scale
+                        )
+                        d = np.sqrt(
+                            np.maximum(q_norm2[qids] + deq_n2 - 2.0 * dotq, 0.0)
+                        )
+                    elif metric == "dot":
+                        d = -dotq
+                    else:
+                        d = 1.0 - dotq
+                    yield pd.DataFrame(
+                        {
+                            "qid": pdf["qid"].to_numpy(np.int32),
+                            "id": pdf["id"].to_numpy(np.int64),
+                            "dist": d,
+                        }
+                    )
+
+            sq_src = self._codes_df(
+                probed_arr, ["id", "sq_dis_u_2", "sq_nol", "sq_code"]
+            )
+
+            def exact_dist(cand: DataFrame) -> DataFrame:
+                return (
+                    sq_src.join(F.broadcast(cand), "id")
+                    .mapInPandas(sq_score, "qid int, id long, dist double")
+                )
+
+            return exact_dist
+
+        if storage == "f32":
+            if not meta["rerank_in_index"]:
+                raise ValueError(
+                    "index built with rerank_in_index=False: pass base_df"
+                )
+            vec_src = self._codes_df(probed_arr, ["id", "vec"])
+            q_arr = F.array(*[D.vec_lit([float(x) for x in Qe[qi]]) for qi in range(nq)])
+            qv = F.element_at(q_arr, F.col("qid") + 1)
+            if metric == "l2":
+                dist = D.l2("vec", qv)
+            elif metric == "dot":
+                dist = D.ip("vec", qv)
+            else:
+                dist = F.lit(1.0) + D.ip("vec", qv)
+
+            def exact_dist(cand: DataFrame) -> DataFrame:
+                return (
+                    vec_src.join(F.broadcast(cand), "id")
+                    .select("qid", "id", dist.alias("dist"))
+                )
+
+            return exact_dist
+
+        # f16 packed binary: decode + vectorized numpy distances
+        if not meta["rerank_in_index"]:
+            raise ValueError(
+                "index built with rerank_in_index=False: pass base_df"
+            )
+        f16_src = self._codes_df(probed_arr, ["id", "vec_f16"])
+        Qmat = Qe  # (nq, dim) f64, closure-captured (tiny)
+
+        def f16_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = (
+                    np.frombuffer(b"".join(pdf["vec_f16"]), "<f2")
+                    .reshape(len(pdf), dim)
+                    .astype(np.float64)
+                )
+                qs = Qmat[pdf["qid"].to_numpy(np.int64)]
+                if metric == "l2":
+                    d = np.sqrt(((mat - qs) ** 2).sum(axis=1))
+                elif metric == "dot":
+                    d = -np.einsum("ij,ij->i", mat, qs)
+                else:
+                    d = 1.0 - np.einsum("ij,ij->i", mat, qs)
+                yield pd.DataFrame(
+                    {
+                        "qid": pdf["qid"].to_numpy(np.int32),
+                        "id": pdf["id"].to_numpy(np.int64),
+                        "dist": d,
+                    }
+                )
+
+        def exact_dist(cand: DataFrame) -> DataFrame:
+            return (
+                f16_src.join(F.broadcast(cand), "id")
+                .mapInPandas(f16_score, "qid int, id long, dist double")
+            )
+
+        return exact_dist
+
     def search_batch(
         self,
         queries: "list[list[float]] | np.ndarray",
@@ -1196,6 +1403,7 @@ class IvfIndex:
         rerank_factor: int | None = 4,
         guarantee: bool = True,
         return_rough: bool = False,
+        base_df: DataFrame | None = None,
     ) -> DataFrame:
         """Multi-query k-NN in ONE pass over the codes table.
 
@@ -1205,6 +1413,13 @@ class IvfIndex:
         estimates from a single ``bits @ QQᵀ`` matmul, and the rerank is a
         JVM expression indexing a broadcast literal array of query vectors.
         Returns (qid, id, dist, rank) with rank ≤ k per query.
+
+        ``base_df``: rerank against this (id, vec) table instead of the
+        index-stored payload (``rerank_in_table``, Q5 — the batch analogue
+        of ``search(base_df=...)``; the reference's rerank heap works for
+        every storage, crates/vchordrq/src/rerank.rs:113-137). Required
+        when the index was built with ``rerank_in_index=False`` and
+        f32/f16 storage; quantized storage reranks on its own codes.
         """
         meta = self.meta
         metric = meta["metric"]
@@ -1337,123 +1552,8 @@ class IvfIndex:
                 .select("qid", "id", "rough")
             )
 
-        storage = meta.get("storage", "f32")
-        if not meta["rerank_in_index"]:
-            raise NotImplementedError(
-                "search_batch currently requires rerank_in_index storage"
-            )
         w2 = Window.partitionBy("qid").orderBy("dist", "id")
-        if storage in ("rabitq8", "rabitq4"):
-            # quantized storage: batch analogue of the single-query
-            # dequantized-estimate rerank (rotation-invariant distances in
-            # rotated space; one decode + row-wise dot per Arrow batch)
-            sq_bits = {"rabitq8": 8, "rabitq4": 4}[storage]
-            Qr64 = np.asarray(Q_rot, np.float64)  # (nq, dim) rotated queries
-            base_off = np.float64(-0.5 * ((1 << sq_bits) - 1))
-            q_norm2 = np.einsum("ij,ij->i", Qr64, Qr64)
-
-            def sq_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                for pdf in batches:
-                    if not len(pdf):
-                        continue
-                    codes = list(pdf["sq_code"])
-                    code = (
-                        np.frombuffer(b"".join(codes), np.uint8).reshape(
-                            len(codes), -1
-                        )[:, :dim]
-                        if sq_bits == 8
-                        else K.unpack_nibbles(codes, dim)
-                    )
-                    scale = (
-                        np.sqrt(pdf["sq_dis_u_2"].to_numpy(np.float64))
-                        / pdf["sq_nol"].to_numpy(np.float64)
-                    )
-                    centered = code.astype(np.float64) + base_off
-                    qids = pdf["qid"].to_numpy(np.int64)
-                    dotq = (
-                        np.einsum("ij,ij->i", centered, Qr64[qids]) * scale
-                    )
-                    if metric == "l2":
-                        deq_n2 = (
-                            np.einsum("ij,ij->i", centered, centered)
-                            * scale
-                            * scale
-                        )
-                        d = np.sqrt(
-                            np.maximum(q_norm2[qids] + deq_n2 - 2.0 * dotq, 0.0)
-                        )
-                    elif metric == "dot":
-                        d = -dotq
-                    else:
-                        d = 1.0 - dotq
-                    yield pd.DataFrame(
-                        {
-                            "qid": pdf["qid"].to_numpy(np.int32),
-                            "id": pdf["id"].to_numpy(np.int64),
-                            "dist": d,
-                        }
-                    )
-
-            sq_src = self._codes_df(
-                probed_arr, ["id", "sq_dis_u_2", "sq_nol", "sq_code"]
-            )
-
-            def exact_dist(cand: DataFrame) -> DataFrame:
-                return (
-                    sq_src.join(F.broadcast(cand), "id")
-                    .mapInPandas(sq_score, "qid int, id long, dist double")
-                )
-
-        elif storage == "f32":
-            vec_src = self._codes_df(probed_arr, ["id", "vec"])
-            q_arr = F.array(*[D.vec_lit([float(x) for x in Qe[qi]]) for qi in range(nq)])
-            qv = F.element_at(q_arr, F.col("qid") + 1)
-            if metric == "l2":
-                dist = D.l2("vec", qv)
-            elif metric == "dot":
-                dist = D.ip("vec", qv)
-            else:
-                dist = F.lit(1.0) + D.ip("vec", qv)
-
-            def exact_dist(cand: DataFrame) -> DataFrame:
-                return (
-                    vec_src.join(F.broadcast(cand), "id")
-                    .select("qid", "id", dist.alias("dist"))
-                )
-
-        else:  # f16 packed binary: decode + vectorized numpy distances
-            f16_src = self._codes_df(probed_arr, ["id", "vec_f16"])
-            Qmat = Qe  # (nq, dim) f64, closure-captured (tiny)
-
-            def f16_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                for pdf in batches:
-                    if not len(pdf):
-                        continue
-                    mat = (
-                        np.frombuffer(b"".join(pdf["vec_f16"]), "<f2")
-                        .reshape(len(pdf), dim)
-                        .astype(np.float64)
-                    )
-                    qs = Qmat[pdf["qid"].to_numpy(np.int64)]
-                    if metric == "l2":
-                        d = np.sqrt(((mat - qs) ** 2).sum(axis=1))
-                    elif metric == "dot":
-                        d = -np.einsum("ij,ij->i", mat, qs)
-                    else:
-                        d = 1.0 - np.einsum("ij,ij->i", mat, qs)
-                    yield pd.DataFrame(
-                        {
-                            "qid": pdf["qid"].to_numpy(np.int32),
-                            "id": pdf["id"].to_numpy(np.int64),
-                            "dist": d,
-                        }
-                    )
-
-            def exact_dist(cand: DataFrame) -> DataFrame:
-                return (
-                    f16_src.join(F.broadcast(cand), "id")
-                    .mapInPandas(f16_score, "qid int, id long, dist double")
-                )
+        exact_dist = self._batch_exact_dist(probed_arr, Qe, Q_rot, base_df=base_df)
 
         def rerank(cand: DataFrame) -> DataFrame:
             return (

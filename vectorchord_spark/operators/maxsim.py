@@ -85,15 +85,17 @@ def maxsim_search(
     # n_tokens sequential descend+scan DAGs
     tokens_f = [list(map(float, t)) for t in query_tokens]
     if maxsim_refine > 0:
-        # the refine join reads materialized vectors — only f32
-        # rerank_in_index storage has them (mirror search_batch's guard
-        # instead of silently computing NULL distances for the head)
+        # the refine rerank needs a payload in the index: f32/f16 storage
+        # must keep rerank vectors; quantized storage reranks on its own
+        # codes (the reference's rerank heap works for every storage,
+        # crates/vchordrq/src/rerank.rs:113-137)
         if (
-            index.meta.get("storage", "f32") != "f32"
-            or not index.meta["rerank_in_index"]
+            index.meta.get("storage", "f32") in ("f32", "f16")
+            and not index.meta["rerank_in_index"]
         ):
             raise NotImplementedError(
-                "maxsim_refine requires f32 rerank_in_index storage"
+                "maxsim_refine requires rerank_in_index storage (or a "
+                "quantized-storage index, which reranks on its codes)"
             )
         # cos indexes store normalized vectors and search normalized
         # queries; the refine join computes exact distances itself, so it
@@ -133,24 +135,19 @@ def maxsim_search(
         w = Window.partitionBy("qid").orderBy("rough", "id")
         pool = pool.withColumn("_rk", F.row_number().over(w))
         head = pool.where(F.col("_rk") <= int(maxsim_refine)).select("qid", "id")
-        # prune the vector fetch to the probed cells (head candidates can
-        # only come from there) — same pruning search_batch's own rerank uses
-        vec_src = index._codes_df(
-            index.probed_union(tokens_f, probes), ["id", "vec"]
-        )
-        from vectorchord_spark.functions import distances as D
+        # storage-dispatched exact rerank of the head, pruned to the probed
+        # cells (head candidates can only come from there) — the same
+        # machinery search_batch's own rerank uses, so every storage the
+        # single-query path reranks, refine reranks too
+        from vectorchord_spark.kernels import rotate
 
-        q_arr = F.array(*[D.vec_lit(t) for t in tokens_refine])
-        qv = F.element_at(q_arr, F.col("qid") + 1)
-        if metric == "l2":
-            dist = D.l2("vec", qv)
-        elif metric == "dot":
-            dist = D.ip("vec", qv)
-        else:
-            dist = F.lit(1.0) + D.ip("vec", qv)
-        refined = vec_src.join(F.broadcast(head), "id").select(
-            "qid", "id", dist.alias("dist")
+        Qe_r = np.asarray(tokens_refine, np.float64)
+        exact_dist = index._batch_exact_dist(
+            index.probed_union(tokens_f, probes),
+            Qe_r,
+            rotate(Qe_r.astype(np.float32)),
         )
+        refined = exact_dist(head)
         tail = pool.where(F.col("_rk") > int(maxsim_refine)).select(
             "qid", "id", rough_out.alias("dist")
         )

@@ -363,8 +363,12 @@ def connected_components(
             F.greatest(F.col(a_col), F.col(b_col)).alias("dst"),
         )
         .distinct()
-        .persist()
     )
+    # persist only when the driver-threshold check will materialize it (a
+    # count + possible toPandas); with driver_threshold=0 nothing reads
+    # und twice, so persisting it would be pure cache churn
+    if driver_threshold:
+        und = und.persist()
     if driver_threshold and und.count() <= driver_threshold:
         from pyspark.sql.types import StructField, StructType
 
@@ -404,7 +408,9 @@ def connected_components(
         .distinct()
         .persist()
     )
-    und.unpersist()
+    # und (if persisted) stays cached until sym's FIRST materialization —
+    # unpersisting here would force the canonicalize+distinct lineage to
+    # recompute when sym first materializes in the fixpoint loop below
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
@@ -412,7 +418,7 @@ def connected_components(
         .persist()
     )
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["id"])
             .groupBy("src")
@@ -448,6 +454,10 @@ def connected_components(
             .where(F.col("n.component") != F.col("o.component"))
             .count()
         )
+        if it == 0 and driver_threshold:
+            # sym is materialized (and cached) by the count above — the
+            # und cache has served its purpose
+            und.unpersist()
         labels.unpersist()
         labels = new_labels
         if changed == 0:

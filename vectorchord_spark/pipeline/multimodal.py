@@ -259,6 +259,37 @@ def decode_image_features(
     return df.mapInPandas(decode, out_schema)
 
 
+def _split_png_stream(raw: bytes) -> "list[bytes] | None":
+    """Split a concatenated-PNG image sequence — the stdlib-decodable
+    analogue of MJPEG (which is concatenated JPEGs) — into per-frame PNG
+    byte strings by walking each frame's chunks to its IEND. Returns None
+    when the bytes are not a well-formed PNG sequence."""
+    import struct
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    if not raw.startswith(sig):
+        return None
+    frames = []
+    pos, n = 0, len(raw)
+    while pos < n:
+        if raw[pos : pos + 8] != sig:
+            return None
+        start = pos
+        pos += 8
+        while True:
+            if pos + 8 > n:
+                return None
+            (ln,) = struct.unpack(">I", raw[pos : pos + 4])
+            typ = raw[pos + 4 : pos + 8]
+            pos += 12 + ln
+            if pos > n:
+                return None
+            if typ == b"IEND":
+                break
+        frames.append(raw[start:pos])
+    return frames
+
+
 def frame_sample(
     df: DataFrame,
     binary_col: str = "data",
@@ -266,8 +297,15 @@ def frame_sample(
     strict: bool = False,
 ) -> DataFrame:
     """Sample every ``every_n``-th frame of a video column → one row per
-    frame (frame_no, frame binary). STUB decoder: frames are deterministic
-    slices of the input bytes; the explode/fan-out plumbing is real."""
+    frame (frame_no, frame binary).
+
+    REAL branch: a concatenated-PNG image sequence (the MJPEG shape with
+    a stdlib-decodable codec) is split into actual frames; each emitted
+    ``frame`` is a complete decodable PNG, composable with
+    ``decode_image_features``/``resize_image`` downstream. Fallback for
+    other byte formats (no video codec ships in this container):
+    deterministic 64-byte slices — fan-out plumbing real, frames fake;
+    ``strict=True`` raises instead."""
     other_cols = [c for c in df.columns if c != binary_col]
     out_schema = ", ".join(
         f"{c} {df.schema[c].dataType.simpleString()}" for c in other_cols
@@ -278,16 +316,24 @@ def frame_sample(
         for pdf in batches:
             if not len(pdf):
                 continue
-            if strict:
-                raise NotImplementedError(
-                    "no video codec available in this environment"
-                )
             raws = [
                 bytes(b) if b is not None else b"" for b in pdf[binary_col]
             ]
+            decoded: list["list[bytes] | None"] = []
+            for r in raws:
+                fr = _split_png_stream(r)
+                if fr is None and strict:
+                    raise NotImplementedError(
+                        "bytes are not a PNG image sequence and no video "
+                        "codec is available in this environment"
+                    )
+                decoded.append(fr)
             frame_nos = [
-                np.arange(0, max(1, len(r) // 64), every_n, dtype=np.int64)
-                for r in raws
+                np.arange(0, len(fr), every_n, dtype=np.int64)
+                if fr is not None
+                # STUB path: pseudo-frames are 64-byte slices
+                else np.arange(0, max(1, len(r) // 64), every_n, dtype=np.int64)
+                for fr, r in zip(decoded, raws)
             ]
             counts = np.fromiter(
                 (len(f) for f in frame_nos), dtype=np.int64, count=len(raws)
@@ -296,10 +342,12 @@ def frame_sample(
             # row's frame count instead of iterating rows
             idx = np.repeat(np.arange(len(pdf)), counts)
             out = pdf[other_cols].iloc[idx].reset_index(drop=True)
-            fnos = np.concatenate(frame_nos)
+            fnos = np.concatenate(frame_nos) if len(frame_nos) else np.array([], np.int64)
             out["frame_no"] = fnos
             out["frame"] = [
-                raws[i][fno * 64 : (fno + 1) * 64]
+                decoded[i][fno]
+                if decoded[i] is not None
+                else raws[i][fno * 64 : (fno + 1) * 64]
                 for i, fno in zip(idx, fnos)
             ]
             yield out
@@ -430,12 +478,35 @@ def audio_features(
             for buf in pdf[binary_col]:
                 raw = bytes(buf) if buf is not None else b""
                 wav = _decode_wav(raw)
+                if wav is None and have_codec:
+                    # ladder step 2: REAL codec decode via soundfile
+                    try:  # pragma: no cover - codec lib absent here
+                        import io
+
+                        import soundfile
+
+                        data, sf_rate = soundfile.read(
+                            io.BytesIO(raw), dtype="int16", always_2d=True
+                        )
+                        wav = (
+                            int(sf_rate),
+                            data.mean(axis=1).astype(np.int16),
+                        )
+                    except Exception:
+                        wav = None
                 if wav is not None:
                     rate, pcm = wav
-                elif strict and not have_codec:
+                elif strict:
+                    # strict never falls to the stub — undecodable bytes
+                    # are an error whether or not a codec is importable
                     raise NotImplementedError(
-                        "bytes are not RIFF/WAVE and no audio codec is "
-                        "available in this environment"
+                        "bytes are not RIFF/WAVE and "
+                        + (
+                            "soundfile could not decode them"
+                            if have_codec
+                            else "no audio codec is available in this "
+                            "environment"
+                        )
                     )
                 else:
                     # STUB: treat bytes as little-endian i16 PCM mono

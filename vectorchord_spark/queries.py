@@ -2178,6 +2178,36 @@ SELECT CAST(3 AS BIGINT) AS n_queries, CAST(1 AS BIGINT) AS recall_ok
 """
 
 
+def _knn_batch_rerank_table_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch rerank-in-table (Q5 × batch serving, the round-4 parity gap):
+    an index built with rerank_in_index=False stores NO rerank payload, so
+    search_batch(base_df=...) fetches exact vectors from the caller's base
+    table instead (the reference's rerank heap works for every storage,
+    crates/vchordrq/src/rerank.rs:113-137). Exhaustive config ⇒ exact ⇒
+    the same brute-force batch SQL as knn_batch_ivf is the oracle."""
+    import tempfile
+
+    from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
+
+    key = (sf_dir, "l2-norerank")
+    idx = _IVF_CACHE.get(key)
+    emb = _read(spark, sf_dir, "embeddings")
+    if idx is None:
+        path = _register_tmpdir(tempfile.mkdtemp(prefix="vc_ivf_nr_"))
+        idx = IvfIndex.build(
+            spark, emb, "vec_id", "embedding", path,
+            IvfOptions(metric="l2", lists=[16], rerank_in_index=False),
+        )
+        _IVF_CACHE[key] = idx
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    res = idx.search_batch(
+        _BATCH_QUERIES, k=10, probes=None, rerank_factor=None, base_df=base
+    )
+    return res.select(
+        "qid", F.col("id").alias("vec_id"), "dist", F.col("rank").alias("rnk")
+    )
+
+
 def _streaming_knn_serve_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming KNN serving job (streaming/jobs.py):
     writes the fixed query batch as a parquet file, runs ONE availableNow
@@ -2725,6 +2755,49 @@ SELECT CAST(10 AS BIGINT) AS n_results,
 """
 
 
+def _maxsim_refine_f16_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maxsim_refine on f16 storage (the round-4 parity gap: refine was
+    f32-only). The f16-storage twin of maxsim_ivf_refine: on an index
+    whose rerank payload is half-precision, a full-pool refine budget must
+    reproduce the all-exact result row-identically (both paths rerank on
+    the same f16 payload through the shared storage-dispatched rerank —
+    reference rerank.rs:113-137 works for every storage)."""
+    import tempfile
+
+    from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
+    from vectorchord_spark.operators.maxsim import maxsim_search
+
+    key = (sf_dir, "multivec-dot-f16")
+    idx = _IVF_CACHE.get(key)
+    if idx is None:
+        docs = _multivec_docs(spark, sf_dir)
+        path = _register_tmpdir(tempfile.mkdtemp(prefix="vc_ivf_mv16_"))
+        idx = IvfIndex.build_multivector(
+            spark, docs, "doc_id", "vecs", path,
+            IvfOptions(metric="dot", lists=[16], storage="f16"),
+        )
+        _IVF_CACHE[key] = idx
+    exact = maxsim_search(
+        idx, None, MAXSIM_TOKENS, k=10, per_token_candidates=1 << 30, probes=None
+    )
+    want = [(r.doc_id, round(float(r.score), 6)) for r in exact.collect()]
+    full = maxsim_search(
+        idx, None, MAXSIM_TOKENS, k=10, per_token_candidates=1 << 30,
+        probes=None, maxsim_refine=1 << 30,
+    )
+    got = [(r.doc_id, round(float(r.score), 6)) for r in full.collect()]
+    return spark.createDataFrame(
+        [(len(got), int(got == want))],
+        "n_results bigint, full_refine_exact bigint",
+    )
+
+
+_MAXSIM_REFINE_F16_SQL = """
+SELECT CAST(10 AS BIGINT) AS n_results,
+       CAST(1 AS BIGINT) AS full_refine_exact
+"""
+
+
 def _ann_hierarchical_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical k-means build (B5): coarse √c-cluster pass, Sainte-Laguë
     seat allocation of per-partition cluster counts, per-partition Lloyd
@@ -3012,41 +3085,63 @@ FROM documents ORDER BY doc_id
 
 
 def _multimodal_video_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling fan-out (one row per sampled frame). The frame
-    decoder is the documented deterministic stub (64-byte slices — no
-    video codec ships in this container), but the Spark-side plumbing under
-    test is real: per-document byte buffers are a closed-form size
-    (64·(3 + doc_id % 4)), so the exploded (frame_no, frame_len) shape is
-    oracle-checkable — wrong stride, tail handling, or repeat counts in
-    the vectorized fan-out ⇒ wrong rows."""
+    """End-to-end video pipeline through the REAL decode branch
+    (`strict=True`, the same treatment image/audio got in r03/r04):
+    synthesize a concatenated-PNG image sequence per document — the MJPEG
+    shape with a stdlib-decodable codec; 3 + doc_id % 4 solid-color
+    frames whose pixel value is (doc_id + 17·frame_no) % 256 — then
+    frame-sample every 2nd frame and DECODE each sampled frame
+    (decode_image_features, strict=True). The oracle recomputes the
+    decoded width/height/luminance integers from doc_id: wrong sequence
+    splitting, frame ordering, PNG encode/decode, or fan-out ⇒ wrong
+    rows. Frame content (not just shape) is verified."""
     from vectorchord_spark.pipeline import multimodal as MM
 
     docs = _read(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
         import pandas as pd
+
+        from vectorchord_spark.pipeline.multimodal import encode_png
 
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy("int64")
-            bufs = [
-                bytes([int(i) % 256]) * (64 * (3 + int(i) % 4)) for i in ids
-            ]
+            bufs = []
+            for i in ids:
+                w = 4 + int(i) % 3
+                h = 2 + int(i) % 2
+                bufs.append(
+                    b"".join(
+                        encode_png(
+                            np.full((h, w, 3), (int(i) + 17 * f) % 256, np.uint8)
+                        )
+                        for f in range(3 + int(i) % 4)
+                    )
+                )
             yield pd.DataFrame({"doc_id": ids, "data": bufs})
 
     media = docs.mapInPandas(gen, "doc_id long, data binary")
-    frames = MM.frame_sample(media, "data", every_n=2)
-    return frames.select(
+    frames = MM.frame_sample(media, "data", every_n=2, strict=True)
+    feats = MM.decode_image_features(frames, "frame", dim=16, strict=True)
+    return feats.select(
         "doc_id",
         "frame_no",
-        F.length("frame").cast("int").alias("frame_len"),
+        "width",
+        "height",
+        F.round(F.element_at("embedding", 1) * 255).cast("int").alias("lum"),
     ).orderBy("doc_id", "frame_no")
 
 
 _MULTIMODAL_VIDEO_SQL = """
 SELECT doc_id,
-       CAST(unnest(range(0, 3 + doc_id % 4, 2)) AS INTEGER) AS frame_no,
-       CAST(64 AS INTEGER) AS frame_len
-FROM documents ORDER BY doc_id, frame_no
+       CAST(frame_no AS INTEGER) AS frame_no,
+       CAST(4 + doc_id % 3 AS INTEGER) AS width,
+       CAST(2 + doc_id % 2 AS INTEGER) AS height,
+       CAST((doc_id + 17 * frame_no) % 256 AS INTEGER) AS lum
+FROM (SELECT doc_id, unnest(range(0, 3 + doc_id % 4, 2)) AS frame_no
+      FROM documents)
+ORDER BY doc_id, frame_no
 """
 
 
@@ -3409,6 +3504,8 @@ def _catalog_canonical() -> dict[str, Q]:
         "simhash_pairs": Q(_simhash_pairs_fn, _simhash_pairs_sql()),
         "knn_batch_ivf": Q(_knn_batch_ivf_fn, _knn_batch_sql(), headline=True),
         "knn_batch_rabitq8": Q(_knn_batch_rabitq8_fn, _KNN_BATCH_RABITQ8_SQL),
+        "knn_batch_rerank_table": Q(_knn_batch_rerank_table_fn, _knn_batch_sql()),
+        "maxsim_refine_f16": Q(_maxsim_refine_f16_fn, _MAXSIM_REFINE_F16_SQL),
         "streaming_knn_serve": Q(_streaming_knn_serve_fn, _knn_batch_sql()),
         "embed_neardup_lsh": Q(_embed_neardup_lsh_fn, _embed_neardup_lsh_sql(), headline=True),
         "dedup_groups": Q(_dedup_groups_fn, _dedup_groups_sql()),
