@@ -35,3 +35,22 @@ def run(label, **kw):
 run("guarantee=True rerank=4 (serving)", rerank_factor=4)
 run("guarantee=False rerank=4", rerank_factor=4, guarantee=False)
 run("guarantee=True rerank=4 again", rerank_factor=4)
+
+
+# knn_batch_ivf isolated steady-state (r04 verdict #3: the bench showed a
+# noise-banded 0.83->1.49s regression; this times the exact bench serving
+# configuration N consecutive times with nothing else on the machine)
+def run_batch(label):
+    from vectorchord_spark.queries import _BATCH_QUERIES
+
+    times = []
+    for i in range(N):
+        t0 = time.perf_counter()
+        idx.search_batch(
+            _BATCH_QUERIES, k=10, probes=None, rerank_factor=None
+        ).count()
+        times.append(time.perf_counter() - t0)
+    print(f"{label:35s} " + " ".join(f"{t:.2f}" for t in times), flush=True)
+
+
+run_batch("search_batch exhaustive (bench cfg)")

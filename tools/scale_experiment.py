@@ -21,7 +21,8 @@ sys.path.insert(0, "/root/repo")
 
 
 def main() -> None:
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_rows = int(pos[0]) if pos else 1_000_000
     dim = 64
     n_lists = max(16, int(np.sqrt(n_rows)))
 
@@ -30,6 +31,58 @@ def main() -> None:
     from vectorchord_spark import IvfIndex, IvfOptions, get_spark, knn_exact
 
     spark = get_spark(app_name="scale-experiment")
+
+    if "--cc" in sys.argv:
+        # pure-distributed connected-components point (r04 verdict #6):
+        # >= 10M undirected edges so the ~2M-edge driver union-find
+        # finisher CANNOT engage (driver_threshold=0 forces the
+        # pointer-doubling path end-to-end). Graph = n_chains chains of
+        # length chain_len (known truth: component = chain's min node id;
+        # diameter chain_len stresses the O(log d) doubling) + one giant
+        # star to exercise the skew side.
+        from vectorchord_spark.pipeline.dedup import connected_components
+
+        n_chains = 100_000
+        chain_len = 100  # 100k chains x 99 edges = 9.9M + star 1M = 10.9M
+        star = 1_000_000
+        chain_edges = (
+            spark.range(n_chains * chain_len, numPartitions=64)
+            .where((F.col("id") % chain_len) != chain_len - 1)
+            .select(F.col("id").alias("ida"), (F.col("id") + 1).alias("idb"))
+        )
+        base_star = n_chains * chain_len
+        star_edges = (
+            spark.range(star, numPartitions=16)
+            .select(
+                F.lit(base_star).alias("ida"),
+                (F.lit(base_star) + 1 + F.col("id")).alias("idb"),
+            )
+        )
+        edges = chain_edges.unionAll(star_edges).persist()
+        n_edges = edges.count()
+        print(f"edges: {n_edges:,} (driver finisher disabled)")
+        t0 = time.perf_counter()
+        comp = connected_components(edges, driver_threshold=0)
+        # verify against the closed-form truth: every node's component is
+        # its chain's first node (id - id % chain_len), star's is its hub
+        wrong = comp.where(
+            F.when(
+                F.col("id") >= base_star, F.col("component") != base_star
+            ).otherwise(
+                F.col("component") != F.col("id") - (F.col("id") % chain_len)
+            )
+        ).count()
+        n_nodes = comp.count()
+        cc_s = time.perf_counter() - t0
+        n_comp = comp.select("component").distinct().count()
+        print(
+            f"connected_components: {cc_s:.1f}s, {n_nodes:,} nodes -> "
+            f"{n_comp:,} components, wrong labels = {wrong}"
+        )
+        assert wrong == 0 and n_comp == n_chains + 1
+        spark.stop()
+        return
+
 
     clustered = "--clustered" in sys.argv
     n_centers = 2000

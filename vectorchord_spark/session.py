@@ -77,6 +77,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # shuffle/spill scratch on RAM-backed storage when available: local
+    # shuffle files are ephemeral, and on this container the default /tmp
+    # is the (contended) root disk — a 740 MB codes shuffle at 768d paid
+    # up to 3x run-to-run variance on it. On a real cluster this is the
+    # NVMe scratch volume deployments already mount for shuffle.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/spark-scratch"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
