@@ -40,8 +40,11 @@ def main() -> None:
         # length chain_len (known truth: component = chain's min node id;
         # diameter chain_len stresses the O(log d) doubling) + one giant
         # star to exercise the skew side.
+        import logging
+
         from vectorchord_spark.pipeline.dedup import connected_components
 
+        logging.basicConfig(level=logging.INFO)  # surfaces the rounds count
         n_chains = 100_000
         chain_len = 100  # 100k chains x 99 edges = 9.9M + star 1M = 10.9M
         star = 1_000_000

@@ -446,7 +446,17 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("_ccomp"), F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            # localCheckpoint, NOT persist: each round references the prior
+            # round's labels 3x and propagated 2x, so the logical plan
+            # grows ~4x per round — persist caches data but keeps the
+            # plan, and at 10M edges round ~8 hit Catalyst's 2 GB
+            # plan-string ceiling with minutes of analysis time per
+            # round. Checkpointing truncates the lineage to the
+            # materialized blocks (an iterative-algorithm requirement at
+            # any scale, same reason GraphX checkpoints Pregel state).
+            # Old rounds' blocks are reclaimed by the ContextCleaner
+            # once unreferenced.
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -462,6 +472,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             converged = True
+            import logging
+
+            logging.getLogger(__name__).info(
+                "connected_components converged in %d rounds", it + 1
+            )
             break
     if not converged:
         raise RuntimeError(
