@@ -520,6 +520,29 @@ def test_search_batch_rerank_in_table(spark, clustered_df):
             assert by_q[qi] == brute_topk(clustered_df, q, 10)
 
 
+def test_search_batch_prefilter(spark, clustered_df):
+    """search_batch(prefilter=...) restricts every query's candidates to
+    the allowed ids before rerank (Q9 batch parity): exhaustive config
+    equals brute force over the FILTERED table."""
+    rng = np.random.default_rng(29)
+    qs = [[float(x) for x in rng.uniform(-1, 1, 8)] for _ in range(3)]
+    allowed = clustered_df.where(F.col("id") % 3 == 0).select("id")
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build(
+            spark, clustered_df, "id", "vec", os.path.join(tmp, "idx"),
+            IvfOptions(metric="l2", lists=[33]),
+        )
+        res = idx.search_batch(
+            qs, k=10, probes=None, rerank_factor=None, prefilter=allowed
+        ).collect()
+        by_q = {}
+        for r in res:
+            by_q.setdefault(r.qid, []).append(r.id)
+        filtered = clustered_df.where(F.col("id") % 3 == 0)
+        for qi, q in enumerate(qs):
+            assert by_q[qi] == brute_topk(filtered, q, 10)
+
+
 def test_maxsim_refine_f16_storage(spark):
     """maxsim_refine beyond f32 storage (the round-4 parity gap): on an
     f16-storage multivector index, a full-pool refine budget reproduces

@@ -1404,6 +1404,7 @@ class IvfIndex:
         guarantee: bool = True,
         return_rough: bool = False,
         base_df: DataFrame | None = None,
+        prefilter: DataFrame | None = None,
     ) -> DataFrame:
         """Multi-query k-NN in ONE pass over the codes table.
 
@@ -1420,6 +1421,12 @@ class IvfIndex:
         every storage, crates/vchordrq/src/rerank.rs:113-137). Required
         when the index was built with ``rerank_in_index=False`` and
         f32/f16 storage; quantized storage reranks on its own codes.
+
+        ``prefilter``: optional DataFrame of allowed ``id`` values applied
+        BEFORE rerank for every query in the batch (the reference's
+        prefilter semantics, Q9 — the batch analogue of
+        ``search(prefilter=...)``; one broadcast semi-join on the shared
+        scored scan).
         """
         meta = self.meta
         metric = meta["metric"]
@@ -1537,6 +1544,8 @@ class IvfIndex:
         scored = self._codes_df(probed_arr, meta_cols).mapInPandas(
             score, "qid int, id long, lb double, rough double"
         )
+        if prefilter is not None:
+            scored = scored.join(prefilter.select("id"), "id", "left_semi")
         from pyspark.sql import Window
 
         if return_rough:

@@ -2105,6 +2105,43 @@ ORDER BY qid, rnk
 """
 
 
+def _knn_batch_prefilter_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch prefiltered ANN (Q9 × batch serving): the allowed-id set is
+    applied to the shared scored scan as one broadcast semi-join, then
+    every query reranks within it — the batch analogue of ann_prefilter
+    (reference prefilter GUC semantics, src/index/gucs.rs:97-133).
+    Exhaustive probes ⇒ exact ⇒ filtered brute-force batch SQL oracle."""
+    idx = _get_ivf_index(spark, sf_dir, "l2")
+    emb = _read(spark, sf_dir, "embeddings")
+    allowed = emb.where(F.col("label") < 3).select(F.col("vec_id").alias("id"))
+    res = idx.search_batch(
+        _BATCH_QUERIES, k=10, probes=None, rerank_factor=None, prefilter=allowed
+    )
+    return res.select(
+        "qid", F.col("id").alias("vec_id"), "dist", F.col("rank").alias("rnk")
+    )
+
+
+def _knn_batch_prefilter_sql() -> str:
+    parts = []
+    for qi, qv in enumerate(_BATCH_QUERIES):
+        parts.append(
+            f"SELECT {qi} AS qid, vec_id, sqrt({_l2sq_chain('embedding', qv)}) AS dist "
+            "FROM embeddings WHERE label < 3"
+        )
+    un = " UNION ALL ".join(parts)
+    return f"""
+WITH allq AS ({un}),
+ranked AS (
+  SELECT qid, vec_id, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rnk
+  FROM allq
+)
+SELECT qid, vec_id, dist, rnk::INT AS rnk FROM ranked WHERE rnk <= 10
+ORDER BY qid, rnk
+"""
+
+
 def _get_rabitq8_index(spark: SparkSession, sf_dir: str):
     import tempfile
 
@@ -3505,6 +3542,7 @@ def _catalog_canonical() -> dict[str, Q]:
         "knn_batch_ivf": Q(_knn_batch_ivf_fn, _knn_batch_sql(), headline=True),
         "knn_batch_rabitq8": Q(_knn_batch_rabitq8_fn, _KNN_BATCH_RABITQ8_SQL),
         "knn_batch_rerank_table": Q(_knn_batch_rerank_table_fn, _knn_batch_sql()),
+        "knn_batch_prefilter": Q(_knn_batch_prefilter_fn, _knn_batch_prefilter_sql()),
         "maxsim_refine_f16": Q(_maxsim_refine_f16_fn, _MAXSIM_REFINE_F16_SQL),
         "streaming_knn_serve": Q(_streaming_knn_serve_fn, _knn_batch_sql()),
         "embed_neardup_lsh": Q(_embed_neardup_lsh_fn, _embed_neardup_lsh_sql(), headline=True),
