@@ -54,6 +54,32 @@ def test_scoring_scan_prunes_vec_column(spark, small_index):
     assert scoring and all("vec" not in s for s in scoring), schemas
 
 
+def test_batch_prefilter_and_rerank_table_plan_shape(spark, small_index):
+    """The round-5 batch paths keep the serving plan shape: the prefilter
+    id set joins the scored scan as a BROADCAST semi-join (no sort-merge
+    shuffle of candidates), and the base_df rerank-in-table join is a
+    broadcast of the candidate ids — at 100 TB the base table must never
+    shuffle to meet k·rerank_factor candidate rows."""
+    from pyspark.sql import functions as F
+
+    qs = [[0.0] * 8, [0.5] * 8]
+    codes = spark.read.parquet(small_index.codes_path)
+    allowed = codes.select("id").where(F.col("id") % 2 == 0)
+    res = small_index.search_batch(
+        qs, k=5, probes=[4], guarantee=False, prefilter=allowed
+    )
+    plan = P.explain_str(res)
+    assert "SortMergeJoin" not in plan, plan
+    assert P.has_broadcast_join(res)
+    base = codes.select("id", "vec")
+    res2 = small_index.search_batch(
+        qs, k=5, probes=[4], guarantee=False, base_df=base
+    )
+    plan2 = P.explain_str(res2)
+    assert "SortMergeJoin" not in plan2, plan2
+    assert P.has_broadcast_join(res2)
+
+
 def test_parquet_filter_pushdown_on_relational(spark, sf_dir):
     from vectorchord_spark.queries import catalog
 
