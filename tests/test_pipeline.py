@@ -391,6 +391,71 @@ def test_hash_split_deterministic(spark):
     assert s4 != s1
 
 
+def test_stratified_sample(spark):
+    """stratified_sample: per-group rates ~honored, deterministic and
+    partition-invariant, growth-stable (a kept row stays kept when the
+    corpus grows), and independent of hash_split under a different salt."""
+    from vectorchord_spark.pipeline.splits import hash_split, stratified_sample
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+    )
+    rates = {"en": 0.5, "de": 0.1}
+    kept = {r.doc_id for r in stratified_sample(df, "lang", rates).collect()}
+    kept2 = {
+        r.doc_id
+        for r in stratified_sample(df.repartition(7), "lang", rates).collect()
+    }
+    assert kept == kept2
+    n_en = sum(1 for k in kept if k % 3 == 0)
+    n_de = len(kept) - n_en
+    assert 0.4 < n_en / 1000 < 0.6
+    assert 0.05 < n_de / 2000 < 0.15
+    big = df.union(
+        spark.range(3000, 6000).select(
+            F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+        )
+    )
+    kept3 = {r.doc_id for r in stratified_sample(big, "lang", rates).collect()}
+    assert kept == {k for k in kept3 if k < 3000}
+    # sampling composes with splitting: different salts ⇒ the kept set's
+    # split fractions match the full corpus's (independence)
+    sp = hash_split(stratified_sample(df, "lang", rates), "doc_id")
+    frac_train = sp.where("split = 'train'").count() / max(1, len(kept))
+    assert 0.82 < frac_train < 0.97
+
+
+def test_decontaminate(spark):
+    """decontaminate: corpus docs sharing >= min_overlap word n-grams with
+    a benchmark doc are removed, clean docs survive, and the report's
+    overlap counts are exact distinct-gram intersections."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated sentence about spark pipelines here"),
+            (3, "quick brown fox jumps again and again in the field"),
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over a fence")],
+        "doc_id long, text string",
+    )
+    rep = {
+        r.doc_id: r.overlap
+        for r in dedup.contamination(corpus, benchmark, min_overlap=2).collect()
+    }
+    # doc 1 shares 'the quick brown','quick brown fox','brown fox jumps',
+    # 'fox jumps over'; doc 3 shares 'quick brown fox','brown fox jumps';
+    # doc 2 none
+    assert rep == {1: 4, 3: 2}
+    surv = {r.doc_id for r in dedup.decontaminate(corpus, benchmark, min_overlap=2).collect()}
+    assert surv == {2}
+    # disjoint corpora: empty report, full survival
+    assert dedup.contamination(corpus.where("doc_id = 2"), benchmark).count() == 0
+
+
 def test_connected_components_string_ids(spark):
     """The driver union-find path must accept non-numeric id types (string
     doc hashes) just like the distributed path."""

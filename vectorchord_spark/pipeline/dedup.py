@@ -110,6 +110,61 @@ def jaccard_similarity_join(
     )
 
 
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-decontamination report: corpus docs sharing ≥
+    ``min_overlap`` distinct word n-grams with ANY benchmark document.
+
+    The test-set-leakage scrub every serious training pipeline runs
+    (n-gram overlap against held-out evaluation sets). Returns
+    (``id_col``, overlap) for contaminated docs only. Inverted-index
+    equi-join on the shingle — never all-pairs; the benchmark's distinct
+    shingle set is broadcast by default (eval sets are small next to a
+    100 TB corpus; pass ``broadcast_benchmark=False`` to let the
+    optimizer choose when it is not)."""
+    c = corpus.select(
+        F.col(id_col).alias(id_col), shingles(text_col, n).alias("sh")
+    ).select(id_col, F.explode("sh").alias("s"))
+    bset = (
+        benchmark.select(shingles(text_col, n).alias("sh"))
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bset = F.broadcast(bset)
+    return (
+        c.join(bset, "s")
+        .groupBy(id_col)
+        # shingles() emits DISTINCT grams per doc, so count == distinct
+        # overlapping grams without a countDistinct shuffle
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .where(F.col("overlap") >= int(min_overlap))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Corpus minus contaminated docs (anti-join on :func:`contamination`)."""
+    hits = contamination(
+        corpus, benchmark, id_col, text_col, n, min_overlap, broadcast_benchmark
+    )
+    return corpus.join(hits.select(id_col), id_col, "left_anti")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -55,3 +55,35 @@ def hash_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
     return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    rates: dict,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-group downsampling (domain mixing / rebalancing).
+
+    The standard last-mile op of a training-data pipeline: resample a
+    corpus to target per-domain (or per-language, per-source) keep rates.
+    ``rates`` maps a ``group_col`` value → keep fraction; groups not
+    listed keep ``default_rate``. Selection is the same md5 bucketing as
+    :func:`hash_split` (bucket(salt|id) < rate·10000), so it is
+    reproducible across runs and engines, stable under re-partitioning
+    and corpus growth (a surviving row stays selected when the corpus is
+    extended), and composes with ``hash_split`` — use a DIFFERENT salt so
+    sampling and splitting are independent hashes. Pure JVM expression:
+    no shuffle, no RNG state, filter-pushdown-friendly."""
+    b = split_bucket(id_col, salt)
+    g = F.col(group_col)
+    expr = None
+    for gval, rate in rates.items():
+        cond = g == F.lit(gval)
+        keep = b < F.lit(int(round(float(rate) * _BUCKETS)))
+        expr = F.when(cond, keep) if expr is None else expr.when(cond, keep)
+    default_keep = b < F.lit(int(round(float(default_rate) * _BUCKETS)))
+    expr = default_keep if expr is None else expr.otherwise(default_keep)
+    return df.where(expr)

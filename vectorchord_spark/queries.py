@@ -3015,6 +3015,63 @@ ORDER BY doc_id
 """
 
 
+def _stratified_sample_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group downsampling (domain mixing): resample the
+    corpus to target per-language keep rates with the same md5 bucketing
+    as hash_split — reproducible across engines, stable under
+    re-partitioning and corpus growth, zero shuffles (pure JVM filter).
+    The oracle recomputes the identical bucket arithmetic in DuckDB."""
+    from vectorchord_spark.pipeline.splits import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "lang", {"en": 0.5, "zh": 1.0, "es": 0.2}, default_rate=0.1
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+_STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10000 AS b
+  FROM documents)
+WHERE (lang = 'en' AND b < 5000)
+   OR (lang = 'zh' AND b < 10000)
+   OR (lang = 'es' AND b < 2000)
+   OR (lang NOT IN ('en', 'zh', 'es') AND b < 1000)
+ORDER BY doc_id
+"""
+
+
+def _decontaminate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (test-set-leakage scrub): every doc_id
+    sharing >= 2 distinct word 3-grams with the synthetic "benchmark"
+    subset (doc_id % 20 == 0), via the inverted-index shingle join with
+    the benchmark's distinct shingle set broadcast — never all-pairs.
+    Deterministic integer report -> bit-exact oracle. The decontaminated
+    corpus itself is the anti-join on this report (pipeline.dedup.
+    decontaminate), so gating the report gates the scrub."""
+    from vectorchord_spark.pipeline.dedup import contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    rep = contamination(docs, bench, min_overlap=2)
+    return rep.select("doc_id", "overlap").orderBy("doc_id")
+
+
+_DECONTAMINATE_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+cex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+bset AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT c.doc_id, count(*) AS overlap
+  FROM cex c JOIN bset b ON c.s = b.s
+  GROUP BY 1
+)
+SELECT doc_id, overlap FROM hits WHERE overlap >= 2 ORDER BY doc_id
+"""
+
+
 def _multimodal_image_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end image pipeline through the REAL decode branch
     (`strict=True`): synthesize a solid-color PNG per document (pixel
@@ -3581,6 +3638,8 @@ def _catalog_canonical() -> dict[str, Q]:
         "quality_filter": Q(_quality_filter_fn, _QUALITY_FILTER_SQL),
         "token_histogram": Q(_token_histogram_fn, _TOKEN_HISTOGRAM_SQL),
         "train_val_split": Q(_train_val_split_fn, _TRAIN_VAL_SPLIT_SQL),
+        "stratified_sample": Q(_stratified_sample_fn, _STRATIFIED_SAMPLE_SQL),
+        "decontaminate": Q(_decontaminate_fn, _DECONTAMINATE_SQL),
         "multimodal_image": Q(_multimodal_image_fn, _MULTIMODAL_IMAGE_SQL),
         "multimodal_audio": Q(_multimodal_audio_fn, _MULTIMODAL_AUDIO_SQL),
         "multimodal_video": Q(_multimodal_video_fn, _MULTIMODAL_VIDEO_SQL),
