@@ -391,6 +391,30 @@ def test_hash_split_deterministic(spark):
     assert s4 != s1
 
 
+def test_repetition_stats(spark):
+    """Gopher-style repetition signals on hand-computed docs: top 2-gram
+    occurrence count, duplicated-3-gram occurrence total, and the edge
+    cases (single word, empty-ish doc)."""
+    docs = spark.createDataFrame(
+        [
+            # 'a b' x3 (max2=3); 3-grams: 'a b a','b a b','a b a','b a b',
+            # 'a b c' -> dup3 = 2+2 = 4
+            (1, "a b a b a b c"),
+            (2, "all words here are unique tokens"),  # max2=1, dup3=0
+            (3, "word"),  # no grams at all
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r for r in text.repetition_stats(docs).collect()
+    }
+    assert (rows[1].max_2gram_count, rows[1].dup_3gram_count) == (3, 4)
+    assert rows[1].top_2gram_frac == pytest.approx(6 / 7)
+    assert rows[1].dup_3gram_frac == 1.0  # 12/7 capped
+    assert (rows[2].max_2gram_count, rows[2].dup_3gram_count) == (1, 0)
+    assert (rows[3].max_2gram_count, rows[3].dup_3gram_count) == (0, 0)
+
+
 def test_stratified_sample(spark):
     """stratified_sample: per-group rates ~honored, deterministic and
     partition-invariant, growth-stable (a kept row stays kept when the

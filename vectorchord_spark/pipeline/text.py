@@ -103,3 +103,61 @@ def rolling_fingerprints(
         lambda i: F.array_min(F.slice(shingles, i + 1, window)),
     )
     return F.array_distinct(mins)
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (published pre-training heuristics,
+    Rae et al. 2021 §A1.1: drop docs dominated by a repeated n-gram or by
+    duplicated n-grams), word-level variant:
+
+    - ``max_2gram_count``: occurrences of the most frequent word 2-gram
+    - ``dup_3gram_count``: total occurrences of word 3-grams appearing
+      more than once
+    - ``top_2gram_frac`` / ``dup_3gram_frac``: the corresponding word
+      fractions (2·max/n_words, min(1, 3·dup/n_words))
+
+    Pure JVM array expressions per row (no explode/shuffle — the counting
+    is O(distinct·grams) within a row, trivially small for documents);
+    filtering is then a plain WHERE on the fractions."""
+    w = words(text_col)
+    n_w = F.size(w)
+
+    def grams(k: int):
+        return F.when(
+            n_w >= k,
+            F.transform(
+                F.sequence(F.lit(1), n_w - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, i + j) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    g2, g3 = grams(2), grams(3)
+    c2 = F.transform(
+        F.array_distinct(g2), lambda g: F.size(F.filter(g2, lambda x: x == g))
+    )
+    max2 = F.coalesce(F.array_max(c2), F.lit(0)).cast("bigint")
+    c3 = F.transform(
+        F.array_distinct(g3), lambda g: F.size(F.filter(g3, lambda x: x == g))
+    )
+    dup3 = F.coalesce(
+        F.aggregate(
+            F.filter(c3, lambda c: c >= 2),
+            F.lit(0).cast("bigint"),
+            lambda acc, c: acc + c,
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    nwd = n_w.cast("double")
+    return df.withColumns(
+        {
+            "n_words": n_w.cast("bigint"),
+            "max_2gram_count": max2,
+            "dup_3gram_count": dup3,
+            "top_2gram_frac": F.lit(2.0) * max2.cast("double") / nwd,
+            "dup_3gram_frac": F.least(
+                F.lit(3.0) * dup3.cast("double") / nwd, F.lit(1.0)
+            ),
+        }
+    )

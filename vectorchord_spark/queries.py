@@ -2627,6 +2627,51 @@ ORDER BY bucket
 """
 
 
+def _repetition_stats_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals (word-level): occurrences of
+    the most frequent 2-gram and total occurrences of duplicated 3-grams
+    per doc — the published drop-if-dominated-by-repetition heuristics.
+    Integer outputs -> bit-exact oracle (the SQL recomputes the same gram
+    counting via group-by)."""
+    from vectorchord_spark.pipeline.text import repetition_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_stats(docs).select(
+        "doc_id", "n_words", "max_2gram_count", "dup_3gram_count"
+    ).orderBy("doc_id")
+
+
+_REPETITION_STATS_SQL = """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                        i -> w[i] || ' ' || w[i+1])) AS g
+  FROM base WHERE len(w) >= 2
+),
+c2 AS (
+  SELECT doc_id, max(c) AS max2
+  FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1
+),
+g3 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM base WHERE len(w) >= 3
+),
+c3 AS (
+  SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3
+  FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1
+)
+SELECT b.doc_id,
+       len(b.w)::BIGINT AS n_words,
+       coalesce(c2.max2, 0)::BIGINT AS max_2gram_count,
+       coalesce(c3.dup3, 0)::BIGINT AS dup_3gram_count
+FROM base b
+LEFT JOIN c2 ON b.doc_id = c2.doc_id
+LEFT JOIN c3 ON b.doc_id = c3.doc_id
+ORDER BY b.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Upsert-path and cosine-metric index entries
 # ---------------------------------------------------------------------------
@@ -3637,6 +3682,7 @@ def _catalog_canonical() -> dict[str, Q]:
         "fingerprint": Q(_fingerprint_fn, _FINGERPRINT_SQL),
         "quality_filter": Q(_quality_filter_fn, _QUALITY_FILTER_SQL),
         "token_histogram": Q(_token_histogram_fn, _TOKEN_HISTOGRAM_SQL),
+        "repetition_stats": Q(_repetition_stats_fn, _REPETITION_STATS_SQL),
         "train_val_split": Q(_train_val_split_fn, _TRAIN_VAL_SPLIT_SQL),
         "stratified_sample": Q(_stratified_sample_fn, _STRATIFIED_SAMPLE_SQL),
         "decontaminate": Q(_decontaminate_fn, _DECONTAMINATE_SQL),
