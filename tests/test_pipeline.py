@@ -391,6 +391,29 @@ def test_hash_split_deterministic(spark):
     assert s4 != s1
 
 
+def test_redact_pii(spark):
+    """PII scrub: every pattern kind is replaced and counted; clean text
+    passes through byte-identical with zero counts."""
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.org or 192.168.1.10"),
+            (2, "card 4111 1111-1111 1111 phone +44 020 794-6000x"),
+            (3, "nothing sensitive in here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.redact_pii(docs).collect()}
+    assert rows[1].n_email == 1 and rows[1].n_ipv4 == 1
+    assert "[email]" in rows[1].text_redacted
+    assert "[ipv4]" in rows[1].text_redacted
+    assert "jane.doe" not in rows[1].text_redacted
+    assert "192.168" not in rows[1].text_redacted
+    assert rows[2].n_card == 1 and "[card]" in rows[2].text_redacted
+    assert rows[2].n_phone == 1 and "[phone]" in rows[2].text_redacted
+    assert rows[3].text_redacted == rows[3].text
+    assert (rows[3].n_email, rows[3].n_ipv4, rows[3].n_phone, rows[3].n_card) == (0, 0, 0, 0)
+
+
 def test_repetition_stats(spark):
     """Gopher-style repetition signals on hand-computed docs: top 2-gram
     occurrence count, duplicated-3-gram occurrence total, and the edge

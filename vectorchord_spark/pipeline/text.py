@@ -161,3 +161,41 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         }
     )
+
+
+#: conservative PII patterns, engine-portable subset (same semantics in
+#: Java regex and RE2/DuckDB: no backrefs, no lookaround): emails, IPv4s,
+#: international-ish phone numbers, 16-digit card-like numbers
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3}[ -][0-9]{4}",
+    "card": r"\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    replacement: str = "[{kind}]",
+) -> DataFrame:
+    """Scrub PII-looking spans from a text column (the compliance pass a
+    training corpus runs before anything else sees it).
+
+    Adds ``{text_col}_redacted`` (spans replaced by the per-kind
+    ``replacement`` token) and one ``n_{kind}`` count per pattern, so the
+    scrub is auditable (per-doc counts aggregate into the corpus
+    compliance report). Pure JVM ``regexp_replace``/``regexp_count`` —
+    no Python, no shuffle; patterns are a portable regex subset (no
+    backrefs/lookaround) so external audits can reproduce the scrub in
+    any RE2-compatible engine."""
+    patterns = patterns or PII_PATTERNS
+    out = F.col(text_col) if isinstance(text_col, str) else text_col
+    counts = {}
+    for kind, pat in patterns.items():
+        counts[f"n_{kind}"] = F.regexp_count(
+            F.col(text_col), F.lit(pat)
+        ).cast("bigint")
+        out = F.regexp_replace(out, pat, replacement.format(kind=kind))
+    return df.withColumns({f"{text_col}_redacted": out, **counts})

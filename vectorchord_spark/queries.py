@@ -2627,6 +2627,82 @@ ORDER BY bucket
 """
 
 
+def _redact_pii_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (the compliance pass before any training run): PII-looking
+    spans are synthesized deterministically from doc_id (emails / IPv4s /
+    phone numbers — the corpus text itself is letters-only), redacted with
+    the portable-regex patterns, and audited per kind. The oracle replays
+    the same synthesis + regex pipeline in DuckDB (RE2), so the md5 of the
+    redacted text gates byte-identical scrub output across engines."""
+    from vectorchord_spark.pipeline.text import redact_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" host 10."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".0.1"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" call +1 555 010 4242")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    red = redact_pii(synth)
+    return red.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        "n_card",
+        F.md5("text_redacted").alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+def _redact_pii_sql() -> str:
+    from vectorchord_spark.pipeline.text import PII_PATTERNS
+
+    synth = (
+        "SELECT doc_id, text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||"
+        " CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' host 10.' ||"
+        " CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' call +1 555 010 4242'"
+        " ELSE '' END AS text FROM documents"
+    )
+    counts = ", ".join(
+        "len(regexp_extract_all(text, '%s'))::BIGINT AS n_%s"
+        % (pat.replace("'", "''"), kind)
+        for kind, pat in PII_PATTERNS.items()
+    )
+    red = "text"
+    for kind, pat in PII_PATTERNS.items():  # same order as redact_pii
+        red = "regexp_replace(%s, '%s', '[%s]', 'g')" % (
+            red,
+            pat.replace("'", "''"),
+            kind,
+        )
+    return (
+        "WITH synth AS (%s) SELECT doc_id, %s, md5(%s) AS redacted_md5 "
+        "FROM synth ORDER BY doc_id" % (synth, counts, red)
+    )
+
+
 def _repetition_stats_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter signals (word-level): occurrences of
     the most frequent 2-gram and total occurrences of duplicated 3-grams
@@ -3683,6 +3759,7 @@ def _catalog_canonical() -> dict[str, Q]:
         "quality_filter": Q(_quality_filter_fn, _QUALITY_FILTER_SQL),
         "token_histogram": Q(_token_histogram_fn, _TOKEN_HISTOGRAM_SQL),
         "repetition_stats": Q(_repetition_stats_fn, _REPETITION_STATS_SQL),
+        "redact_pii": Q(_redact_pii_fn, _redact_pii_sql()),
         "train_val_split": Q(_train_val_split_fn, _TRAIN_VAL_SPLIT_SQL),
         "stratified_sample": Q(_stratified_sample_fn, _STRATIFIED_SAMPLE_SQL),
         "decontaminate": Q(_decontaminate_fn, _DECONTAMINATE_SQL),
