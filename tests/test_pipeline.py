@@ -473,6 +473,35 @@ def test_stratified_sample(spark):
     assert 0.82 < frac_train < 0.97
 
 
+def test_mixture_weights(spark):
+    """Temperature mixing: weights normalize to 1; alpha=1 is proportional
+    and alpha=0 uniform; the emitted rates realize the target fraction of
+    the corpus in expectation and feed stratified_sample directly."""
+    from vectorchord_spark.pipeline.splits import mixture_weights, stratified_sample
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "small").otherwise("big").alias("dom"),
+    )  # 1000 small, 3000 big
+    w = {r.dom: r for r in mixture_weights(df, "dom", alpha=0.5, target_fraction=0.25).collect()}
+    assert abs(w["small"].weight + w["big"].weight - 1.0) < 1e-12
+    assert w["small"].weight / w["big"].weight == pytest.approx((1000 / 3000) ** 0.5)
+    # expected kept rows = sum(rate_g * n_g) == 0.25 * 4000
+    exp = w["small"].rate * 1000 + w["big"].rate * 3000
+    assert exp == pytest.approx(1000.0)
+    u = {r.dom: r.weight for r in mixture_weights(df, "dom", alpha=0.0).collect()}
+    assert u["small"] == pytest.approx(0.5)
+    p = {r.dom: r.weight for r in mixture_weights(df, "dom", alpha=1.0).collect()}
+    assert p["big"] == pytest.approx(0.75)
+    # the loop closes: rates feed stratified_sample, realized counts land
+    # near the temperature mixture (md5 buckets ~ binomial)
+    rates = {r.dom: float(r.rate) for r in w.values()}
+    kept = stratified_sample(df, "dom", rates).groupBy("dom").count().collect()
+    got = {r.dom: r["count"] for r in kept}
+    assert abs(got["small"] - w["small"].rate * 1000) < 80
+    assert abs(got["big"] - w["big"].rate * 3000) < 120
+
+
 def test_decontaminate(spark):
     """decontaminate: corpus docs sharing >= min_overlap word n-grams with
     a benchmark doc are removed, clean docs survive, and the report's

@@ -87,3 +87,41 @@ def stratified_sample(
     default_keep = b < F.lit(int(round(float(default_rate) * _BUCKETS)))
     expr = default_keep if expr is None else expr.otherwise(default_keep)
     return df.where(expr)
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    target_fraction: float | None = None,
+) -> DataFrame:
+    """Temperature-scaled domain-mixing weights (the published multinomial
+    sampling recipe: sample group g with probability p_g ∝ n_g^alpha,
+    alpha < 1 upweights small domains).
+
+    Returns one row per group: ``n_rows``, normalized ``weight`` (p_g)
+    and — when ``target_fraction`` of the corpus is the sampling budget —
+    the per-group keep ``rate`` realizing the mixture from the raw corpus
+    (rate_g = min(1, target·total·p_g / n_g)), which feeds
+    :func:`stratified_sample` directly. One count aggregation plus a
+    window over the (small) group table — the group cardinality, not the
+    corpus, bounds every post-agg step."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.partitionBy()
+    raw = F.pow(F.col("n_rows").cast("double"), F.lit(float(alpha)))
+    out = counts.withColumn("weight", raw / F.sum(raw).over(w))
+    if target_fraction is not None:
+        total = F.sum("n_rows").over(w).cast("double")
+        out = out.withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_fraction))
+                * total
+                * F.col("weight")
+                / F.col("n_rows").cast("double"),
+            ),
+        )
+    return out

@@ -3164,6 +3164,35 @@ ORDER BY doc_id
 """
 
 
+def _mixture_weights_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (p_g ∝ √n_g, the published
+    multinomial sampling recipe): per-language weights and the keep rates
+    realizing a 25%-of-corpus budget — the rates feed stratified_sample.
+    alpha=0.5 keeps the oracle exact (sqrt is correctly rounded IEEE in
+    both engines); weights round at 6 decimals, far above float error."""
+    from vectorchord_spark.pipeline.splits import mixture_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    out = mixture_weights(docs, "lang", alpha=0.5, target_fraction=0.25)
+    return out.select(
+        "lang",
+        "n_rows",
+        F.round("weight", 6).alias("weight"),
+        F.round("rate", 6).alias("rate"),
+    ).orderBy("lang")
+
+
+_MIXTURE_WEIGHTS_SQL = """
+WITH c AS (SELECT lang, count(*)::BIGINT AS n_rows FROM documents GROUP BY 1),
+t AS (SELECT sum(sqrt(n_rows::DOUBLE)) AS sw, sum(n_rows)::DOUBLE AS total FROM c)
+SELECT lang, n_rows,
+       round(sqrt(n_rows::DOUBLE) / sw, 6) AS weight,
+       round(least(1.0, 0.25 * total * (sqrt(n_rows::DOUBLE) / sw) / n_rows::DOUBLE), 6) AS rate
+FROM c, t
+ORDER BY lang
+"""
+
+
 def _decontaminate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (test-set-leakage scrub): every doc_id
     sharing >= 2 distinct word 3-grams with the synthetic "benchmark"
@@ -3762,6 +3791,7 @@ def _catalog_canonical() -> dict[str, Q]:
         "redact_pii": Q(_redact_pii_fn, _redact_pii_sql()),
         "train_val_split": Q(_train_val_split_fn, _TRAIN_VAL_SPLIT_SQL),
         "stratified_sample": Q(_stratified_sample_fn, _STRATIFIED_SAMPLE_SQL),
+        "mixture_weights": Q(_mixture_weights_fn, _MIXTURE_WEIGHTS_SQL),
         "decontaminate": Q(_decontaminate_fn, _DECONTAMINATE_SQL),
         "multimodal_image": Q(_multimodal_image_fn, _MULTIMODAL_IMAGE_SQL),
         "multimodal_audio": Q(_multimodal_audio_fn, _MULTIMODAL_AUDIO_SQL),
