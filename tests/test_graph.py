@@ -289,6 +289,30 @@ def test_graph_auto_ef_search(spark, vec_df):
         assert sum(rows2.values()) < sum(rows.values())
 
 
+def test_graph_query_sampling_and_recall(spark, vec_df):
+    """S13/S14 parity for the graph index (shared QuerySampling mixin):
+    served queries are recorded under the Bernoulli/cap contract and
+    replay through evaluate_query_recall; exhaustive config reports 1.0."""
+    rng = np.random.default_rng(31)
+    qs = [[float(x) for x in rng.uniform(-1, 1, 16)] for _ in range(3)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = VamanaIndex.build(
+            spark, vec_df, "id", "vec", os.path.join(tmp, "g"),
+            VamanaOptions(metric="l2", m=24, ef_construction=48, n_shards=4),
+        )
+        assert idx.sampled_queries().count() == 0
+        idx.enable_query_sampling(rate=1.0, max_records=2)
+        for q in qs:
+            idx.search(q, k=5, probe_shards=2).collect()
+        logged = [list(r.query) for r in idx.sampled_queries().collect()]
+        assert len(logged) == 2  # max_records caps the log
+        r = idx.evaluate_query_recall(
+            logged[0], k=10, ef_search=1 << 20, probe_shards=None
+        )
+        assert r == 1.0
+        assert idx.evaluate_query_recall(logged[0], k=10, probe_shards=2) >= 0.8
+
+
 def test_graph_insert_routed_recall(spark, vec_df):
     """Inserted vectors must be findable through ROUTED (non-exhaustive)
     search too — the closure assignment places them in the shards a nearby

@@ -12,12 +12,15 @@ queries.
 
 Usage:
   python tools/tune_probes.py [sf_dir] [--index PATH] [--grid 1,2,4,8,16]
-                              [--target 0.95] [--k 10]
+                              [--target 0.95] [--k 10] [--graph]
 
-With ``--index`` the tool loads an existing IvfIndex (it must have
-sampled queries recorded). Without it, a self-contained demo builds an
-index over ``sf_dir/embeddings.parquet``, enables sampling, serves the
-bench query workload to populate the log, then tunes from that log.
+With ``--index`` the tool loads an existing index (it must have sampled
+queries recorded). Without it, a self-contained demo builds an index
+over ``sf_dir/embeddings.parquet``, enables sampling, serves the bench
+query workload to populate the log, then tunes from that log.
+``--graph`` tunes a VamanaIndex instead: the grid is ``probe_shards``
+values, served at the auto-scaled ``ef_search`` default (both index
+families share the S13/S14 sampling + recall machinery).
 """
 
 from __future__ import annotations
@@ -47,13 +50,17 @@ def main() -> None:
     k = int(_arg("--k", "10"))
     index_path = _arg("--index", "")
 
+    graph_mode = "--graph" in sys.argv
+
+    from vectorchord_spark.operators.graph import VamanaIndex, VamanaOptions
     from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
     from vectorchord_spark.session import get_spark
 
     spark = get_spark(app_name="tune-probes")
 
+    cls = VamanaIndex if graph_mode else IvfIndex
     if index_path:
-        idx = IvfIndex(spark, index_path)
+        idx = cls(spark, index_path)
     else:
         # demo: build + serve to populate the sampled-query log
         import tempfile
@@ -62,15 +69,22 @@ def main() -> None:
 
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         path = tempfile.mkdtemp(prefix="vc_tune_") + "/idx"
-        idx = IvfIndex.build(
-            spark, emb, "vec_id", "embedding", path,
-            IvfOptions(metric="l2", lists=[16]),
-        )
+        if graph_mode:
+            idx = VamanaIndex.build(
+                spark, emb, "vec_id", "embedding", path,
+                VamanaOptions(metric="l2", n_shards=8),
+            )
+        else:
+            idx = IvfIndex.build(
+                spark, emb, "vec_id", "embedding", path,
+                IvfOptions(metric="l2", lists=[16]),
+            )
         idx.enable_query_sampling(rate=1.0, max_records=100)
+        serve_kw = {"probe_shards": 2} if graph_mode else {"probes": [4]}
         for qv in _BATCH_QUERIES:
             jitter = np.random.default_rng(len(qv)).normal(0, 0.05, len(qv))
-            idx.search(qv, k=k, probes=[4]).collect()
-            idx.search((np.asarray(qv) + jitter).tolist(), k=k, probes=[4]).collect()
+            idx.search(qv, k=k, **serve_kw).collect()
+            idx.search((np.asarray(qv) + jitter).tolist(), k=k, **serve_kw).collect()
 
     sampled = [list(r.query) for r in idx.sampled_queries().collect()]
     if not sampled:
@@ -78,15 +92,21 @@ def main() -> None:
         sys.exit(1)
     print(f"replaying {len(sampled)} sampled queries, probe grid {grid}")
 
+    def recall_at(q, p):
+        if graph_mode:
+            return idx.evaluate_query_recall(q, k=k, probe_shards=p)
+        return idx.evaluate_query_recall(q, k=k, probes=[p])
+
+    knob = "probe_shards" if graph_mode else "probes"
     # warm the serving path once so latencies are steady-state
-    idx.search(sampled[0], k=k, probes=[grid[0]]).collect()
+    recall_at(sampled[0], grid[0])
 
     frontier = []
     for p in grid:
         recalls, lats = [], []
         for q in sampled:
             t0 = time.perf_counter()
-            r = idx.evaluate_query_recall(q, k=k, probes=[p])
+            r = recall_at(q, p)
             lats.append(time.perf_counter() - t0)
             if not np.isnan(r):
                 recalls.append(r)
@@ -94,7 +114,7 @@ def main() -> None:
         med_lat = float(np.median(lats))
         frontier.append((p, mean_recall, med_lat))
         print(
-            f"probes={p:>4}  mean recall@{k} = {mean_recall:.3f}  "
+            f"{knob}={p:>4}  mean recall@{k} = {mean_recall:.3f}  "
             f"median replay latency = {med_lat:.3f}s"
         )
 
@@ -102,12 +122,12 @@ def main() -> None:
     if ok:
         best = min(ok, key=lambda f: f[0])
         print(
-            f"recommendation: probes={best[0]} (cheapest setting with mean "
+            f"recommendation: {knob}={best[0]} (cheapest setting with mean "
             f"recall {best[1]:.3f} >= target {target})"
         )
     else:
         print(
-            f"no grid point reaches target {target}; best is probes="
+            f"no grid point reaches target {target}; best is {knob}="
             f"{max(frontier, key=lambda f: f[1])[0]} at recall "
             f"{max(frontier, key=lambda f: f[1])[1]:.3f} — widen the grid"
         )

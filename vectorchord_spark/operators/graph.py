@@ -52,7 +52,10 @@ from pyspark.sql import functions as F
 from vectorchord_spark import kernels as K
 from vectorchord_spark.functions import distances as D
 from vectorchord_spark.operators import kmeans as KM
-from vectorchord_spark.operators.sampling import bounded_sample_vectors
+from vectorchord_spark.operators.sampling import (
+    QuerySampling,
+    bounded_sample_vectors,
+)
 
 GRAPH_SCHEMA = (
     "shard int, id long, row_no int, medoid_row int, is_primary boolean, "
@@ -680,7 +683,7 @@ def _vertex_codes(vecs: np.ndarray, bits: int) -> dict:
     }
 
 
-class VamanaIndex:
+class VamanaIndex(QuerySampling):
     def __init__(self, spark: SparkSession, path: str):
         from vectorchord_spark.session import ensure_worker_imports
 
@@ -1215,6 +1218,7 @@ class VamanaIndex:
             if n > 0:
                 q_exact = q_exact / n
         q32 = q_exact.astype(np.float32)
+        self._maybe_record_query(q32)
         q_rot = K.rotate(q32)
         shards = self._route(q_exact, probe_shards)
         if ef_search is None:
@@ -1349,6 +1353,33 @@ class VamanaIndex:
             .where(F.col("rank") <= k)
             .orderBy("qid", "rank")
         )
+
+    def evaluate_query_recall(
+        self,
+        query: "np.ndarray | list[float]",
+        k: int = 10,
+        ef_search: int | None = None,
+        probe_shards: int | None = None,
+        rescore_factor: int = 4,
+    ) -> float:
+        """recall@k of a routed configuration vs the exhaustive search
+        (S13 for the graph index — the vchordg analogue of
+        evaluate_query_recall, sql/install/vchord--1.1.1.sql:1021-1092;
+        the exhaustive baseline routes to every shard with an unbounded
+        beam). Returns NaN when the exhaustive result is empty."""
+        ann = self.search(
+            query,
+            k=k,
+            ef_search=ef_search,
+            probe_shards=probe_shards,
+            rescore_factor=rescore_factor,
+        )
+        accu = self.search(query, k=k, ef_search=1 << 20, probe_shards=None)
+        ann_ids = {r.id for r in ann.collect()}
+        accu_ids = {r.id for r in accu.collect()}
+        if not accu_ids:
+            return float("nan")
+        return len(ann_ids & accu_ids) / float(len(accu_ids))
 
     def prewarm(self) -> int:
         df = self.spark.read.parquet(self.graph_path)

@@ -44,7 +44,10 @@ from pyspark.sql import functions as F
 from vectorchord_spark import kernels as K
 from vectorchord_spark.functions import distances as D
 from vectorchord_spark.operators import kmeans as KM
-from vectorchord_spark.operators.sampling import bounded_sample_vectors
+from vectorchord_spark.operators.sampling import (
+    QuerySampling,
+    bounded_sample_vectors,
+)
 
 CODES_SCHEMA = (
     "id long, cluster_id int, dis_u_2 float, factor_cnt float, factor_ip float, "
@@ -261,7 +264,7 @@ class IvfOptions:
             )
 
 
-class IvfIndex:
+class IvfIndex(QuerySampling):
     def __init__(self, spark: SparkSession, path: str):
         from vectorchord_spark.session import ensure_worker_imports
 
@@ -1767,49 +1770,11 @@ class IvfIndex:
         return est
 
     # ------------------------------------------------------------------
-    # Query sampling / monitoring (S14 — vchordrq_sampled_queries:
-    # /root/reference/sql/install/vchord--1.1.1.sql:936-1013; Bernoulli
-    # sampling rate + max_records cap per src/index/gucs.rs:30-34)
+    # Query sampling / monitoring (S14): enable_query_sampling /
+    # _maybe_record_query / sampled_queries come from the shared
+    # QuerySampling mixin (operators/sampling.py) — one implementation
+    # for the IVF and graph indexes
     # ------------------------------------------------------------------
-
-    def enable_query_sampling(self, rate: float = 1.0, max_records: int = 1000) -> None:
-        self.meta["sampling_rate"] = float(rate)
-        self.meta["sampling_max_records"] = int(max_records)
-        with open(os.path.join(self.path, "meta.json"), "w") as f:
-            json.dump(self.meta, f)
-
-    @property
-    def _queries_log_path(self) -> str:
-        return os.path.join(self.path, "sampled_queries")
-
-    def _maybe_record_query(self, q: np.ndarray) -> None:
-        rate = self.meta.get("sampling_rate")
-        if not rate:
-            return
-        # per-execution Bernoulli draw (matches the reference's sampling
-        # semantics; a hot repeated query is sampled at the same rate as
-        # any other execution)
-        if np.random.random() >= rate:
-            return
-        if getattr(self, "_sampled_count", None) is None:
-            self._sampled_count = (
-                self.spark.read.parquet(self._queries_log_path).count()
-                if os.path.exists(self._queries_log_path)
-                else 0
-            )
-        if self._sampled_count >= self.meta.get("sampling_max_records", 1000):
-            return
-        row = [( [float(x) for x in q], )]
-        self.spark.createDataFrame(row, "query array<float>").write.mode(
-            "append"
-        ).parquet(self._queries_log_path)
-        self._sampled_count += 1
-
-    def sampled_queries(self) -> DataFrame:
-        """The recorded query vectors (empty DataFrame when none logged)."""
-        if not os.path.exists(self._queries_log_path):
-            return self.spark.createDataFrame([], "query array<float>")
-        return self.spark.read.parquet(self._queries_log_path)
 
     def evaluate_query_recall(
         self,
