@@ -2072,6 +2072,52 @@ def _ivf_recall_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_RECALL_SQL = "SELECT CAST(1.0 AS DOUBLE) AS recall"
 
 
+def _graph_recall_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 for the graph index (QuerySampling mixin parity): the
+    exhaustive configuration — all shards routed, unbounded beam — must
+    report recall exactly 1.0, gating evaluate_query_recall's baseline
+    and the routed-vs-exhaustive comparison machinery end-to-end."""
+    idx = _get_graph_index(spark, sf_dir)
+    r = idx.evaluate_query_recall(
+        QUERY_VEC, k=10, ef_search=1 << 20, probe_shards=None
+    )
+    return spark.createDataFrame([(float(r),)], "recall double")
+
+
+def _streaming_knn_serve_graph_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-backed streaming serving: the SAME streaming_knn_serve job,
+    pointed at a VamanaIndex via search_kwargs (the job is index-family-
+    agnostic over search_batch). Exhaustive config (unbounded beam, all
+    shards) ⇒ exact ⇒ the brute-force batch SQL gates the streaming
+    micro-batch path serving from a graph index."""
+    import tempfile
+
+    from vectorchord_spark.streaming.jobs import streaming_knn_serve
+
+    idx = _get_graph_index(spark, sf_dir)
+    root = _register_tmpdir(tempfile.mkdtemp(prefix="vc_stream_gknn_"))
+    qdir = os.path.join(root, "queries")
+    rows = [(qi, [float(x) for x in qv]) for qi, qv in enumerate(_BATCH_QUERIES)]
+    spark.createDataFrame(rows, "qid long, query array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(qdir)
+    q = streaming_knn_serve(
+        idx,
+        qdir,
+        os.path.join(root, "ckpt"),
+        os.path.join(root, "out"),
+        schema="qid long, query array<double>",
+        k=10,
+        available_now=True,
+        search_kwargs={"ef_search": 1 << 20, "probe_shards": None},
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(os.path.join(root, "out"))
+    return out.select(
+        "qid", F.col("id").alias("vec_id"), "dist", F.col("rank").alias("rnk")
+    ).orderBy("qid", "rnk")
+
+
 _BATCH_QUERIES = [QUERY_VEC, MAXSIM_TOKENS[0], MAXSIM_TOKENS[1]]
 
 
@@ -3772,6 +3818,8 @@ def _catalog_canonical() -> dict[str, Q]:
         "sql_ann_maxsim": Q(_sql_ann_maxsim_fn, _MAXSIM_SQL),
         "ann_ivf_probes": Q(_ann_ivf_probes_fn, _ANN_IVF_PROBES_SQL, headline=True),
         "ivf_recall_exhaustive": Q(_ivf_recall_fn, _IVF_RECALL_SQL),
+        "graph_recall_exhaustive": Q(_graph_recall_fn, _IVF_RECALL_SQL),
+        "streaming_knn_serve_graph": Q(_streaming_knn_serve_graph_fn, _knn_batch_sql()),
         "maxsim_ivf": Q(_maxsim_ivf_fn, _MAXSIM_SQL),
         # --- LLM-pipeline operators ---
         "dedup_exact": Q(_dedup_exact_fn, _DEDUP_EXACT_SQL),

@@ -277,6 +277,7 @@ def streaming_knn_serve(
     available_now: bool = True,
     max_files_per_trigger: int | None = 8,
     chunk_size: int = 4096,
+    search_kwargs: dict | None = None,
 ) -> StreamingQuery:
     """Continuous ANN serving: each micro-batch of query vectors landing as
     parquet files is answered with ONE ``search_batch`` pass over the index
@@ -288,8 +289,20 @@ def streaming_knn_serve(
     serves one query per executor call inside Postgres; the Spark-native
     equivalent of a query *stream* is micro-batched search_batch, which
     amortizes the scan/python fixed costs across every query in the batch
-    (docs/SCALE.md: batch serving is ~5x the single-query throughput)."""
+    (docs/SCALE.md: batch serving is ~5x the single-query throughput).
+
+    ``search_kwargs`` overrides the per-batch search configuration and
+    makes the job index-family-agnostic: any index exposing
+    ``search_batch(queries, k, ...) -> (qid, id, dist, rank)`` serves —
+    pass e.g. ``{"probe_shards": 3}`` to serve from a VamanaIndex
+    (``probes``/``rerank_factor`` are the IVF defaults, ignored when
+    ``search_kwargs`` is given)."""
     spark = index.spark
+    kw = (
+        dict(search_kwargs)
+        if search_kwargs is not None
+        else {"probes": probes, "rerank_factor": rerank_factor}
+    )
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         # the driver materializes only query VECTORS (k·dim floats each),
@@ -302,9 +315,7 @@ def streaming_knn_serve(
         for j in range(0, len(rows), chunk_size):
             chunk = rows[j : j + chunk_size]
             queries = [list(map(float, r.query)) for r in chunk]
-            res = index.search_batch(
-                queries, k=k, probes=probes, rerank_factor=rerank_factor
-            )
+            res = index.search_batch(queries, k=k, **kw)
             # caller-qid mapping as a broadcast join (not a literal array:
             # a chunk-sized expression literal would be re-serialized into
             # every task binary)
