@@ -312,6 +312,53 @@ def test_multimodal_real_video_decode(spark):
     assert multimodal.frame_sample(bad, every_n=10).count() == 1
 
 
+def test_image_neardup_via_ahash(spark):
+    """Image near-dup: a lightly perturbed copy lands within a few Hamming
+    bits of the original's average hash, and the generic banded pair join
+    (hamming_near_pairs) finds exactly that pair — never the unrelated
+    image. Composes the real decode branch with the SimHash-style
+    pigeonhole banding."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # structured content (a gradient, like any natural image) — average
+    # hash thresholds cells against the global mean, so pure noise where
+    # every cell sits at the mean is exactly the content it cannot
+    # fingerprint (that is the documented property of aHash, not a bug)
+    grad = np.tile((np.arange(32) * 7).astype(np.uint8), (32, 1))
+    base = np.stack([grad] * 3, axis=2) + rng.integers(
+        0, 8, size=(32, 32, 3)
+    ).astype(np.uint8)
+    near = base.copy()
+    near[:2, :2] = 255  # small edit: a corner patch
+    far = np.stack([grad.T] * 3, axis=2)  # rotated structure: distinct
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(multimodal.encode_png(base))),
+            (2, bytearray(multimodal.encode_png(near))),
+            (3, bytearray(multimodal.encode_png(far))),
+        ],
+        "doc_id long, data binary",
+    )
+    hashed = multimodal.image_ahash(df, "data", strict=True)
+    rows = {r.doc_id: r.ahash for r in hashed.collect()}
+    assert bin((rows[1] ^ rows[2]) & ((1 << 64) - 1)).count("1") <= 4
+    pairs = {
+        (r.ida, r.idb)
+        for r in dedup.hamming_near_pairs(
+            hashed, "doc_id", "ahash", bits=64, max_hamming=4, band_bits=8
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+    with pytest.raises(Exception):
+        multimodal.image_ahash(
+            spark.createDataFrame([(9, bytearray(b"junk"))], "doc_id long, data binary"),
+            "data",
+            strict=True,
+        ).collect()
+
+
 def test_multimodal_real_wav_decode(spark):
     """The REAL audio branch (stdlib wave codec, no external deps):
     sample count / duration / rms come from the decoded WAV (honoring its

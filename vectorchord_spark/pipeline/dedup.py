@@ -235,6 +235,26 @@ def simhash(text: Column | str, bits: int = 16) -> Column:
     return total.cast("bigint")
 
 
+def hamming_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int,
+    max_hamming: int = 3,
+    band_bits: int = 8,
+) -> DataFrame:
+    """All pairs whose integer ``hash_col`` values are within
+    ``max_hamming`` bits (generic over ANY bit-fingerprint: SimHash text
+    signatures, image average-hashes, ...).
+
+    Scale path: band the hash into ``bits/band_bits`` chunks — any pair
+    within the Hamming budget must agree on ≥ 1 chunk when
+    ``bits/band_bits > max_hamming`` (pigeonhole), so candidate generation
+    is a groupBy on chunk values, not an all-pairs scan."""
+    sigs = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("sh"))
+    return _banded_hamming_pairs(sigs, bits, max_hamming, band_bits)
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -243,15 +263,17 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     band_bits: int = 8,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
-
-    Scale path: band the hash into ``bits/band_bits`` chunks — any pair
-    within the Hamming budget must agree on ≥ 1 chunk when
-    ``bits/band_bits > max_hamming`` (pigeonhole), so candidate generation is
-    a groupBy on chunk values, not an all-pairs scan."""
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming`` (the
+    text-signature instance of :func:`hamming_near_pairs`)."""
     sigs = df.select(
         F.col(id_col).alias("_id"), simhash(text_col, bits).alias("sh")
     )
+    return _banded_hamming_pairs(sigs, bits, max_hamming, band_bits)
+
+
+def _banded_hamming_pairs(
+    sigs: DataFrame, bits: int, max_hamming: int, band_bits: int
+) -> DataFrame:
     n_chunks = bits // band_bits
     chunk_cols = [
         F.struct(

@@ -525,3 +525,73 @@ def audio_features(
             yield out
 
     return df.mapInPandas(extract, out_schema)
+
+
+def _ahash64(pixels: np.ndarray) -> int:
+    """64-bit average hash of decoded pixels: luminance mean-pooled to
+    8×8, bit k = r·8+c set iff cell (r, c) is STRICTLY above the global
+    8×8 mean; packed MSB-first (bit 0 = top-left = bit 63 of the int)."""
+    lum = pixels.astype(np.float64).mean(axis=2)
+    h, w = lum.shape
+    ys = np.linspace(0, h, 9).astype(np.int64)
+    xs = np.linspace(0, w, 9).astype(np.int64)
+    cells = np.zeros((8, 8), np.float64)
+    for i in range(8):
+        for j in range(8):
+            c = lum[
+                ys[i] : max(ys[i + 1], ys[i] + 1),
+                xs[j] : max(xs[j + 1], xs[j] + 1),
+            ]
+            cells[i, j] = c.mean() if c.size else 0.0
+    bits = (cells > cells.mean()).reshape(-1)
+    out = 0
+    for k in range(64):
+        if bits[k]:
+            out |= 1 << (63 - k)
+    return out
+
+
+def image_ahash(
+    df: DataFrame, binary_col: str = "data", strict: bool = False
+) -> DataFrame:
+    """64-bit perceptual average-hash per image → ``ahash`` bigint.
+
+    The image-dedup fingerprint: near-identical images (recompression,
+    mild resizing, small edits) land within a few Hamming bits, so
+    near-dup pairs come from ``pipeline.dedup.hamming_near_pairs(df,
+    id, "ahash", bits=64)`` — the same pigeonhole banding as SimHash,
+    never all-pairs. Decode ladder as everywhere in this module: PIL
+    when importable, stdlib PNG else; undecodable bytes fall to a
+    content-hash fake (``strict=True`` raises instead). Note: bigint is
+    SIGNED — hashes with the top-left bit set are negative; Hamming
+    arithmetic (XOR + bit_count) is unaffected."""
+    other_cols = [c for c in df.columns if c != binary_col]
+    out_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in other_cols
+    )
+    out_schema += ", ahash bigint"
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            hashes = []
+            for buf in pdf[binary_col]:
+                raw = bytes(buf) if buf is not None else b""
+                real = _try_real_decode(raw)
+                if real is not None:
+                    hashes.append(_ahash64(real[2]))
+                elif strict:
+                    raise NotImplementedError(
+                        "no codec for this image format in this environment"
+                    )
+                else:
+                    # STUB: content-hash fake (deterministic, format-blind)
+                    h = hashlib.md5(raw).digest()
+                    hashes.append(int.from_bytes(h[:8], "big", signed=False))
+            out = pdf[other_cols].copy()
+            # two's-complement into SIGNED int64 (Spark bigint)
+            out["ahash"] = np.array(hashes, dtype=np.uint64).astype(np.int64)
+            yield out
+
+    return df.mapInPandas(compute, out_schema)

@@ -3435,6 +3435,52 @@ ORDER BY doc_id, frame_no
 """
 
 
+def _image_ahash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup fingerprinting through the REAL decode branch
+    (strict=True): per-doc two-tone 16×16 PNGs (horizontal split for even
+    doc_id, vertical for odd) whose 64-bit average hash is closed-form —
+    horizontal ⇒ the right 4 columns of the 8×8 grid exceed the mean
+    (0x0F0F0F0F0F0F0F0F), vertical ⇒ the bottom 4 rows do
+    (0x00000000FFFFFFFF). Wrong decode, pooling, thresholding, or MSB
+    bit-packing ⇒ wrong integers. Near-dup pairing over this hash is
+    pipeline.dedup.hamming_near_pairs (pytest-gated; the banding itself
+    is oracle-gated by simhash_pairs)."""
+    from vectorchord_spark.pipeline import multimodal as MM
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+
+        from vectorchord_spark.pipeline.multimodal import encode_png
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy("int64")
+            bufs = []
+            for i in ids:
+                px = np.full((16, 16, 3), 40, np.uint8)
+                if int(i) % 2 == 0:
+                    px[:, 8:] = 200
+                else:
+                    px[8:, :] = 200
+                bufs.append(encode_png(px))
+            yield pd.DataFrame({"doc_id": ids, "data": bufs})
+
+    media = docs.mapInPandas(gen, "doc_id long, data binary")
+    return MM.image_ahash(media, "data", strict=True).select(
+        "doc_id", "ahash"
+    ).orderBy("doc_id")
+
+
+_IMAGE_AHASH_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(1085102592571150095 AS BIGINT)
+            ELSE CAST(4294967295 AS BIGINT) END AS ahash
+FROM documents ORDER BY doc_id
+"""
+
+
 def _multimodal_resize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real resize pipeline: solid-color PNG → nearest-neighbor resample +
     PNG re-encode (`resize_image`, strict=True) → real decode + feature
@@ -3845,6 +3891,7 @@ def _catalog_canonical() -> dict[str, Q]:
         "multimodal_audio": Q(_multimodal_audio_fn, _MULTIMODAL_AUDIO_SQL),
         "multimodal_video": Q(_multimodal_video_fn, _MULTIMODAL_VIDEO_SQL),
         "multimodal_resize": Q(_multimodal_resize_fn, _MULTIMODAL_RESIZE_SQL),
+        "image_ahash": Q(_image_ahash_fn, _IMAGE_AHASH_SQL),
         # --- temporal / streaming-twin operators ---
         "asof_join": Q(_asof_join_fn, _ASOF_JOIN_SQL, headline=True),
         "range_join_count": Q(_range_join_fn, _RANGE_JOIN_SQL),
