@@ -359,6 +359,50 @@ def test_image_neardup_via_ahash(spark):
         ).collect()
 
 
+def test_audio_neardup_via_fingerprint(spark):
+    """Audio near-dup: a lightly edited copy of a clip stays within a few
+    Hamming bits of its energy-envelope fingerprint and the banded pair
+    join finds it; a different envelope shape does not pair."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def wav_of(pcm):
+        bio = io.BytesIO()
+        with wave.open(bio, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(16000)
+            wf.writeframes(pcm.astype("<i2").tobytes())
+        return bio.getvalue()
+
+    t = np.linspace(0, 4 * np.pi, 6400)
+    base = (np.sin(t) * 12000 * (0.2 + 0.8 * (t / t.max()))).astype("<i2")
+    near = base.copy()
+    near[:50] = 0  # clipped leading edge
+    far = base[::-1].copy()  # reversed envelope
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(wav_of(base))),
+            (2, bytearray(wav_of(near))),
+            (3, bytearray(wav_of(far))),
+        ],
+        "doc_id long, data binary",
+    )
+    fp = multimodal.audio_fingerprint(df, "data", strict=True)
+    rows = {r.doc_id: r.afp for r in fp.collect()}
+    assert bin((rows[1] ^ rows[2]) & ((1 << 64) - 1)).count("1") <= 4
+    pairs = {
+        (r.ida, r.idb)
+        for r in dedup.hamming_near_pairs(
+            fp, "doc_id", "afp", bits=64, max_hamming=4, band_bits=8
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
 def test_multimodal_real_wav_decode(spark):
     """The REAL audio branch (stdlib wave codec, no external deps):
     sample count / duration / rms come from the decoded WAV (honoring its

@@ -3481,6 +3481,59 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _audio_fingerprint_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup fingerprinting through the REAL stdlib-wave decode
+    branch (strict=True): per-doc two-level WAVs (quiet half then loud
+    half for even doc_id, reversed for odd) whose 64-bit energy-envelope
+    fingerprint is closed-form — loud-second ⇒ windows 32-63 exceed the
+    overall mean (0x00000000FFFFFFFF), loud-first ⇒ windows 0-31 do
+    (0xFFFFFFFF00000000, negative as signed bigint). Wrong RIFF parsing,
+    windowing, thresholding, or MSB packing ⇒ wrong integers."""
+    from vectorchord_spark.pipeline import multimodal as MM
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy("int64")
+            bufs = []
+            for i in ids:
+                quiet = np.full(640, 1000, "<i2")
+                loud = np.full(640, 9000, "<i2")
+                pcm = (
+                    np.concatenate([quiet, loud])
+                    if int(i) % 2 == 0
+                    else np.concatenate([loud, quiet])
+                )
+                bio = io.BytesIO()
+                with wave.open(bio, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(16000)
+                    wf.writeframes(pcm.tobytes())
+                bufs.append(bio.getvalue())
+            yield pd.DataFrame({"doc_id": ids, "data": bufs})
+
+    media = docs.mapInPandas(gen, "doc_id long, data binary")
+    return MM.audio_fingerprint(media, "data", strict=True).select(
+        "doc_id", "afp"
+    ).orderBy("doc_id")
+
+
+_AUDIO_FINGERPRINT_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(4294967295 AS BIGINT)
+            ELSE CAST(-4294967296 AS BIGINT) END AS afp
+FROM documents ORDER BY doc_id
+"""
+
+
 def _multimodal_resize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real resize pipeline: solid-color PNG → nearest-neighbor resample +
     PNG re-encode (`resize_image`, strict=True) → real decode + feature
@@ -3892,6 +3945,7 @@ def _catalog_canonical() -> dict[str, Q]:
         "multimodal_video": Q(_multimodal_video_fn, _MULTIMODAL_VIDEO_SQL),
         "multimodal_resize": Q(_multimodal_resize_fn, _MULTIMODAL_RESIZE_SQL),
         "image_ahash": Q(_image_ahash_fn, _IMAGE_AHASH_SQL),
+        "audio_fingerprint": Q(_audio_fingerprint_fn, _AUDIO_FINGERPRINT_SQL),
         # --- temporal / streaming-twin operators ---
         "asof_join": Q(_asof_join_fn, _ASOF_JOIN_SQL, headline=True),
         "range_join_count": Q(_range_join_fn, _RANGE_JOIN_SQL),
