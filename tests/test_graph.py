@@ -289,6 +289,48 @@ def test_graph_auto_ef_search(spark, vec_df):
         assert sum(rows2.values()) < sum(rows.values())
 
 
+def test_graph_cluster_subsharding(spark, vec_df, monkeypatch):
+    """Oversized clusters split into hash-subshards at build (bounded
+    per-task build size under k-means skew) while ROUTING stays at
+    cluster level: probed clusters expand to all their subshards, so
+    routed recall, exhaustive-equals-brute-force, and DML insert land in
+    the same physical shards as the build's hash split."""
+    import vectorchord_spark.operators.graph as G
+
+    monkeypatch.setattr(G, "_MAX_SHARD_ROWS", 600)  # force splits at 3k rows
+    rng = np.random.default_rng(17)
+    q = [float(x) for x in rng.uniform(-1, 1, 16)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = VamanaIndex.build(
+            spark, vec_df.where("id < 2500"), "id", "vec", os.path.join(tmp, "g"),
+            VamanaOptions(metric="l2", m=24, ef_construction=48, n_shards=2),
+        )
+        assert idx.meta["n_clusters"] == 2
+        assert idx.meta["n_shards"] > 2  # splits happened
+        subs = idx.meta["cluster_subshards"]
+        assert sum(n for _, n in subs) == idx.meta["n_shards"]
+        # every physical shard stays under the bound (hash split ± slack)
+        assert max(idx.meta["shard_rows"].values()) <= 900
+        # expansion covers every physical shard exactly once
+        assert sorted(idx._expand_shards([0, 1])) == list(
+            range(idx.meta["n_shards"])
+        )
+        # routed search keeps recall; exhaustive equals brute force
+        exact = brute_topk(vec_df.where("id < 2500"), q, 10)
+        got = [r.id for r in idx.search(q, k=10, probe_shards=1).collect()]
+        assert len(set(got) & set(exact)) >= 8
+        assert [
+            r.id for r in idx.search(q, k=10, ef_search=1 << 20).collect()
+        ] == exact
+        # DML insert routes through the same hash split and stays exact
+        idx.insert(vec_df.where("id >= 2500"), "id", "vec")
+        exact_all = brute_topk(vec_df, q, 10)
+        got2 = [
+            r.id for r in idx.search(q, k=10, ef_search=1 << 20).collect()
+        ]
+        assert got2 == exact_all
+
+
 def test_graph_query_sampling_and_recall(spark, vec_df):
     """S13/S14 parity for the graph index (shared QuerySampling mixin):
     served queries are recorded under the Bernoulli/cap contract and

@@ -533,6 +533,13 @@ def _build_vamana_bulk(
 #: forcing a small n_shards on a huge input must not quietly go quadratic
 _BULK_MAX_ROWS = 100_000
 
+#: post-closure row bound per BUILD TASK: clusters larger than this split
+#: into hash-subshards at build (routing still probes whole clusters), so
+#: single-task build time/memory is bounded by construction even when
+#: k-means masses are skewed (measured 500..51.7k rows/shard at 1M rows)
+#: and stays comfortably inside the bulk builder's sweet spot
+_MAX_SHARD_ROWS = 40_000
+
 
 def _build_graph(
     vecs: np.ndarray, opts: VamanaOptions, rng: np.random.Generator
@@ -775,6 +782,50 @@ class VamanaIndex(QuerySampling):
             "id long, vec array<float>, shard int, is_primary boolean",
         )
 
+        # --- deterministic subsharding of oversized clusters: k-means
+        # cluster masses are skewed on real data (the 1M-row point
+        # measured 500..51.7k rows/shard), so single-task build time is
+        # dominated by straggler shards and a hot cluster could outgrow
+        # per-task memory at 100x. Clusters whose post-closure row count
+        # exceeds _MAX_SHARD_ROWS split into hash-subshards
+        # (xxhash64(id) % n_sub — reproducible, so DML insert routes new
+        # rows identically). ROUTING stays at cluster level: a query
+        # probes clusters by centroid distance and expands to all of a
+        # probed cluster's subshards, so probe_shards semantics and
+        # recall are unchanged — only the per-task build/beam unit is
+        # bounded by construction. The count pass recomputes assignment
+        # labels instead of persisting the vector-fat assigned frame
+        # (same two-pass trade as the IVF distributed k-means). ---
+        cluster_cnt = {
+            int(r["shard"]): int(r["cnt"])
+            for r in assigned.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        n_sub = [
+            max(1, -(-cluster_cnt.get(c, 0) // _MAX_SHARD_ROWS))
+            for c in range(n_shards)
+        ]
+        sub_base = [0] * n_shards
+        acc = 0
+        for c in range(n_shards):
+            sub_base[c] = acc
+            acc += n_sub[c]
+        total_shards = acc
+        if total_shards > n_shards:
+            base_arr = F.array(*[F.lit(int(b)) for b in sub_base])
+            nsub_arr = F.array(*[F.lit(int(s)) for s in n_sub])
+            assigned = assigned.withColumn(
+                "shard",
+                (
+                    F.element_at(base_arr, F.col("shard") + 1)
+                    + F.pmod(
+                        F.xxhash64("id"),
+                        F.element_at(nsub_arr, F.col("shard") + 1),
+                    )
+                ).cast("int"),
+            )
+
         opts_d = asdict(opts)
         seed = opts.seed
         bits = opts.bits
@@ -817,7 +868,14 @@ class VamanaIndex(QuerySampling):
 
         meta = {
             **opts_d,
-            "n_shards": int(n_shards),
+            # n_shards = SERVING shard count (subshards included);
+            # routing runs over the n_clusters original centroids and
+            # expands probed clusters via cluster_subshards
+            "n_shards": int(total_shards),
+            "n_clusters": int(n_shards),
+            "cluster_subshards": [
+                [int(sub_base[c]), int(n_sub[c])] for c in range(n_shards)
+            ],
             "dim": int(dim),
             "centroids": [[float(x) for x in c] for c in cents],
             "shard_rows": shard_rows,
@@ -914,11 +972,29 @@ class VamanaIndex(QuerySampling):
             src = src.select("id", D.normalize("vec").cast("array<float>").alias("vec"))
         cents = np.asarray(self.centroids, np.float32)
         bc_cents = self.spark.sparkContext.broadcast(cents)
-        repl = min(int(meta["replication"]), int(meta["n_shards"]))
+        n_clusters = int(meta.get("n_clusters", meta["n_shards"]))
+        repl = min(int(meta["replication"]), n_clusters)
         assigned = src.mapInPandas(
             _make_assign_fn(bc_cents, metric, repl, float(meta["closure_epsilon"])),
             "id long, vec array<float>, shard int, is_primary boolean",
-        ).persist()  # pin ONE evaluation: the affected-shard set and the
+        )
+        subs = meta.get("cluster_subshards")
+        if subs and any(int(n) > 1 for _, n in subs):
+            # same deterministic subshard split as the build, so an id
+            # always lands in the same physical shard
+            base_arr = F.array(*[F.lit(int(b)) for b, _ in subs])
+            nsub_arr = F.array(*[F.lit(int(n)) for _, n in subs])
+            assigned = assigned.withColumn(
+                "shard",
+                (
+                    F.element_at(base_arr, F.col("shard") + 1)
+                    + F.pmod(
+                        F.xxhash64("id"),
+                        F.element_at(nsub_arr, F.col("shard") + 1),
+                    )
+                ).cast("int"),
+            )
+        assigned = assigned.persist()  # pin ONE evaluation: the affected-shard set and the
         # rewrite job must see identical routing, or _write_version would
         # hardlink an old partition over a freshly written one (a
         # nondeterministic source df — rand()/limit() — could otherwise
@@ -1149,9 +1225,23 @@ class VamanaIndex(QuerySampling):
         mx = max((int(rows.get(str(s), 0)) for s in shards), default=0)
         return max(self._EF_SEARCH_FLOOR, int(k), -(-mx // 100))
 
+    def _expand_shards(self, clusters: list[int]) -> list[int]:
+        """Cluster ids → physical shard ids (a cluster subsharded at
+        build expands to ALL its subshards, so probing a cluster scans
+        its full contents; pre-subsharding indexes map identity)."""
+        subs = self.meta.get("cluster_subshards")
+        if not subs:
+            return clusters
+        out: list[int] = []
+        for c in clusters:
+            b, n = subs[c]
+            out.extend(range(int(b), int(b) + int(n)))
+        return out
+
     def _route(self, q: np.ndarray, probe_shards: int | None) -> list[int]:
-        """Driver-side shard routing: nearest shards by centroid distance
-        (L2 for l2/cos — cos vectors are stored normalized — dot for ip)."""
+        """Driver-side CLUSTER routing: nearest clusters by centroid
+        distance (L2 for l2/cos — cos vectors are stored normalized — dot
+        for ip). Callers expand to physical shards via _expand_shards."""
         metric = self.meta["metric"]
         if metric == "dot":
             d = -(self.centroids @ q)
@@ -1198,9 +1288,11 @@ class VamanaIndex(QuerySampling):
     ) -> DataFrame:
         """Routed per-shard quantized-frontier beam search → exact top-k.
 
-        ``probe_shards`` limits the search to the nearest shards by
-        centroid distance (None = all shards, the exhaustive-routing
-        configuration). Traversal expands neighbors on quantized estimates
+        ``probe_shards`` limits the search to the nearest CLUSTERS by
+        centroid distance (None = all, the exhaustive-routing
+        configuration); a cluster subsharded at build expands to all its
+        subshards, so the probed content is the same regardless of how
+        build tasks were split. Traversal expands neighbors on quantized estimates
         and rescores each popped vertex exactly (reference
         search.rs:34-140), so the per-shard ef window is already
         exact-ranked; ``rescore_factor`` optionally widens it.
@@ -1220,7 +1312,7 @@ class VamanaIndex(QuerySampling):
         q32 = q_exact.astype(np.float32)
         self._maybe_record_query(q32)
         q_rot = K.rotate(q32)
-        shards = self._route(q_exact, probe_shards)
+        shards = self._expand_shards(self._route(q_exact, probe_shards))
         if ef_search is None:
             ef_search = self._auto_ef_search(shards, k)
         ef = int(max(ef_search, k)) * max(1, int(rescore_factor))
@@ -1297,7 +1389,7 @@ class VamanaIndex(QuerySampling):
         Q_rot = K.rotate(Qe.astype(np.float32))
         shard_qids: dict[int, list[int]] = {}
         for qi in range(nq):
-            for s in self._route(Qe[qi], probe_shards):
+            for s in self._expand_shards(self._route(Qe[qi], probe_shards)):
                 shard_qids.setdefault(s, []).append(qi)
         shards = sorted(shard_qids)
         if ef_search is None:
