@@ -662,6 +662,45 @@ def _make_assign_fn(bc_cents, metric: str, repl: int, eps: float):
     return assign
 
 
+def _make_assign_labels_fn(bc_cents, metric: str, repl: int, eps: float):
+    """Label-only variant of :func:`_make_assign_fn` for counting passes:
+    same closure-replicated assignment, but only the 4-byte shard label
+    crosses Arrow back — no vector columns are rebuilt or transferred
+    (the same two-pass trade as the IVF distributed k-means counts)."""
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = bc_cents.value
+        c2 = np.einsum("ij,ij->i", c, c)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack([np.asarray(v, np.float32) for v in pdf["vec"]])
+            if metric == "dot":
+                d = -(mat @ c.T)
+            else:
+                x2 = np.einsum("ij,ij->i", mat, mat)
+                d = x2[:, None] + c2[None, :] - 2.0 * (mat @ c.T)
+            order = np.argsort(d, axis=1, kind="stable")[:, :repl]
+            d_min = d.min(axis=1)
+            if metric == "dot":
+                thresh = d_min + eps * np.abs(d_min)
+            else:
+                thresh = (1.0 + eps) ** 2 * np.maximum(d_min, 0.0)
+            n = len(pdf)
+            out = []
+            for r in range(repl):
+                s = order[:, r]
+                keep = (
+                    np.ones(n, bool)
+                    if r == 0
+                    else d[np.arange(n), s] <= thresh
+                )
+                out.append(s[keep].astype(np.int32))
+            yield pd.DataFrame({"shard": np.concatenate(out)})
+
+    return assign
+
+
 def _vertex_codes(vecs: np.ndarray, bits: int) -> dict:
     """Quantized vertex payload columns for a batch of vectors (the
     reference's 1/2-bit RaBitQ vertex storage, crates/rabitq/src/bits.rs)."""
@@ -798,7 +837,11 @@ class VamanaIndex(QuerySampling):
         # (same two-pass trade as the IVF distributed k-means). ---
         cluster_cnt = {
             int(r["shard"]): int(r["cnt"])
-            for r in assigned.groupBy("shard")
+            for r in src.mapInPandas(
+                _make_assign_labels_fn(bc_cents, metric, repl, eps),
+                "shard int",
+            )
+            .groupBy("shard")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .collect()
         }
