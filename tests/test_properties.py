@@ -115,3 +115,49 @@ def test_vector_wire_roundtrip_property(xs):
     back = unpack_vector_wire(buf)
     # bit-exact comparison (== would fail on NaN)
     assert back.tobytes() == v.tobytes()
+
+
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(1, 5),
+    st.integers(0, 60),
+)
+@settings(max_examples=25, deadline=None)
+def test_image_ahash_brightness_invariance(seed, scale, offset):
+    """The defining aHash property: a positive affine brightness change
+    (pixels → a·x + b) preserves every cell-vs-mean comparison, so the
+    64-bit hash is identical — recompressed/re-exposed copies of an image
+    fingerprint to the same value."""
+    import numpy as np
+
+    from vectorchord_spark.pipeline.multimodal import _ahash64
+
+    rng = np.random.default_rng(seed)
+    grad = np.tile((np.arange(24) * 9).astype(np.float64), (24, 1))
+    base = grad + rng.uniform(0, 10, (24, 24))
+    px = np.stack([base] * 3, axis=2)
+    transformed = np.clip(px * scale + offset, 0, 10_000)
+    a = _ahash64(px.astype(np.float64))
+    b = _ahash64(transformed.astype(np.float64))
+    assert a == b
+
+
+@given(st.integers(0, 2**32 - 1), st.sampled_from([2, 3, 5, 9]))
+@settings(max_examples=25, deadline=None)
+def test_audio_fingerprint_gain_invariance(seed, gain):
+    """The audio fingerprint thresholds window energy against the clip
+    mean, so a pure gain change (volume) leaves the hash bit-identical —
+    re-normalized copies of a clip fingerprint to the same value. Also:
+    a clip must not hash to 0 unless it is flat."""
+    import numpy as np
+
+    from vectorchord_spark.pipeline.multimodal import _envelope_fp64
+
+    rng = np.random.default_rng(seed)
+    env = np.abs(rng.standard_normal(64)) + 0.1
+    pcm = (np.repeat(env, 100) * 3000).astype("<i2")
+    a = _envelope_fp64(pcm)
+    b = _envelope_fp64((pcm.astype(np.int64) * gain).astype(np.int64))
+    assert a == b
+    assert a != 0
+    assert _envelope_fp64(np.full(640, 1234, "<i2")) == 0  # flat clip

@@ -597,6 +597,30 @@ def image_ahash(
     return df.mapInPandas(compute, out_schema)
 
 
+def _envelope_fp64(pcm: np.ndarray) -> int:
+    """64-bit energy-envelope hash of a PCM clip: bit k (MSB-first) is
+    set iff window k of 64 has mean |sample| STRICTLY above the clip's
+    overall mean |sample| — invariant under pure gain changes."""
+    pcm = np.abs(np.asarray(pcm, np.float64))
+    n = len(pcm)
+    out = 0
+    if n:
+        edges = np.linspace(0, n, 65).astype(np.int64)
+        means = np.array(
+            [
+                pcm[edges[k] : max(edges[k + 1], edges[k] + 1)].mean()
+                if edges[k] < n
+                else 0.0
+                for k in range(64)
+            ]
+        )
+        overall = pcm.mean()
+        for k in range(64):
+            if means[k] > overall:
+                out |= 1 << (63 - k)
+    return out
+
+
 def audio_fingerprint(
     df: DataFrame,
     binary_col: str = "data",
@@ -657,24 +681,7 @@ def audio_fingerprint(
                         sample_rate,
                         np.frombuffer(raw[: len(raw) - (len(raw) % 2)], "<i2"),
                     )
-                pcm = np.abs(wav[1].astype(np.float64))
-                n = len(pcm)
-                out = 0
-                if n:
-                    edges = np.linspace(0, n, 65).astype(np.int64)
-                    means = np.array(
-                        [
-                            pcm[edges[k] : max(edges[k + 1], edges[k] + 1)].mean()
-                            if edges[k] < n
-                            else 0.0
-                            for k in range(64)
-                        ]
-                    )
-                    overall = pcm.mean()
-                    for k in range(64):
-                        if means[k] > overall:
-                            out |= 1 << (63 - k)
-                hashes.append(out)
+                hashes.append(_envelope_fp64(wav[1]))
             o = pdf[other_cols].copy()
             o["afp"] = np.array(hashes, dtype=np.uint64).astype(np.int64)
             yield o
