@@ -79,21 +79,43 @@ def main() -> None:
     build = _bench_build(spark, build_rows)
 
     total = round(sum(timings.values()), 3)
+    # the driver captures only the LAST ~2000 chars of stdout and parses the
+    # final line as JSON — r05's line overran that with the n=5 spread dict
+    # and the round lost its machine-readable headline (BENCH_r05 parsed:
+    # null). The final line is now a compact summary (totals + per-query
+    # medians only); spreads and cold per-query timings go to a versioned
+    # side file, BENCH_DETAIL.json, committed alongside the round.
+    detail = {
+        "queries_spread": spread,
+        "cold_queries": cold,
+        "n_warm": n_warm,
+        "sf": sf,
+    }
     out = {
         "metric": "headline_queries_total_wall_clock_steady_state",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_spread": spread,
         "cold_total": round(sum(cold.values()), 3),
-        "cold_queries": cold,
         "build_rows": build_rows,
         "build_secs": build["secs"],
         "build_rows_per_s": build["rows_per_s"],
         "sf": sf,
     }
     out.update(_vs_prev_ratios(timings, sf))
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if len(line) > 1800:  # hard backstop: never lose the parse again
+        out.pop("queries", None)
+        out["queries_in"] = "BENCH_DETAIL.json"
+        detail["queries"] = timings
+        line = json.dumps(out)
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError as e:  # read-only checkout: detail is optional, line isn't
+        print(f"# BENCH_DETAIL.json not written: {e}", file=sys.stderr)
+    print(line)
     spark.stop()
 
 

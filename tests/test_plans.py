@@ -131,9 +131,9 @@ def test_range_join_is_bucketed_equi_join(spark, sf_dir):
 def test_q19_pushes_disjunctive_part_filter(spark, sf_dir):
     """Catalyst must extract the part-side disjunction (brand IN ... OR'd
     triples imply p_brand/p_size constraints) into the parquet scan."""
-    from vectorchord_spark.queries import catalog
+    from vectorchord_spark.queries import _q19_fn
 
-    df = catalog()["q19_disjunct"].fn(spark, sf_dir)
+    df = _q19_fn(spark, sf_dir)
     pushed = P.pushed_filters(df)
     assert any("p_brand" in f or "p_size" in f for f in pushed), pushed
 
@@ -146,14 +146,69 @@ def test_catalog_staleness_rotation():
     entries (no entry's evidence can age unboundedly)."""
     from vectorchord_spark.queries import (
         _catalog_canonical,
+        _effective_history,
         _verification_history,
         catalog,
     )
 
-    hist = _verification_history()
+    entries = _catalog_canonical()
+    hist = _effective_history(entries)
     names = list(catalog())
-    assert set(names) == set(_catalog_canonical()), "rotation must not drop entries"
+    assert set(names) == set(entries), "rotation must not drop entries"
     rounds = [hist.get(n, -1) for n in names]
     assert rounds == sorted(rounds), "entries must be ordered oldest-evidence-first"
     # the repo ships CORRECTNESS files, so history must be non-trivial here
-    assert hist, "no CORRECTNESS_r*.json parsed — rotation would be a no-op"
+    assert _verification_history(), (
+        "no CORRECTNESS_r*.json parsed — rotation would be a no-op"
+    )
+
+
+def test_catalog_hash_snapshot_is_current():
+    """A content-hash snapshot must exist for the newest CORRECTNESS round
+    (r05 verdict #2: without it, every entry green in that round is demoted
+    to never-verified and the rotation invariant loses its meaning). If
+    this fails: run `python tools/update_catalog_hashes.py rNN` — at round
+    start, before any code edit, it records the hashes the gate verified."""
+    import glob
+    import re
+
+    from vectorchord_spark.queries import _load_hash_snapshots
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    ]
+    assert rounds, "no CORRECTNESS files — driver state missing"
+    newest = max(rounds)
+    if newest < 5:  # snapshots begin at r05; older history is legacy
+        return
+    snaps = _load_hash_snapshots()
+    assert "r%02d" % newest in snaps, (
+        f"CATALOG_HASHES.json has no snapshot for r{newest:02d}; "
+        "run: python tools/update_catalog_hashes.py r%02d" % newest
+    )
+
+
+def test_catalog_rotation_capacity():
+    """The driver's gate verifies a ~50-entry prefix. The ≤2-round
+    staleness invariant holds only if (never-verified + stale-by-two-
+    rounds) entries fit that prefix — adding catalog entries consumes this
+    budget (r05 verdict #3)."""
+    import glob
+    import re
+
+    from vectorchord_spark.queries import _catalog_canonical, _effective_history
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    ]
+    newest = max(rounds) if rounds else 0
+    eff = _effective_history(_catalog_canonical())
+    due = [n for n, r in eff.items() if r < 0 or r <= newest - 1]
+    assert len(due) <= 50, (
+        f"{len(due)} entries due for re-verification exceed the 50-entry "
+        f"gate prefix — consolidate entries or negotiate a larger gate"
+    )

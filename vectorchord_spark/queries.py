@@ -961,6 +961,97 @@ ORDER BY n_name
 """
 
 
+def _tpch_scalars_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Umbrella entry: q6 + q14 + q17 + q19 as one 4-row verification unit.
+
+    These four single-row TPC-H-shape aggregates exercise Spark SQL, not
+    this engine — folding them into one catalog entry keeps their coverage
+    (each row is still bit-compared against the DuckDB twin) while freeing
+    rotation-gate slots for engine operators (r05 verdict #3: the gate runs
+    a 50-entry prefix, so catalog size is a real budget)."""
+    q6 = _q6_fn(spark, sf_dir).select(
+        F.lit("q6").alias("query"),
+        F.col("revenue").cast("double").alias("v1"),
+        F.col("n_items").cast("double").alias("v2"),
+    )
+    q14 = _q14_fn(spark, sf_dir).select(
+        F.lit("q14").alias("query"),
+        F.col("promo_revenue_pct").cast("double").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    q17 = _q17_fn(spark, sf_dir).select(
+        F.lit("q17").alias("query"),
+        F.col("avg_yearly").cast("double").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    q19 = _q19_fn(spark, sf_dir).select(
+        F.lit("q19").alias("query"),
+        F.col("revenue").cast("double").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    return q6.unionAll(q14).unionAll(q17).unionAll(q19).orderBy("query")
+
+
+_TPCH_SCALARS_SQL = f"""
+SELECT * FROM (
+  SELECT 'q6' AS query, revenue AS v1, CAST(n_items AS DOUBLE) AS v2
+  FROM ({_Q6_SQL}) q6
+  UNION ALL
+  SELECT 'q14' AS query, promo_revenue_pct AS v1, CAST(NULL AS DOUBLE) AS v2
+  FROM ({_Q14_SQL}) q14
+  UNION ALL
+  SELECT 'q17' AS query, avg_yearly AS v1, CAST(NULL AS DOUBLE) AS v2
+  FROM ({_Q17_SQL}) q17
+  UNION ALL
+  SELECT 'q19' AS query, revenue AS v1, CAST(NULL AS DOUBLE) AS v2
+  FROM ({_Q19_SQL}) q19
+) u ORDER BY query
+"""
+
+
+def _tpch_groups_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Umbrella entry: q4 + q12 + q22 grouped results as one unit (same
+    slot-budget rationale as _tpch_scalars_fn; every underlying row is
+    still bit-compared)."""
+    q4 = _q4_fn(spark, sf_dir).select(
+        F.lit("q4").alias("query"),
+        F.col("o_orderpriority").alias("k1"),
+        F.col("order_count").cast("double").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    q12 = _q12_fn(spark, sf_dir).select(
+        F.lit("q12").alias("query"),
+        F.col("l_linestatus").alias("k1"),
+        F.col("high_line_count").cast("double").alias("v1"),
+        F.col("low_line_count").cast("double").alias("v2"),
+    )
+    q22 = _q22_fn(spark, sf_dir).select(
+        F.lit("q22").alias("query"),
+        F.col("n_name").alias("k1"),
+        F.col("numcust").cast("double").alias("v1"),
+        F.col("totacctbal").cast("double").alias("v2"),
+    )
+    return q4.unionAll(q12).unionAll(q22).orderBy("query", "k1")
+
+
+_TPCH_GROUPS_SQL = f"""
+SELECT * FROM (
+  SELECT 'q4' AS query, o_orderpriority AS k1,
+         CAST(order_count AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
+  FROM ({_Q4_SQL}) q4
+  UNION ALL
+  SELECT 'q12' AS query, l_linestatus AS k1,
+         CAST(high_line_count AS DOUBLE) AS v1,
+         CAST(low_line_count AS DOUBLE) AS v2
+  FROM ({_Q12_SQL}) q12
+  UNION ALL
+  SELECT 'q22' AS query, n_name AS k1,
+         CAST(numcust AS DOUBLE) AS v1, totacctbal AS v2
+  FROM ({_Q22_SQL}) q22
+) u ORDER BY query, k1
+"""
+
+
 def _events_json_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: parse the JSON props column, bucket the
     extracted value, aggregate per (event_type, bucket)."""
@@ -3847,6 +3938,125 @@ def _verification_history() -> dict[str, int]:
     return last
 
 
+# Source modules each entry family depends on (package-relative paths),
+# matched by substring on the entry name. Used by _entry_hash so a change
+# to an operator module invalidates the green evidence of every entry that
+# exercises it (r05 verdict #2: a modified entry must not coast on a stale
+# green row). Entries matching no rule are pure queries.py logic — their
+# fn source + oracle SQL is the complete hash input.
+_DEP_RULES: "list[tuple[tuple[str, ...], list[str]]]" = [
+    (("ann_graph", "graph_"), ["operators/graph.py", "kernels.py"]),
+    (
+        ("maxsim",),
+        ["operators/maxsim.py", "operators/ivf.py", "kernels.py"],
+    ),
+    (
+        (
+            "ann_ivf", "knn_batch", "ivf_", "rerank_in_table",
+            "max_scan_tuples", "ann_prefilter", "sampled_queries",
+        ),
+        [
+            "operators/ivf.py", "operators/kmeans.py",
+            "operators/sampling.py", "kernels.py",
+        ],
+    ),
+    (("sql_ann",), ["plans/transparent.py", "operators/ivf.py", "kernels.py"]),
+    (
+        ("streaming_",),
+        ["streaming/jobs.py", "operators/ivf.py", "operators/graph.py"],
+    ),
+    (("quantize", "rabitq_distance"), ["functions/quantize.py", "kernels.py"]),
+    (
+        ("knn_", "range_", "sphere_ops", "maxsim", "embed_neardup"),
+        ["functions/distances.py"],
+    ),
+    (("vector_io",), ["sources/tables.py"]),
+    (
+        ("dedup", "simhash", "embed_neardup", "decontaminate"),
+        ["pipeline/dedup.py"],
+    ),
+    (
+        ("multimodal", "image_ahash", "audio_fingerprint"),
+        ["pipeline/multimodal.py", "pipeline/dedup.py"],
+    ),
+    (
+        (
+            "langid", "doc_stats", "fingerprint", "quality_filter",
+            "token_histogram", "repetition_stats", "redact_pii",
+        ),
+        ["pipeline/text.py"],
+    ),
+    (
+        ("train_val_split", "stratified_sample", "mixture_weights"),
+        ["pipeline/splits.py"],
+    ),
+]
+
+
+def _entry_hash(name: str, q: Q) -> str:
+    """Content hash of everything that determines an entry's behavior: the
+    entry fn's source, its oracle SQL, and the operator modules its family
+    depends on. If this differs from the hash recorded when the entry last
+    went green, the green row no longer describes the current code."""
+    import hashlib
+    import inspect
+
+    h = hashlib.sha256()
+    try:
+        h.update(inspect.getsource(q.fn).encode())
+    except (OSError, TypeError):
+        h.update(getattr(q.fn, "__qualname__", repr(type(q.fn))).encode())
+    h.update((q.sql or "").encode())
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    mods: list[str] = []
+    for keys, deps in _DEP_RULES:
+        if any(k in name for k in keys):
+            mods.extend(d for d in deps if d not in mods)
+    for rel in mods:
+        try:
+            with open(os.path.join(pkg, rel), "rb") as f:
+                h.update(f.read())
+        except OSError:
+            h.update(b"<missing>")
+    return h.hexdigest()[:16]
+
+
+def _load_hash_snapshots() -> dict:
+    """CATALOG_HASHES.json: per-round snapshots of every entry's content
+    hash, taken at the end-of-round commit the driver's gate ran against
+    (written by tools/update_catalog_hashes.py). {"snapshots": {"r05":
+    {name: hash}}}. Missing file / missing round → legacy round-based
+    staleness only (rounds before r06 predate this mechanism)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        with open(os.path.join(root, "CATALOG_HASHES.json")) as f:
+            import json as _json
+
+            return _json.load(f).get("snapshots", {})
+    except (OSError, ValueError):
+        return {}
+
+
+def _effective_history(entries: "dict[str, Q]") -> dict[str, int]:
+    """Last-green round per entry, DEMOTED to never-verified (-1) when the
+    entry's content hash has changed since the snapshot taken for that
+    round — so modified operators re-enter the gate prefix immediately
+    instead of coasting on stale evidence for a round."""
+    hist = _verification_history()
+    snaps = _load_hash_snapshots()
+    out: dict[str, int] = {}
+    for name, q in entries.items():
+        r = hist.get(name, -1)
+        if r >= 0:
+            snap = snaps.get("r%02d" % r, snaps.get("r%d" % r))
+            if snap is not None:
+                recorded = snap.get(name)
+                if recorded is None or recorded != _entry_hash(name, q):
+                    r = -1
+        out[name] = r
+    return out
+
+
 def catalog() -> dict[str, Q]:
     # ORDER MATTERS: the driver's correctness gate runs a bounded prefix of
     # this dict (50 entries in r02/r03), so entries are ordered by
@@ -3854,9 +4064,11 @@ def catalog() -> dict[str, Q]:
     # first (ties broken by canonical position below). This is
     # self-balancing rotation — whatever the gate prefix misses this round
     # has the stalest evidence next round and sorts to the front, so no
-    # entry's newest green row is ever more than ~2 rounds old.
+    # entry's newest green row is ever more than ~2 rounds old. An entry
+    # whose content hash changed since its last green snapshot counts as
+    # never-verified (_effective_history).
     entries = _catalog_canonical()
-    hist = _verification_history()
+    hist = _effective_history(entries)
     ordered = sorted(
         enumerate(entries.items()), key=lambda t: (hist.get(t[1][0], -1), t[0])
     )
@@ -3959,18 +4171,16 @@ def _catalog_canonical() -> dict[str, Q]:
         "q3_shipping": Q(_q3_fn, _Q3_SQL, headline=True),
         "q5_revenue": Q(_q5_fn, _Q5_SQL, headline=True),
         "part_revenue": Q(_part_revenue_fn, _PART_REVENUE_SQL),
-        "q6_forecast": Q(_q6_fn, _Q6_SQL),
-        "q12_shipmode": Q(_q12_fn, _Q12_SQL),
-        "q4_priority": Q(_q4_fn, _Q4_SQL),
-        "q14_promo": Q(_q14_fn, _Q14_SQL),
+        # q6/q14/q17/q19 and q4/q12/q22 are folded into two umbrella
+        # entries (r06): identical row-level verification, 5 fewer
+        # rotation-gate slots (the driver gates a 50-entry prefix)
+        "tpch_scalars": Q(_tpch_scalars_fn, _TPCH_SCALARS_SQL),
+        "tpch_groups": Q(_tpch_groups_fn, _TPCH_GROUPS_SQL),
         "q10_returned": Q(_q10_fn, _Q10_SQL),
         "q7_volume": Q(_q7_fn, _Q7_SQL),
         "q13_custdist": Q(_q13_fn, _Q13_SQL),
         "q15_topsupp": Q(_q15_fn, _Q15_SQL),
-        "q17_smallqty": Q(_q17_fn, _Q17_SQL),
         "q18_bigorders": Q(_q18_fn, _Q18_SQL),
-        "q19_disjunct": Q(_q19_fn, _Q19_SQL),
-        "q22_idle_cust": Q(_q22_fn, _Q22_SQL),
     }
 
 
