@@ -438,6 +438,59 @@ def test_maxsim_refine_stage(spark):
         assert len(got & want) >= 5
 
 
+def test_maxsim_refine_rerank_table(spark):
+    """maxsim_refine with base_df on a rerank_in_index=False index (r05
+    verdict #5: refine parity with single/batch KNN's rerank-in-table —
+    the reference's rerank heap fetches from the heap for every storage,
+    crates/vchordrq/src/rerank.rs:113-137). Full-budget refine fed by the
+    exploded base table must equal the all-exact result; without base_df
+    the payload-free index must refuse."""
+    from pyspark.sql import functions as F
+
+    from vectorchord_spark.operators.maxsim import maxsim_search
+
+    rng = np.random.default_rng(55)
+    centers = rng.uniform(-1, 1, size=(20, 64))
+    docs_rows = [
+        (d, [(centers[d % 20] + rng.normal(0, 0.1, 64)).tolist() for _ in range(3)])
+        for d in range(150)
+    ]
+    docs = spark.createDataFrame(
+        docs_rows, "doc_id long, vecs array<array<float>>"
+    )
+    tokens = [(centers[i] + rng.normal(0, 0.1, 64)).tolist() for i in range(3)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build_multivector(
+            spark, docs, "doc_id", "vecs", os.path.join(tmp, "idx"),
+            IvfOptions(metric="dot", lists=[8], rerank_in_index=False),
+        )
+        base = docs.select(
+            F.col("doc_id").cast("long").alias("_doc"),
+            F.posexplode("vecs").alias("_tok", "vec"),
+        ).select(
+            (F.col("_doc") * (1 << IvfIndex.TOKEN_BITS) + F.col("_tok"))
+            .cast("long")
+            .alias("id"),
+            "vec",
+        )
+        exact = maxsim_search(
+            idx, None, tokens, k=10, per_token_candidates=1 << 30,
+            probes=None, base_df=base,
+        )
+        want = [(r.doc_id, round(float(r.score), 6)) for r in exact.collect()]
+        full = maxsim_search(
+            idx, None, tokens, k=10, per_token_candidates=1 << 30,
+            probes=None, maxsim_refine=1 << 30, base_df=base,
+        )
+        got = [(r.doc_id, round(float(r.score), 6)) for r in full.collect()]
+        assert got == want
+        with pytest.raises(NotImplementedError):
+            maxsim_search(
+                idx, None, tokens, k=10, per_token_candidates=8,
+                probes=None, maxsim_refine=4,
+            )
+
+
 def test_maxsim_refine_cos_metric(spark):
     """Refine under the cos metric must normalize queries the same way
     search_batch does — a full-pool refine budget must reproduce the

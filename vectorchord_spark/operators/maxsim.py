@@ -46,6 +46,7 @@ def maxsim_search(
     epsilon: float = 1.9,
     maxsim_threshold: int = 0,
     maxsim_refine: int = 0,
+    base_df: DataFrame = None,
 ) -> DataFrame:
     """Top-k documents by MaxSim score against ``query_tokens``.
 
@@ -68,7 +69,15 @@ def maxsim_search(
     ``maxsim_refine`` candidates per token are exact-reranked — the
     quality/IO knob for wide candidate pools. The default 0 exact-reranks
     every candidate (a strict quality superset of the reference's default
-    refine=0, which keeps all-rough)."""
+    refine=0, which keeps all-rough).
+
+    ``base_df``: rerank against this (id, vec) table instead of the
+    index-stored payload (rerank-in-table, Q5) — required for refine on
+    f32/f16 indexes built with ``rerank_in_index=False``, matching
+    single-query and batch KNN (the reference's rerank heap fetches from
+    the heap for every storage, crates/vchordrq/src/rerank.rs:113-137).
+    For a ``build_multivector`` index the ids are packed
+    ``doc_id·2^16 + token_id``."""
     spark = index.spark
     if doc_of_id is None:
         if not index.meta.get("multivector"):
@@ -85,17 +94,20 @@ def maxsim_search(
     # n_tokens sequential descend+scan DAGs
     tokens_f = [list(map(float, t)) for t in query_tokens]
     if maxsim_refine > 0:
-        # the refine rerank needs a payload in the index: f32/f16 storage
-        # must keep rerank vectors; quantized storage reranks on its own
-        # codes (the reference's rerank heap works for every storage,
+        # the refine rerank needs a vector source: f32/f16 storage keeps
+        # rerank payloads in-index OR the caller supplies a base table
+        # (rerank-in-table); quantized storage reranks on its own codes
+        # (the reference's rerank heap works for every storage,
         # crates/vchordrq/src/rerank.rs:113-137)
         if (
             index.meta.get("storage", "f32") in ("f32", "f16")
             and not index.meta["rerank_in_index"]
+            and base_df is None
         ):
             raise NotImplementedError(
-                "maxsim_refine requires rerank_in_index storage (or a "
-                "quantized-storage index, which reranks on its codes)"
+                "maxsim_refine on a rerank_in_index=False f32/f16 index "
+                "needs base_df (rerank-in-table); quantized storage "
+                "reranks on its own codes"
             )
         # cos indexes store normalized vectors and search normalized
         # queries; the refine join computes exact distances itself, so it
@@ -146,6 +158,7 @@ def maxsim_search(
             index.probed_union(tokens_f, probes),
             Qe_r,
             rotate(Qe_r.astype(np.float32)),
+            base_df=base_df,
         )
         refined = exact_dist(head)
         tail = pool.where(F.col("_rk") > int(maxsim_refine)).select(
@@ -159,6 +172,7 @@ def maxsim_search(
             probes=probes,
             epsilon=epsilon,
             rerank_factor=None,
+            base_df=base_df,
         )
     un = batch.select(
         F.col("qid").cast("int").alias("tok"),

@@ -3093,6 +3093,68 @@ SELECT CAST(10 AS BIGINT) AS n_results,
 """
 
 
+def _maxsim_refine_rerank_table_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maxsim_refine with ``base_df`` on a ``rerank_in_index=False`` index
+    (r05 verdict #5: the last rerank-in-table parity asymmetry — single
+    and batch KNN already accept a base table; the reference's rerank heap
+    fetches vectors from the heap for every storage,
+    /root/reference/crates/vchordrq/src/rerank.rs:113-137). Contract bits:
+    full-budget refine fed by the exploded (packed id, vec) base table
+    reproduces the all-exact result row-identically, and the same call
+    WITHOUT base_df raises (payload-free storage cannot refine)."""
+    import tempfile
+
+    from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions
+    from vectorchord_spark.operators.maxsim import maxsim_search
+
+    docs = _multivec_docs(spark, sf_dir)
+    key = (sf_dir, "multivec-dot-noidx")
+    idx = _IVF_CACHE.get(key)
+    if idx is None:
+        path = _register_tmpdir(tempfile.mkdtemp(prefix="vc_ivf_mvrt_"))
+        idx = IvfIndex.build_multivector(
+            spark, docs, "doc_id", "vecs", path,
+            IvfOptions(metric="dot", lists=[16], rerank_in_index=False),
+        )
+        _IVF_CACHE[key] = idx
+    shift = F.lit(1 << IvfIndex.TOKEN_BITS)
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("_doc"),
+        F.posexplode("vecs").alias("_tok", "vec"),
+    ).select(
+        (F.col("_doc") * shift + F.col("_tok")).cast("long").alias("id"), "vec"
+    )
+    exact = maxsim_search(
+        idx, None, MAXSIM_TOKENS, k=10, per_token_candidates=1 << 30,
+        probes=None, base_df=base,
+    )
+    want = [(r.doc_id, round(float(r.score), 6)) for r in exact.collect()]
+    full = maxsim_search(
+        idx, None, MAXSIM_TOKENS, k=10, per_token_candidates=1 << 30,
+        probes=None, maxsim_refine=1 << 30, base_df=base,
+    )
+    got = [(r.doc_id, round(float(r.score), 6)) for r in full.collect()]
+    try:
+        maxsim_search(
+            idx, None, MAXSIM_TOKENS, k=10, per_token_candidates=8,
+            probes=None, maxsim_refine=4,
+        )
+        raises_without_base = 0
+    except NotImplementedError:
+        raises_without_base = 1
+    return spark.createDataFrame(
+        [(len(got), int(got == want), raises_without_base)],
+        "n_results bigint, full_refine_exact bigint, raises_without_base bigint",
+    )
+
+
+_MAXSIM_REFINE_RERANK_TABLE_SQL = """
+SELECT CAST(10 AS BIGINT) AS n_results,
+       CAST(1 AS BIGINT) AS full_refine_exact,
+       CAST(1 AS BIGINT) AS raises_without_base
+"""
+
+
 def _ann_hierarchical_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical k-means build (B5): coarse √c-cluster pass, Sainte-Laguë
     seat allocation of per-partition cluster counts, per-partition Lloyd
@@ -4108,6 +4170,9 @@ def _catalog_canonical() -> dict[str, Q]:
         "knn_batch_rerank_table": Q(_knn_batch_rerank_table_fn, _knn_batch_sql()),
         "knn_batch_prefilter": Q(_knn_batch_prefilter_fn, _knn_batch_prefilter_sql()),
         "maxsim_refine_f16": Q(_maxsim_refine_f16_fn, _MAXSIM_REFINE_F16_SQL),
+        "maxsim_refine_rerank_table": Q(
+            _maxsim_refine_rerank_table_fn, _MAXSIM_REFINE_RERANK_TABLE_SQL
+        ),
         "streaming_knn_serve": Q(_streaming_knn_serve_fn, _knn_batch_sql()),
         "embed_neardup_lsh": Q(_embed_neardup_lsh_fn, _embed_neardup_lsh_sql(), headline=True),
         "dedup_groups": Q(_dedup_groups_fn, _dedup_groups_sql()),
