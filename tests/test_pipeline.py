@@ -131,6 +131,35 @@ def test_connected_components(spark):
     assert got_dist == want
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir enables periodic RELIABLE checkpoints (r05 verdict
+    #8: localCheckpoint blocks live on executors — an executor loss on a
+    multi-hour run forces a restart; a checkpoint dir bounds replay).
+    Labels must be identical to the local-only path, and checkpoint files
+    must actually land in the directory (interval=1 ⇒ every round)."""
+    import os as _os
+
+    # a 9-node chain needs several pointer-doubling rounds, so interval=1
+    # exercises the reliable branch repeatedly
+    chain = [(i, i + 1) for i in range(1, 9)]
+    edges = spark.createDataFrame(chain, "ida long, idb long")
+    want = {(i, 1) for i in range(1, 10)}
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        (r.id, r.component)
+        for r in dedup.connected_components(
+            edges, driver_threshold=0, checkpoint_dir=ckpt, checkpoint_interval=1
+        ).collect()
+    }
+    assert got == want
+    written = [
+        f
+        for root, _dirs, files in _os.walk(ckpt)
+        for f in files
+    ]
+    assert written, "no reliable checkpoint files written under checkpoint_dir"
+
+
 def test_text_operators(spark):
     df = spark.createDataFrame(
         [(1, "the fast fox and the slow dog")], "doc_id long, text string"

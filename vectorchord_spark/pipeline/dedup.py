@@ -406,6 +406,8 @@ def connected_components(
     b_col: str = "idb",
     max_iter: int = 20,
     driver_threshold: int = 2_000_000,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation (the dedup
     *grouping* step: near-dup pairs → duplicate clusters → one keeper each).
@@ -429,8 +431,20 @@ def connected_components(
     string ids). The iterative path remains the default for anything
     larger; pass ``driver_threshold=0`` to force it (skipping the
     path-selection count job too).
+
+    ``checkpoint_dir``: durability option for long cluster runs.
+    ``localCheckpoint`` (the default lineage truncation) stores blocks on
+    executors — on a multi-hour 100 TB run an executor loss forces a job
+    restart. With a reliable directory set (HDFS/S3/shared FS), every
+    ``checkpoint_interval``-th round writes a RELIABLE checkpoint via
+    ``sparkContext.setCheckpointDir`` instead, bounding replay after an
+    executor loss to at most ``checkpoint_interval`` rounds; the remaining
+    rounds keep the cheap local path. Locally-tested default stays
+    local-only (None).
     """
     spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
     # canonicalize to undirected (min,max) pairs BEFORE the path decision:
     # the threshold compares against true undirected edge count (not the
     # 2x symmetrized set) and the driver pull is half the size
@@ -533,8 +547,13 @@ def connected_components(
             # any scale, same reason GraphX checkpoints Pregel state).
             # Old rounds' blocks are reclaimed by the ContextCleaner
             # once unreferenced.
-            .localCheckpoint(eager=True)
         )
+        if checkpoint_dir is not None and (it + 1) % checkpoint_interval == 0:
+            # periodic reliable checkpoint: survives executor loss (blocks
+            # land in checkpoint_dir, not executor memory)
+            new_labels = new_labels.checkpoint(eager=True)
+        else:
+            new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
