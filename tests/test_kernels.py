@@ -161,3 +161,15 @@ def test_exact_distance_goldens():
     assert round(float(np.sqrt(K.exact_distances("l2", a, b)[0])), 3) == 1.732
     assert round(float(K.exact_distances("dot", a, b)[0]), 3) == -20.0
     assert round(float(K.exact_distances("cos", a, b)[0]), 3) == 0.007
+
+
+def test_limit_blas_threads():
+    """The worker-side BLAS cap (docs/SCALE.md r06: 32 workers x 2-thread
+    OpenBLAS aggregated 66.7k rotate-rows/s vs 444.6k with 1 thread each)
+    must find the loaded OpenBLAS, succeed, and be idempotent — and must
+    not change rotation results (thread count is a scheduling knob)."""
+    before = K.rotate(np.arange(768, dtype=np.float32))
+    assert K.limit_blas_threads(1) is True
+    assert K.limit_blas_threads(1) is True  # idempotent fast path
+    after = K.rotate(np.arange(768, dtype=np.float32))
+    assert np.array_equal(before, after)

@@ -56,6 +56,15 @@ def main() -> None:
     t_marks = {}
     orig_hier = km_mod.hierarchical
     orig_encode = IvfIndex._encode_and_write
+    orig_sample = ivf_mod.bounded_sample_vectors
+
+    def timed_sample(*a, **kw):
+        t0 = time.perf_counter()
+        r = orig_sample(*a, **kw)
+        t_marks["sample"] = time.perf_counter() - t0
+        return r
+
+    ivf_mod.bounded_sample_vectors = timed_sample
 
     def timed_hier(*a, **kw):
         t0 = time.perf_counter()
@@ -80,7 +89,8 @@ def main() -> None:
     sample_etc = total - t_marks.get("kmeans", 0) - t_marks.get("encode", 0)
     print(
         f"rows={n_rows} total={total:.1f}s ({n_rows / total:,.0f} rows/s) | "
-        f"sample+misc={sample_etc:.1f}s kmeans={t_marks.get('kmeans', 0):.1f}s "
+        f"sample+misc={sample_etc:.1f}s (sample={t_marks.get('sample', 0):.1f}s) "
+        f"kmeans={t_marks.get('kmeans', 0):.1f}s "
         f"encode={t_marks.get('encode', 0):.1f}s"
     )
     spark.stop()

@@ -16,6 +16,22 @@ Quickstart::
     idx.search(q, k=10, probes=[64])
 """
 
+def _limit_blas_in_workers() -> None:
+    # Executor Python workers import this package when unpickling UDF
+    # closures; cap their BLAS to 1 thread there (parallelism across
+    # workers is Spark's job — see kernels.limit_blas_threads for the
+    # 6.7x measurement). pyspark.worker/daemon are only ever loaded
+    # inside worker processes, so the driver is untouched.
+    import sys
+
+    if "pyspark.worker" in sys.modules or "pyspark.daemon" in sys.modules:
+        from vectorchord_spark.kernels import limit_blas_threads
+
+        limit_blas_threads(1)
+
+
+_limit_blas_in_workers()
+
 from vectorchord_spark import functions
 from vectorchord_spark.operators.graph import VamanaIndex, VamanaOptions
 from vectorchord_spark.operators.ivf import IvfIndex, IvfOptions

@@ -27,6 +27,53 @@ from __future__ import annotations
 
 import numpy as np
 
+_BLAS_LIMITED = False
+
+
+def limit_blas_threads(n: int = 1) -> bool:
+    """Cap OpenBLAS threads at runtime (idempotent; returns success).
+
+    Executor Python workers MUST run BLAS single-threaded: each worker's
+    GEMMs are small but numerous, and OpenBLAS's extra threads busy-spin
+    between them — measured on this 32-core container, 32 workers x
+    2-thread OpenBLAS aggregate 66.7k rotate-rows/s at 768d vs 444.6k
+    rows/s with 1 thread each (6.7x; docs/SCALE.md). Parallelism across
+    workers is Spark's job, not BLAS's. Called automatically in worker
+    processes by the package __init__; the driver keeps its default BLAS
+    threading (its k-means GEMMs are large and run while executors idle).
+
+    Uses the runtime openblas_set_num_threads entry point of the BLAS
+    numpy actually loaded (env vars are read only at library init, far
+    too early to set from here)."""
+    global _BLAS_LIMITED
+    if _BLAS_LIMITED:
+        return True
+    import ctypes
+    import glob
+    import os
+
+    lib_dirs = [
+        os.path.abspath(
+            os.path.join(os.path.dirname(np.__file__), "..", "numpy.libs")
+        ),
+        "/usr/local/lib",
+        "/usr/lib",
+    ]
+    for d in lib_dirs:
+        for so in sorted(glob.glob(os.path.join(d, "libopenblas*.so*"))):
+            try:
+                lib = ctypes.CDLL(so)  # dlopen dedups: same handle numpy holds
+            except OSError:
+                continue
+            for sym in ("openblas_set_num_threads64_", "openblas_set_num_threads"):
+                fn = getattr(lib, sym, None)
+                if fn is not None:
+                    fn(int(n))
+                    _BLAS_LIMITED = True
+                    return True
+    return False
+
+
 __all__ = [
     "rotate",
     "rotate_inverse",

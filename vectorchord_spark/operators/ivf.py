@@ -612,7 +612,18 @@ class IvfIndex(QuerySampling):
                 pa.binary(nbytes), n, [None, pa.py_buffer(buf)]
             ).cast(pa.binary())
 
+        # VC_ENCODE_TIMERS=1: per-worker phase timers (rotate / route+code /
+        # arrow assembly) printed to executor stderr — the falsifiability
+        # instrument for build-throughput claims (r05 verdict #4): compute
+        # ceilings are measured in the worker, IO ceilings from the A/B of
+        # destination dirs (tools/profile_build.py + docs/SCALE.md).
+        timers_on = os.environ.get("VC_ENCODE_TIMERS") == "1"
+
         def encode(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+            import time as _time
+
+            t_rot = t_code = t_arrow = 0.0
+            n_tot = 0
             centroids = bc.value  # (L, d) f32, rotated space
             # routing assignment in f32 (BLAS sgemm): at 1M rows x 1k cells
             # the f64 distance matrix is memory-bound and dominates build
@@ -629,7 +640,11 @@ class IvfIndex(QuerySampling):
                 if flat.type != pa.float32():
                     flat = flat.cast(pa.float32())
                 mat = np.asarray(flat).reshape(n, dim)
+                t0 = _time.perf_counter() if timers_on else 0.0
                 rot = K.rotate(mat)
+                if timers_on:
+                    t_rot += _time.perf_counter() - t0
+                    t0 = _time.perf_counter()
                 # argmin distance == argmax score; computing the score
                 # in-place halves the memory traffic of the (n, L) routing
                 # matrix (it dominates encode time at large L)
@@ -657,6 +672,9 @@ class IvfIndex(QuerySampling):
                             )
                 else:
                     delta = np.zeros(n, np.float32)
+                if timers_on:
+                    t_code += _time.perf_counter() - t0
+                    t0 = _time.perf_counter()
                 packed = np.packbits(cm["signs"], axis=1, bitorder="little")
                 code_arr = _fixed_binary(packed.tobytes(), packed.shape[1], n)
                 if keep_vec:
@@ -691,6 +709,9 @@ class IvfIndex(QuerySampling):
                     sq_code = pa.nulls(n, pa.binary())
                     sq_du2 = pa.nulls(n, pa.float32())
                     sq_nol = pa.nulls(n, pa.float32())
+                if timers_on:
+                    t_arrow += _time.perf_counter() - t0
+                    n_tot += n
                 yield pa.record_batch(
                     [
                         ids,
@@ -722,6 +743,16 @@ class IvfIndex(QuerySampling):
                         "sq_nol",
                         "sq_code",
                     ],
+                )
+
+            if timers_on and n_tot:
+                import sys as _sys
+
+                print(
+                    f"[vc-encode-timer] rows={n_tot} rotate={t_rot:.3f}s "
+                    f"route+code={t_code:.3f}s arrow={t_arrow:.3f}s",
+                    file=_sys.stderr,
+                    flush=True,
                 )
 
         encoded = src.mapInArrow(encode, schema=CODES_SCHEMA)

@@ -7,21 +7,20 @@ exceeds the rows-per-partition a global TakeOrdered/orderBy degenerates
 into collect-everything). This is the Spark analogue of the bound the
 reference's Feistel TSM sampling enforces (am_build.rs:1306-1311).
 
-A JVM-side prefilter keeps the Python stage cheap at scale: only rows whose
+A JVM-side prefilter bounds the data volume at scale: only rows whose
 random key falls under a per-partition threshold (sized from exact
-per-partition counts so ~2x the kept rows survive) cross the Arrow boundary
-— at 250k x 768d this cuts the sampling pass's JVM->Python transfer from
-~750 MB to ~2x the sample size. The selected rows are identical to the
-unfiltered sampler's (both keep the per-partition smallest keys; the filter
-only removes rows that could never be selected), except in the
-astronomically unlikely tail where a partition's per_part-th smallest key
-exceeds 2x its expectation — the sample then comes up slightly short,
-which the k-means callers tolerate (cap is a budget, not a contract).
+per-partition counts so ~2x the kept rows survive) enter the window stage
+— at 250k x 768d this cuts the pass from ~750 MB to ~2x the sample size.
+The selected rows are identical to the unfiltered sampler's (both keep the
+per-partition smallest keys; the filter only removes rows that could never
+be selected), except in the astronomically unlikely tail where a
+partition's per_part-th smallest key exceeds 2x its expectation — the
+sample then comes up slightly short, which the k-means callers tolerate
+(cap is a budget, not a contract). The bound itself is a pure-JVM window
+rank; vectors reach Python exactly once, in the final driver toPandas.
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -61,19 +60,21 @@ def bounded_sample_vectors(df: DataFrame, cap: int, seed: int) -> pd.DataFrame:
         ).otherwise(F.lit(1.0))
         src = src.where(F.col("_u") < thresh)
 
-    def _local_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        best: pd.DataFrame | None = None
-        for pdf in batches:
-            cur = pdf if best is None else pd.concat([best, pdf], ignore_index=True)
-            if len(cur) > per_part:
-                keep = np.argpartition(cur["_u"].to_numpy(), per_part)[:per_part]
-                cur = cur.iloc[keep].reset_index(drop=True)
-            best = cur
-        if best is not None and len(best):
-            yield best[["vec"]]
+    # per-partition bound as a pure-JVM window: rank by the seeded key
+    # within each ORIGINAL partition (spark_partition_id() is evaluated
+    # before the window exchange) and keep the per_part smallest — the
+    # same selection as the previous Python stage, but the vectors cross
+    # the Arrow boundary exactly once (driver toPandas) instead of three
+    # times (JVM→Python, Python→JVM, driver collect): measured 3.6s → ~1s
+    # on the 250k × 768d build. The window shuffle moves only the
+    # prefiltered ~2·cap rows.
+    from pyspark.sql import Window
 
+    w = Window.partitionBy(F.spark_partition_id()).orderBy("_u")
     return (
-        src.mapInPandas(_local_sample, "vec array<float>")
+        src.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= per_part)
+        .select("vec")
         .limit(cap)
         .toPandas()
     )

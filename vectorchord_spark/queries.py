@@ -4211,12 +4211,12 @@ def _catalog_canonical() -> dict[str, Q]:
         "fingerprint": Q(_fingerprint_fn, _FINGERPRINT_SQL),
         "quality_filter": Q(_quality_filter_fn, _QUALITY_FILTER_SQL),
         "token_histogram": Q(_token_histogram_fn, _TOKEN_HISTOGRAM_SQL),
-        "repetition_stats": Q(_repetition_stats_fn, _REPETITION_STATS_SQL),
-        "redact_pii": Q(_redact_pii_fn, _redact_pii_sql()),
+        "repetition_stats": Q(_repetition_stats_fn, _REPETITION_STATS_SQL, headline=True),
+        "redact_pii": Q(_redact_pii_fn, _redact_pii_sql(), headline=True),
         "train_val_split": Q(_train_val_split_fn, _TRAIN_VAL_SPLIT_SQL),
         "stratified_sample": Q(_stratified_sample_fn, _STRATIFIED_SAMPLE_SQL),
         "mixture_weights": Q(_mixture_weights_fn, _MIXTURE_WEIGHTS_SQL),
-        "decontaminate": Q(_decontaminate_fn, _DECONTAMINATE_SQL),
+        "decontaminate": Q(_decontaminate_fn, _DECONTAMINATE_SQL, headline=True),
         "multimodal_image": Q(_multimodal_image_fn, _MULTIMODAL_IMAGE_SQL),
         "multimodal_audio": Q(_multimodal_audio_fn, _MULTIMODAL_AUDIO_SQL),
         "multimodal_video": Q(_multimodal_video_fn, _MULTIMODAL_VIDEO_SQL),
