@@ -4099,23 +4099,30 @@ def _load_hash_snapshots() -> dict:
         return {}
 
 
-def _effective_history(entries: "dict[str, Q]") -> dict[str, int]:
-    """Last-green round per entry, DEMOTED to never-verified (-1) when the
-    entry's content hash has changed since the snapshot taken for that
-    round — so modified operators re-enter the gate prefix immediately
-    instead of coasting on stale evidence for a round."""
+def _effective_history(entries: "dict[str, Q]") -> "dict[str, tuple[int, bool]]":
+    """Per entry: (last green round, content-hash-demoted?).
+
+    ``demoted`` is True when the entry's content hash differs from the
+    snapshot taken for its last green round — its green evidence no longer
+    describes the current code, so it re-enters the gate ahead of
+    same-round peers. Demotion is a WITHIN-round tiebreak, not a jump to
+    the front of the queue: genuinely staler rounds still gate first, so
+    the driver's bounded prefix keeps the ≤2-round union-coverage
+    invariant even when a broad module edit demotes many fresh entries at
+    once (spillover demoted entries stay demoted and lead the next
+    round)."""
     hist = _verification_history()
     snaps = _load_hash_snapshots()
-    out: dict[str, int] = {}
+    out: dict[str, tuple[int, bool]] = {}
     for name, q in entries.items():
         r = hist.get(name, -1)
+        demoted = False
         if r >= 0:
             snap = snaps.get("r%02d" % r, snaps.get("r%d" % r))
             if snap is not None:
                 recorded = snap.get(name)
-                if recorded is None or recorded != _entry_hash(name, q):
-                    r = -1
-        out[name] = r
+                demoted = recorded is None or recorded != _entry_hash(name, q)
+        out[name] = (r, demoted)
     return out
 
 
@@ -4123,16 +4130,20 @@ def catalog() -> dict[str, Q]:
     # ORDER MATTERS: the driver's correctness gate runs a bounded prefix of
     # this dict (50 entries in r02/r03), so entries are ordered by
     # verification STALENESS: never-verified first, then oldest green row
-    # first (ties broken by canonical position below). This is
-    # self-balancing rotation — whatever the gate prefix misses this round
-    # has the stalest evidence next round and sorts to the front, so no
-    # entry's newest green row is ever more than ~2 rounds old. An entry
-    # whose content hash changed since its last green snapshot counts as
-    # never-verified (_effective_history).
+    # first, hash-demoted entries ahead of clean peers within a round
+    # (ties broken by canonical position below). This is self-balancing
+    # rotation — whatever the gate prefix misses this round has the
+    # stalest evidence next round and sorts to the front, so no entry's
+    # newest green row is ever more than ~2 rounds old.
     entries = _catalog_canonical()
     hist = _effective_history(entries)
     ordered = sorted(
-        enumerate(entries.items()), key=lambda t: (hist.get(t[1][0], -1), t[0])
+        enumerate(entries.items()),
+        key=lambda t: (
+            hist.get(t[1][0], (-1, False))[0],
+            not hist.get(t[1][0], (-1, False))[1],
+            t[0],
+        ),
     )
     return {name: q for _, (name, q) in ordered}
 
