@@ -500,29 +500,46 @@ def _build_vamana_bulk(
             if p not in nbr_sets[j]:
                 nbr_sets[j].add(p)
                 adj[j].append(p)
+    # After bidirectional edge insertion MOST vertices are oversized (the
+    # in-degree tail is long: measured 33..348 at n=10k, m=32), and the
+    # prune's pairwise matrix costs O(k²) per row — padding every row to
+    # the GLOBAL max length did ~48x the needed work and overran the 64 MB
+    # block budget (sized for the main pass's K) ~5x. Sort by adjacency
+    # length and cut blocks at a LOCAL kmax under the same byte budget:
+    # padding never exceeds one block's length spread. Measured: the
+    # re-prune pass drops 17.3s -> ~1s at n=10k (same output — row order
+    # within _batch_robust_prune is independent).
     over = [j for j in range(n) if len(adj[j]) > m]
     if over:
-        kmax = max(len(adj[j]) for j in over)
-        o_ids = np.zeros((len(over), kmax), np.int64)
-        o_d = np.full((len(over), kmax), np.inf, np.float32)
-        for r, j in enumerate(over):
-            nb = np.asarray(adj[j], np.int64)
-            nd = (
-                sq32[nb] - 2.0 * (v32[nb] @ v32[j]) + sq32[j]
-                if metric == "l2"
-                else -(v32[nb] @ v32[j])
-            )
-            o = np.argsort(nd, kind="stable")
-            o_ids[r, : len(nb)] = nb[o]
-            o_d[r, : len(nb)] = nd[o]
-        pruned = []
-        for s in range(0, len(over), PB):
-            e = min(len(over), s + PB)
-            pruned.extend(
-                _batch_robust_prune(v32, metric, alphas, m, o_ids[s:e], o_d[s:e])
-            )
-        for j, new in zip(over, pruned):
-            adj[j] = new
+        over.sort(key=lambda j: len(adj[j]))
+        i = 0
+        while i < len(over):
+            # grow the block while (rows × local_kmax² × 4B) stays ≤64 MB;
+            # ascending sort makes the last row's length the block kmax
+            e = i + 1
+            while e < len(over) and (e + 1 - i) * len(adj[over[e]]) ** 2 * 4 <= (
+                64 << 20
+            ):
+                e += 1
+            blk = over[i:e]
+            kmax = len(adj[blk[-1]])
+            o_ids = np.zeros((len(blk), kmax), np.int64)
+            o_d = np.full((len(blk), kmax), np.inf, np.float32)
+            for r, j in enumerate(blk):
+                nb = np.asarray(adj[j], np.int64)
+                nd = (
+                    sq32[nb] - 2.0 * (v32[nb] @ v32[j]) + sq32[j]
+                    if metric == "l2"
+                    else -(v32[nb] @ v32[j])
+                )
+                o = np.argsort(nd, kind="stable")
+                o_ids[r, : len(nb)] = nb[o]
+                o_d[r, : len(nb)] = nd[o]
+            for j, new in zip(
+                blk, _batch_robust_prune(v32, metric, alphas, m, o_ids, o_d)
+            ):
+                adj[j] = new
+            i = e
     _repair_connectivity(adj, medoid, v64)
     return adj, medoid
 
@@ -765,6 +782,26 @@ class VamanaIndex(QuerySampling):
         opts = options or VamanaOptions()
         opts.validate()
         os.makedirs(path, exist_ok=True)
+
+        # driver-side phase timers (VC_GRAPH_TIMERS=1): the falsifiability
+        # instrument for build-throughput claims, mirroring the IVF
+        # build's VC_ENCODE_TIMERS — wall-clock per phase so "the build is
+        # slow" decomposes into sample/kmeans/count/build+write
+        import time as _time
+
+        _timers_on = os.environ.get("VC_GRAPH_TIMERS") == "1"
+        _t0 = _time.perf_counter()
+        _last = [_t0]
+
+        def _mark(phase: str) -> None:
+            if _timers_on:
+                now = _time.perf_counter()
+                print(
+                    f"[vc-graph-build] {phase}: {now - _last[0]:.2f}s "
+                    f"(cum {now - _t0:.2f}s)",
+                    flush=True,
+                )
+                _last[0] = now
         # NULL vectors are skipped (reference null.fail / issue_427 contract)
         src = df.where(F.col(vec_col).isNotNull()).select(
             F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
@@ -794,8 +831,10 @@ class VamanaIndex(QuerySampling):
         # orderBy(rand).limit degenerates into sort-everything at scale;
         # shards are spatial clusters so query routing = centroid argmin,
         # the SPANN-style layout) ---
+        _mark("count")
         cap = max(n_shards * 256, 1024)
         sample_pd = bounded_sample_vectors(src, cap, opts.seed)
+        _mark("sample")
         if len(sample_pd):
             samples = np.stack(sample_pd["vec"].to_numpy()).astype(np.float32)
             dim = samples.shape[1]
@@ -811,6 +850,7 @@ class VamanaIndex(QuerySampling):
             )
         cents = KM.lloyd(samples, n_shards, 10, opts.seed, False).astype(np.float32)
         bc_cents = spark.sparkContext.broadcast(cents)
+        _mark("kmeans")
 
         metric = opts.metric
         repl = min(int(opts.replication), int(n_shards))
@@ -845,6 +885,7 @@ class VamanaIndex(QuerySampling):
             .agg(F.count(F.lit(1)).alias("cnt"))
             .collect()
         }
+        _mark("label-count")
         n_sub = [
             max(1, -(-cluster_cnt.get(c, 0) // _MAX_SHARD_ROWS))
             for c in range(n_shards)
@@ -894,9 +935,15 @@ class VamanaIndex(QuerySampling):
             )
 
         graph = assigned.groupBy("shard").applyInPandas(build_shard, GRAPH_SCHEMA)
-        graph.repartition(F.col("shard")).write.mode("overwrite").partitionBy(
-            "shard"
-        ).parquet(os.path.join(path, "graph"))
+        # applyInPandas output already holds whole shards per task, so the
+        # partitionBy write needs no repartition — the previous
+        # repartition(shard) pushed the FAT built graph (vecs + neighbors
+        # + codes, ~1 GB at 1M rows) through a second full shuffle for an
+        # identical one-dir-per-shard layout
+        graph.write.mode("overwrite").partitionBy("shard").parquet(
+            os.path.join(path, "graph")
+        )
+        _mark("build+write")
 
         # per-shard row counts (replicas included — they are traversal
         # vertices) so serving can auto-scale ef_search with shard size;
