@@ -246,6 +246,14 @@ def _robust_prune(
     return [int(ids[i]) for i in kept]
 
 
+#: byte budget for one pairwise block in the alpha-prune passes. 8 MB
+#: (not 64) on purpose: the (B, K, K) pairwise matrix must stay near-L3-
+#: resident because builds run ~32 concurrent shard tasks per node —
+#: measured at n=10k solo 2.7s -> 1.6s, and it is the difference between
+#: DRAM-bandwidth-bound and cache-resident under full concurrency
+_PRUNE_BLOCK_BYTES = 8 << 20
+
+
 def _batch_robust_prune(
     v32: np.ndarray,
     metric: str,
@@ -454,20 +462,48 @@ def _build_vamana_bulk(
     knn_idx = np.empty((n, K), np.int64)
     knn_d = np.empty((n, K), np.float32)
     rand_idx = rng.integers(0, n, size=(n, nr))
-    # block rows so each (B, n) f32 distance block stays ~64 MB
-    B = max(1, (64 << 20) // max(1, n * 4))
+    # Streaming tiled top-k: the build runs ~32 concurrent shard tasks per
+    # node, so the candidate pass must be CACHE-resident, not just
+    # blocked — materializing (B, n) distance rows (the previous layout,
+    # ~64 MB per block) made 32 workers contend for DRAM bandwidth and
+    # degraded per-task speed 3.7x vs solo. With a (256-row, 2048-col)
+    # tile and a running top-k merge, the working set is ~2 MB and the
+    # same pass measures 10x faster at n=10k / 4.7x at n=30k under
+    # 32-way concurrency (solo speed unchanged). Candidate SETS are
+    # identical to the one-shot argpartition; only tie order can differ.
+    ids_all = np.arange(n, dtype=np.int64)
+    B, T = 256, 2048
     for s in range(0, n, B):
         e = min(n, s + B)
-        if metric == "l2":
-            d = sq32[s:e, None] - 2.0 * (v32[s:e] @ v32.T) + sq32[None, :]
-        else:
-            d = -(v32[s:e] @ v32.T)
-        d[np.arange(e - s), np.arange(s, e)] = np.inf  # exclude self
-        part = np.argpartition(d, k - 1, axis=1)[:, :k]
-        pdist = np.take_along_axis(d, part, axis=1)
+        rows = np.arange(s, e)
+        cur_d = np.full((e - s, k), np.inf, np.float32)
+        cur_i = np.zeros((e - s, k), np.int64)
+        for ts in range(0, n, T):
+            te = min(n, ts + T)
+            g = v32[s:e] @ v32[ts:te].T
+            if metric == "l2":
+                d = sq32[s:e, None] - 2.0 * g + sq32[ts:te][None, :]
+            else:
+                d = -g
+            if ts < e and te > s:  # exclude self where tile overlaps rows
+                ov = rows[(rows >= ts) & (rows < te)]
+                d[ov - s, ov - ts] = np.inf
+            cat_d = np.concatenate([cur_d, d], axis=1)
+            cat_i = np.concatenate(
+                [cur_i, np.broadcast_to(ids_all[ts:te], d.shape)], axis=1
+            )
+            sel = np.argpartition(cat_d, k - 1, axis=1)[:, :k]
+            cur_d = np.take_along_axis(cat_d, sel, axis=1)
+            cur_i = np.take_along_axis(cat_i, sel, axis=1)
         ri = rand_idx[s:e]
-        allid = np.concatenate([part, ri], axis=1)
-        alld = np.concatenate([pdist, np.take_along_axis(d, ri, axis=1)], axis=1)
+        gr = np.einsum("bd,bkd->bk", v32[s:e], v32[ri])
+        if metric == "l2":
+            rd = (sq32[s:e, None] - 2.0 * gr + sq32[ri]).astype(np.float32)
+        else:
+            rd = (-gr).astype(np.float32)
+        rd[ri == rows[:, None]] = np.inf  # a rand draw of the row itself
+        allid = np.concatenate([cur_i, ri], axis=1)
+        alld = np.concatenate([cur_d, rd], axis=1)
         order = np.argsort(alld, axis=1, kind="stable")
         knn_idx[s:e] = np.take_along_axis(allid, order, axis=1)
         knn_d[s:e] = np.take_along_axis(alld, order, axis=1)
@@ -484,7 +520,7 @@ def _build_vamana_bulk(
     knn_d[dup] = np.inf
     # blockwise vectorized alpha-prune of every vertex's candidates
     adj: list[list[int]] = []
-    PB = max(1, (64 << 20) // max(1, K * K * 4))
+    PB = max(1, _PRUNE_BLOCK_BYTES // max(1, K * K * 4))
     for s in range(0, n, PB):
         e = min(n, s + PB)
         adj.extend(
@@ -517,8 +553,8 @@ def _build_vamana_bulk(
             # grow the block while (rows × local_kmax² × 4B) stays ≤64 MB;
             # ascending sort makes the last row's length the block kmax
             e = i + 1
-            while e < len(over) and (e + 1 - i) * len(adj[over[e]]) ** 2 * 4 <= (
-                64 << 20
+            while e < len(over) and (
+                (e + 1 - i) * len(adj[over[e]]) ** 2 * 4 <= _PRUNE_BLOCK_BYTES
             ):
                 e += 1
             blk = over[i:e]
@@ -554,8 +590,13 @@ _BULK_MAX_ROWS = 100_000
 #: into hash-subshards at build (routing still probes whole clusters), so
 #: single-task build time/memory is bounded by construction even when
 #: k-means masses are skewed (measured 500..51.7k rows/shard at 1M rows)
-#: and stays comfortably inside the bulk builder's sweet spot
-_MAX_SHARD_ROWS = 40_000
+#: and stays comfortably inside the bulk builder's sweet spot. 20k (was
+#: 40k): the bulk candidate pass is quadratic per shard, so the straggler
+#: task that bounds build wall-clock costs ~4x per row at 40k vs 20k
+#: (measured: the 1M-row build's slowest tasks were all its ~40k shards
+#: at 37-77s each); recall is unaffected by construction since probed
+#: clusters always expand to ALL their subshards
+_MAX_SHARD_ROWS = 20_000
 
 
 def _build_graph(
@@ -914,14 +955,21 @@ class VamanaIndex(QuerySampling):
         seed = opts.seed
         bits = opts.bits
 
+        worker_timers = os.environ.get("VC_GRAPH_TIMERS") == "1"
+
         def build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            import time as _t
+
+            _w0 = _t.perf_counter()
             o = VamanaOptions(**{**opts_d, "n_shards": n_shards})
             shard = int(pdf["shard"].iloc[0])
             vecs = np.stack([np.asarray(v, np.float32) for v in pdf["vec"]])
+            _w1 = _t.perf_counter()
             rng = np.random.default_rng(seed + shard)
             adj, medoid = _build_graph(vecs, o, rng)
+            _w2 = _t.perf_counter()
             n = len(vecs)
-            return pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "shard": shard,
                     "id": pdf["id"].to_numpy(np.int64),
@@ -933,8 +981,31 @@ class VamanaIndex(QuerySampling):
                     **_vertex_codes(vecs, bits),
                 }
             )
+            if worker_timers:
+                import sys as _sys
 
-        graph = assigned.groupBy("shard").applyInPandas(build_shard, GRAPH_SCHEMA)
+                print(
+                    f"[vc-graph-shard] shard={shard} n={n} "
+                    f"stack={_w1 - _w0:.2f}s vamana={_w2 - _w1:.2f}s "
+                    f"assemble={_t.perf_counter() - _w2:.2f}s",
+                    file=_sys.stderr,
+                    flush=True,
+                )
+            return out
+
+        # pin the build-stage partition count: the group-by would use the
+        # session shuffle partitions and AQE's coalesce then packs ~4
+        # shards per task (measured 30 tasks for 111 shards at 1M rows) —
+        # the build is CPU-bound per shard, so packing turns the wall
+        # clock into the straggler task's SUM of shards instead of the
+        # largest single shard. An explicit count disables AQE coalescing
+        # for this exchange and 4x the shard count makes hash collisions
+        # (two shards in one task) rare; empty partitions cost nothing.
+        graph = (
+            assigned.repartition(max(32, 4 * total_shards), "shard")
+            .groupBy("shard")
+            .applyInPandas(build_shard, GRAPH_SCHEMA)
+        )
         # applyInPandas output already holds whole shards per task, so the
         # partitionBy write needs no repartition — the previous
         # repartition(shard) pushed the FAT built graph (vecs + neighbors

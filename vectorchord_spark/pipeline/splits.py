@@ -125,3 +125,48 @@ def mixture_weights(
             ),
         )
     return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    n_tokens_col: Column | str,
+    context_len: int,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """Map whole documents onto fixed-size training context windows (the
+    concat-and-split packing of LLM pre-training dataloaders: documents
+    are concatenated into a token stream in a deterministic order and the
+    stream is cut every ``context_len`` tokens), without driver state.
+
+    Documents are hash-bucketed (md5, like :func:`split_bucket` — stable
+    under repartitioning), ordered by id within their bucket, and the
+    bucket's token stream is cut every ``context_len`` tokens. Each doc
+    learns which windows it lands in: ``pack_first``/``pack_last`` (0-based
+    window numbers within the bucket; a doc longer than the remaining
+    window space spans multiple windows) and ``pack_offset`` (token
+    position of the doc's first token within its first window). One window
+    shuffle partitioned by bucket; buckets bound the sort, so parallelism
+    is ``n_buckets``-wide regardless of corpus size. Exact integer
+    arithmetic: any engine reproduces the assignment bit-for-bit."""
+    from pyspark.sql import Window
+
+    c = F.col(n_tokens_col) if isinstance(n_tokens_col, str) else n_tokens_col
+    bucket = (split_bucket(id_col, salt) % F.lit(n_buckets)).alias("pack_bucket")
+    w = Window.partitionBy("pack_bucket").orderBy(id_col)
+    out = df.withColumn("pack_bucket", bucket).withColumn(
+        "_cum", F.sum(c).over(w)
+    )
+    prev = F.col("_cum") - c
+    return (
+        out.withColumn("pack_first", F.floor(prev / F.lit(context_len)))
+        .withColumn(
+            # the -least(1, c) keeps zero-token docs point-located at their
+            # stream position (pack_last == pack_first) instead of inverted
+            "pack_last",
+            F.floor((F.col("_cum") - F.least(F.lit(1), c)) / F.lit(context_len)),
+        )
+        .withColumn("pack_offset", prev % F.lit(context_len))
+        .drop("_cum")
+    )

@@ -199,3 +199,42 @@ def redact_pii(
         ).cast("bigint")
         out = F.regexp_replace(out, pat, replacement.format(kind=kind))
     return df.withColumns({f"{text_col}_redacted": out, **counts})
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_words: int = 64,
+    overlap_words: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping word-window chunks (the
+    RAG/embedding preprocessing step: long docs become ``chunk_words``-word
+    windows advancing by ``chunk_words - overlap_words``).
+
+    Emits one row per (doc, chunk): ``chunk_no`` (0-based), ``chunk_text``
+    (space-joined window) and ``chunk_n_words``. The last window is the
+    final partial remainder unless the doc ended exactly on a stride
+    boundary; single-window docs produce exactly one chunk. Pure JVM
+    (``sequence`` + ``explode`` + ``slice``): no Python, no shuffle —
+    chunking is embarrassingly parallel and growth-stable at any corpus
+    size."""
+    if not 0 <= overlap_words < chunk_words:
+        raise ValueError("need 0 <= overlap_words < chunk_words")
+    stride = chunk_words - overlap_words
+    w = words(text_col)
+    n = F.size(w)
+    # number of windows: 1 + ceil(max(0, n - chunk) / stride)
+    extra = F.greatest(n - F.lit(chunk_words), F.lit(0))
+    n_chunks = F.lit(1) + F.ceil(extra.cast("double") / F.lit(stride)).cast("int")
+    out = df.withColumn("_w", w).withColumn(
+        "chunk_no", F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1)))
+    )
+    win = F.slice(
+        F.col("_w"), F.col("chunk_no") * F.lit(stride) + F.lit(1), chunk_words
+    )
+    return (
+        out.withColumn("chunk_text", F.array_join(win, " "))
+        .withColumn("chunk_n_words", F.size(win).cast("bigint"))
+        .drop("_w")
+    )

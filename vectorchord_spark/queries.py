@@ -3392,6 +3392,84 @@ ORDER BY lang
 """
 
 
+def _chunk_documents_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (the RAG/embedding preprocessing
+    step: 64-word windows advancing by 48). Pure JVM sequence+explode+
+    slice — no Python, no shuffle; the oracle recomputes the identical
+    windows with DuckDB range/list_slice, including the final partial
+    window, so text and counts match bit-for-bit."""
+    from vectorchord_spark.pipeline.text import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        chunk_documents(docs, "text", chunk_words=64, overlap_words=16)
+        .select("doc_id", "chunk_no", "chunk_text", "chunk_n_words")
+        .orderBy("doc_id", "chunk_no")
+    )
+
+
+_CHUNK_DOCUMENTS_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w, n,
+         unnest(range(0, 1 + CAST(ceil(greatest(n - 64, 0) / 48.0) AS BIGINT))) AS chunk_no
+  FROM base
+)
+SELECT doc_id,
+       CAST(chunk_no AS INT) AS chunk_no,
+       array_to_string(list_slice(w, chunk_no * 48 + 1, least(chunk_no * 48 + 64, n)), ' ') AS chunk_text,
+       (least(chunk_no * 48 + 64, n) - chunk_no * 48)::BIGINT AS chunk_n_words
+FROM c
+ORDER BY doc_id, chunk_no
+"""
+
+
+def _pack_sequences_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split context packing (the pre-training dataloader step:
+    documents concatenated into a deterministic per-bucket token stream,
+    cut every 2048 tokens). Hash-bucketed md5 order -> one bounded window
+    shuffle; exact integer arithmetic on the regex token count, so the
+    window assignment matches the DuckDB oracle bit-for-bit."""
+    from vectorchord_spark.pipeline.splits import pack_sequences
+    from vectorchord_spark.pipeline.text import token_count
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", token_count("text").alias("n_tokens"))
+    )
+    return (
+        pack_sequences(docs, "n_tokens", context_len=2048, n_buckets=16)
+        .select(
+            "doc_id", "n_tokens", "pack_bucket",
+            "pack_first", "pack_last", "pack_offset",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PACK_SEQUENCES_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_tokens,
+         (('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 10000) % 16 AS pack_bucket
+  FROM documents
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens, pack_bucket,
+       ((cum - n_tokens) // 2048)::BIGINT AS pack_first,
+       ((cum - least(1, n_tokens)) // 2048)::BIGINT AS pack_last,
+       ((cum - n_tokens) % 2048)::BIGINT AS pack_offset
+FROM c
+ORDER BY doc_id
+"""
+
+
 def _decontaminate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (test-set-leakage scrub): every doc_id
     sharing >= 2 distinct word 3-grams with the synthetic "benchmark"
@@ -4045,6 +4123,7 @@ _DEP_RULES: "list[tuple[tuple[str, ...], list[str]]]" = [
         (
             "langid", "doc_stats", "fingerprint", "quality_filter",
             "token_histogram", "repetition_stats", "redact_pii",
+            "chunk_documents",
         ),
         ["pipeline/text.py"],
     ),
@@ -4052,6 +4131,7 @@ _DEP_RULES: "list[tuple[tuple[str, ...], list[str]]]" = [
         ("train_val_split", "stratified_sample", "mixture_weights"),
         ["pipeline/splits.py"],
     ),
+    (("pack_sequences",), ["pipeline/splits.py", "pipeline/text.py"]),
 ]
 
 
@@ -4227,6 +4307,8 @@ def _catalog_canonical() -> dict[str, Q]:
         "train_val_split": Q(_train_val_split_fn, _TRAIN_VAL_SPLIT_SQL),
         "stratified_sample": Q(_stratified_sample_fn, _STRATIFIED_SAMPLE_SQL),
         "mixture_weights": Q(_mixture_weights_fn, _MIXTURE_WEIGHTS_SQL),
+        "chunk_documents": Q(_chunk_documents_fn, _CHUNK_DOCUMENTS_SQL),
+        "pack_sequences": Q(_pack_sequences_fn, _PACK_SEQUENCES_SQL),
         "decontaminate": Q(_decontaminate_fn, _DECONTAMINATE_SQL, headline=True),
         "multimodal_image": Q(_multimodal_image_fn, _MULTIMODAL_IMAGE_SQL),
         "multimodal_audio": Q(_multimodal_audio_fn, _MULTIMODAL_AUDIO_SQL),
