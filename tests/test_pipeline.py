@@ -663,3 +663,70 @@ def test_connected_components_string_ids(spark):
         for r in dedup.connected_components(edges).collect()
     }
     assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
+
+def test_chunk_documents_windows(spark):
+    """chunk_documents: exact window boundaries, overlap, final partial
+    window, and the single-window short-doc case."""
+    from vectorchord_spark.pipeline.text import chunk_documents
+
+    words_200 = " ".join(f"w{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, words_200), (2, "a b c"), (3, "")], "doc_id long, text string"
+    )
+    out = {
+        (r.doc_id, r.chunk_no): (r.chunk_text, r.chunk_n_words)
+        for r in chunk_documents(df, chunk_words=64, overlap_words=16).collect()
+    }
+    # doc 1: 200 words, stride 48 -> chunks at 0,48,96,144 (last is 56 wide)
+    assert sorted(k[1] for k in out if k[0] == 1) == [0, 1, 2, 3]
+    assert out[(1, 0)][1] == 64 and out[(1, 0)][0].startswith("w0 w1 ")
+    assert out[(1, 1)][0].split()[0] == "w48"  # overlap: starts 48, not 64
+    assert out[(1, 3)][1] == 200 - 144
+    # doc 2: one partial window; doc 3: split('') == [''] -> one 1-word chunk
+    assert out[(2, 0)] == ("a b c", 3)
+    assert out[(3, 0)][1] == 1
+    # every word of doc 1 appears in at least one chunk
+    covered = set()
+    for (d, _), (txt, _) in out.items():
+        if d == 1:
+            covered.update(txt.split())
+    assert len(covered) == 200
+
+
+def test_pack_sequences_stream_identity(spark):
+    """pack_sequences: within every bucket, replaying the doc stream in id
+    order reproduces pack_first/pack_last/pack_offset exactly; windows are
+    gapless; assignment is partition-invariant."""
+    from collections import defaultdict
+
+    from vectorchord_spark.pipeline.splits import pack_sequences
+
+    rng_lens = [(i, (i * 37) % 700 + 1) for i in range(500)] + [(900, 0)]
+    df = spark.createDataFrame(rng_lens, "doc_id long, n_tokens long")
+    rows = pack_sequences(df, "n_tokens", context_len=256, n_buckets=8).collect()
+    by_bucket = defaultdict(list)
+    for r in rows:
+        by_bucket[r.pack_bucket].append(r)
+    assert len(by_bucket) > 1
+    for b, rs in by_bucket.items():
+        cum = 0
+        for r in sorted(rs, key=lambda r: r.doc_id):
+            assert r.pack_first == cum // 256
+            assert r.pack_offset == cum % 256
+            cum += r.n_tokens
+            assert r.pack_last == max(r.pack_first, (cum - 1) // 256)
+    # zero-token doc is point-located, not inverted
+    z = next(r for r in rows if r.doc_id == 900)
+    assert z.pack_first == z.pack_last
+    # partition-invariance
+    again = {
+        r.doc_id: (r.pack_bucket, r.pack_first, r.pack_last, r.pack_offset)
+        for r in pack_sequences(
+            df.repartition(13), "n_tokens", context_len=256, n_buckets=8
+        ).collect()
+    }
+    for r in rows:
+        assert again[r.doc_id] == (
+            r.pack_bucket, r.pack_first, r.pack_last, r.pack_offset
+        )

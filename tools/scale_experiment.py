@@ -65,7 +65,15 @@ def main() -> None:
         n_edges = edges.count()
         print(f"edges: {n_edges:,} (driver finisher disabled)")
         t0 = time.perf_counter()
-        comp = connected_components(edges, driver_threshold=0)
+        # --cc-ckpt: run with the reliable-checkpoint option engaged (the
+        # executor-loss durability path) to prove it at the 10.9M point
+        ckpt = None
+        if "--cc-ckpt" in sys.argv:
+            ckpt = tempfile.mkdtemp(prefix="vc_cc_ckpt_")
+            print(f"reliable checkpoint dir: {ckpt}")
+        comp = connected_components(
+            edges, driver_threshold=0, checkpoint_dir=ckpt
+        )
         # verify against the closed-form truth: every node's component is
         # its chain's first node (id - id % chain_len), star's is its hub
         wrong = comp.where(
