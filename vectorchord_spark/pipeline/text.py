@@ -89,20 +89,34 @@ def rolling_fingerprints(
 ) -> Column:
     """Winnowing-style document fingerprints: k-word shingle hashes, then
     the minimum hash of every ``window`` consecutive shingles (deduplicated).
-    Returns an array<bigint> of selected fingerprints."""
-    w = words(text)
-    n = F.size(w)
-    shingle_at = lambda i: F.xxhash64(  # noqa: E731
-        F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)])
-    )
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))), shingle_at
-    )
-    mins = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(shingles) - window, F.lit(0))),
-        lambda i: F.array_min(F.slice(shingles, i + 1, window)),
-    )
-    return F.array_distinct(mins)
+    Returns an array<bigint> of selected fingerprints.
+
+    Both intermediate arrays are bound to lambda variables (``transform``
+    over a one-element array — the same fix as ``dedup.shingles``):
+    referencing the split/shingle EXPRESSIONS inside the next lambda
+    inlines a fresh recomputation per element — O(words³) per doc here
+    (split per element_at per shingle per window), which did not finish
+    the sf0.1 documents table in 5 minutes; bound, it runs in ~1s."""
+
+    def per_shingles(sh: Column) -> Column:
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(sh) - window, F.lit(0))),
+                lambda i: F.array_min(F.slice(sh, i + 1, window)),
+            )
+        )
+
+    def per_words(w: Column) -> Column:
+        n = F.size(w)
+        sh = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)])
+            ),
+        )
+        return F.element_at(F.transform(F.array(sh), per_shingles), 1)
+
+    return F.element_at(F.transform(F.array(words(text)), per_words), 1)
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
