@@ -86,10 +86,21 @@ def norm(a) -> Column:
 
 def normalize(a) -> Column:
     """L2-normalize (the store-time transform of cosine opclasses,
-    /root/reference/src/index/vchordrq/opclass.rs:49-68)."""
+    /root/reference/src/index/vchordrq/opclass.rs:49-68).
+
+    The norm is bound to a lambda variable (``transform`` over a
+    one-element array): referencing the norm EXPRESSION inside the
+    division lambda inlines the full O(dim) aggregate into every
+    element — O(dim²) per row, a 64-768x blowup on store-time
+    normalization of cos-metric tables."""
     a = _as_col(a)
-    n = norm(a)
-    return F.transform(a, lambda x: x.cast("double") / n)
+    return F.element_at(
+        F.transform(
+            F.array(norm(a)),
+            lambda n: F.transform(a, lambda x: x.cast("double") / n),
+        ),
+        1,
+    )
 
 
 def cosine_distance(a, b) -> Column:

@@ -230,18 +230,30 @@ def simhash(text: Column | str, bits: int = 16) -> Column:
     assert 1 <= bits <= 32
     hexchars = (bits + 3) // 4
     w = words(text)
-    h_of = lambda x: F.conv(F.substring(F.md5(x), 1, hexchars), 16, 10).cast("bigint")  # noqa: E731
-    total = None
-    for j in range(bits):
-        contrib = F.aggregate(
-            w,
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc
-            + (F.shiftright(h_of(x), j).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-        term = F.when(contrib > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        total = term if total is None else total + term
-    return total.cast("bigint")
+    # hash each word ONCE into a bound array, then take the per-bit
+    # majority votes over the hashes — writing h_of(x) inside each bit's
+    # aggregate recomputes the md5 per word per bit (16x the hashing)
+    hashes = F.transform(
+        w,
+        lambda x: F.conv(F.substring(F.md5(x), 1, hexchars), 16, 10).cast(
+            "bigint"
+        ),
+    )
+
+    def per_hashes(h: Column) -> Column:
+        total = None
+        for j in range(bits):
+            contrib = F.aggregate(
+                h,
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc
+                + (F.shiftright(x, j).bitwiseAND(F.lit(1)) * 2 - 1),
+            )
+            term = F.when(contrib > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            total = term if total is None else total + term
+        return total.cast("bigint")
+
+    return F.element_at(F.transform(F.array(hashes), per_hashes), 1)
 
 
 def hamming_near_pairs(
