@@ -1265,25 +1265,14 @@ def _shingles_df(docs: DataFrame, cache_key: str | None = None) -> DataFrame:
     # cluster before fanning out (partition count follows
     # spark.sql.shuffle.partitions — no plan-forcing RDD probe)
     docs = docs.repartition("doc_id")
-    words = F.split("text", " ")
     # NB: callers consume this 3+ times (sizes, explode, set-intersect);
-    # persist so the shingling computes once (see perf note below)
-    n = F.size(words)
-    sh = F.when(
-        n >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), n - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(words, i + 1),
-                    F.element_at(words, i + 2),
-                    F.element_at(words, i + 3),
-                ),
-            )
-        ),
-    ).otherwise(F.array(F.col("text")))
-    out = docs.select("doc_id", sh.alias("shingles")).persist()
+    # persist so the shingling computes once (see perf note below).
+    # pipeline.dedup.shingles binds the split array to a lambda variable —
+    # an inline transform referencing the split expression re-evaluates it
+    # per element_at, O(words²) per doc (the r06 shingles fix).
+    from vectorchord_spark.pipeline.dedup import shingles as _sh_col
+
+    out = docs.select("doc_id", _sh_col("text", 3).alias("shingles")).persist()
     if cache_key is not None:
         _SHINGLES_CACHE[cache_key] = out
     return out
