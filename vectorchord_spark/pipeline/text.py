@@ -132,11 +132,13 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Pure JVM array expressions per row (no explode/shuffle — the counting
     is O(distinct·grams) within a row, trivially small for documents);
-    filtering is then a plain WHERE on the fractions."""
-    w = words(text_col)
-    n_w = F.size(w)
+    filtering is then a plain WHERE on the fractions. The split and each
+    gram array are bound to lambda variables (the ``shingles`` fix):
+    referencing the gram EXPRESSION inside the per-distinct-gram count
+    lambda re-derives it — split included — per element, which is
+    O(words³) on long documents."""
 
-    def grams(k: int):
+    def grams(w: Column, n_w: Column, k: int) -> Column:
         return F.when(
             n_w >= k,
             F.transform(
@@ -147,34 +149,56 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    g2, g3 = grams(2), grams(3)
-    c2 = F.transform(
-        F.array_distinct(g2), lambda g: F.size(F.filter(g2, lambda x: x == g))
-    )
-    max2 = F.coalesce(F.array_max(c2), F.lit(0)).cast("bigint")
-    c3 = F.transform(
-        F.array_distinct(g3), lambda g: F.size(F.filter(g3, lambda x: x == g))
-    )
-    dup3 = F.coalesce(
-        F.aggregate(
-            F.filter(c3, lambda c: c >= 2),
-            F.lit(0).cast("bigint"),
-            lambda acc, c: acc + c,
-        ),
-        F.lit(0).cast("bigint"),
-    )
-    nwd = n_w.cast("double")
-    return df.withColumns(
+    def counts(g: Column) -> Column:
+        return F.transform(
+            F.array_distinct(g), lambda x: F.size(F.filter(g, lambda y: y == x))
+        )
+
+    def per_words(w: Column) -> Column:
+        n_w = F.size(w)
+        max2 = F.element_at(
+            F.transform(
+                F.array(grams(w, n_w, 2)),
+                lambda g2: F.coalesce(F.array_max(counts(g2)), F.lit(0)).cast(
+                    "bigint"
+                ),
+            ),
+            1,
+        )
+        dup3 = F.element_at(
+            F.transform(
+                F.array(grams(w, n_w, 3)),
+                lambda g3: F.coalesce(
+                    F.aggregate(
+                        F.filter(counts(g3), lambda c: c >= 2),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, c: acc + c,
+                    ),
+                    F.lit(0).cast("bigint"),
+                ),
+            ),
+            1,
+        )
+        return F.struct(
+            n_w.cast("bigint").alias("n_words"),
+            max2.alias("max2"),
+            dup3.alias("dup3"),
+        )
+
+    stats = F.element_at(F.transform(F.array(words(text_col)), per_words), 1)
+    out = df.withColumn("_rs", stats)
+    nwd = F.col("_rs.n_words").cast("double")
+    return out.withColumns(
         {
-            "n_words": n_w.cast("bigint"),
-            "max_2gram_count": max2,
-            "dup_3gram_count": dup3,
-            "top_2gram_frac": F.lit(2.0) * max2.cast("double") / nwd,
+            "n_words": F.col("_rs.n_words"),
+            "max_2gram_count": F.col("_rs.max2"),
+            "dup_3gram_count": F.col("_rs.dup3"),
+            "top_2gram_frac": F.lit(2.0) * F.col("_rs.max2").cast("double") / nwd,
             "dup_3gram_frac": F.least(
-                F.lit(3.0) * dup3.cast("double") / nwd, F.lit(1.0)
+                F.lit(3.0) * F.col("_rs.dup3").cast("double") / nwd, F.lit(1.0)
             ),
         }
-    )
+    ).drop("_rs")
 
 
 #: conservative PII patterns, engine-portable subset (same semantics in
