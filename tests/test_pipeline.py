@@ -730,3 +730,40 @@ def test_pack_sequences_stream_identity(spark):
         assert again[r.doc_id] == (
             r.pack_bucket, r.pack_first, r.pack_last, r.pack_offset
         )
+
+
+def test_long_document_text_ops_scale_linearly(spark):
+    """Regression guard for the r06 lambda-binding fixes: shingles,
+    rolling_fingerprints, and repetition_stats on multi-thousand-word
+    documents must run in seconds, not hours. Before the fixes these were
+    O(words^2..3) per doc (the gram lambdas re-derived the split per
+    element) and this workload did not finish in minutes; fixed, it runs
+    in ~5s total. The 120s ceiling is ~20x headroom for host noise while
+    still failing fast on any quadratic regression."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from vectorchord_spark.pipeline.dedup import shingles
+    from vectorchord_spark.pipeline.text import (
+        repetition_stats,
+        rolling_fingerprints,
+    )
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(4000)),
+                lambda i: F.concat(F.lit("w"), (i % F.lit(797)).cast("string")),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    assert docs.select(F.explode(shingles("text", 3))).count() > 0
+    assert docs.select(F.explode(rolling_fingerprints("text"))).count() > 0
+    assert (
+        repetition_stats(docs).agg(F.sum("dup_3gram_count")).first()[0] > 0
+    )
+    assert time.perf_counter() - t0 < 120
