@@ -5,6 +5,14 @@ import pytest
 os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "perf: wall-clock regression guards (generous ceilings, but can "
+        "flake on a heavily loaded shared host; deselect with -m 'not perf')",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from vectorchord_spark.session import get_spark

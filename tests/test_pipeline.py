@@ -732,6 +732,7 @@ def test_pack_sequences_stream_identity(spark):
         )
 
 
+@pytest.mark.perf
 def test_long_document_text_ops_scale_linearly(spark):
     """Regression guard for the r06 lambda-binding fixes: shingles,
     rolling_fingerprints, and repetition_stats on multi-thousand-word
@@ -767,3 +768,43 @@ def test_long_document_text_ops_scale_linearly(spark):
         repetition_stats(docs).agg(F.sum("dup_3gram_count")).first()[0] > 0
     )
     assert time.perf_counter() - t0 < 120
+
+
+@pytest.mark.perf
+def test_repetition_stats_high_entropy_outlier_doc(spark):
+    """Web-scale outlier guard (r06 verdict #3): a 60k-word doc where
+    nearly every gram is DISTINCT — the worst case for the old
+    per-distinct filter count, O(distinct·grams) ≈ 3.6e9 comparisons per
+    doc. The sort-based run-length fold is O(g log g); 8 such docs finish
+    in a few seconds. Values are pinned exactly: words cycle mod 59999 so
+    exactly one word repeats → max 2-gram count 1 (all distinct) and zero
+    duplicated 3-grams."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from vectorchord_spark.pipeline.text import repetition_stats
+
+    n_words = 60_000
+    docs = spark.range(8).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.concat(
+                    F.lit("tok"), (i % F.lit(n_words - 1)).cast("string")
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    rows = repetition_stats(docs).select(
+        "n_words", "max_2gram_count", "dup_3gram_count"
+    ).collect()
+    elapsed = time.perf_counter() - t0
+    for r in rows:
+        assert r.n_words == n_words
+        assert r.max_2gram_count == 1
+        assert r.dup_3gram_count == 0
+    assert elapsed < 120

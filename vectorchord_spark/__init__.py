@@ -22,12 +22,21 @@ def _limit_blas_in_workers() -> None:
     # workers is Spark's job — see kernels.limit_blas_threads for the
     # 6.7x measurement). pyspark.worker/daemon are only ever loaded
     # inside worker processes, so the driver is untouched.
+    # VC_WORKER_BLAS_THREADS overrides the cap for deployments that run
+    # ONE Python worker per executor and want threaded BLAS (0 = leave
+    # the library default untouched). See MIGRATION.md.
+    import os
     import sys
 
     if "pyspark.worker" in sys.modules or "pyspark.daemon" in sys.modules:
-        from vectorchord_spark.kernels import limit_blas_threads
+        try:
+            n = int(os.environ.get("VC_WORKER_BLAS_THREADS", "1"))
+        except ValueError:
+            n = 1
+        if n > 0:
+            from vectorchord_spark.kernels import limit_blas_threads
 
-        limit_blas_threads(1)
+            limit_blas_threads(n)
 
 
 _limit_blas_in_workers()

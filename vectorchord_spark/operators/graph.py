@@ -539,8 +539,8 @@ def _build_vamana_bulk(
     # After bidirectional edge insertion MOST vertices are oversized (the
     # in-degree tail is long: measured 33..348 at n=10k, m=32), and the
     # prune's pairwise matrix costs O(k²) per row — padding every row to
-    # the GLOBAL max length did ~48x the needed work and overran the 64 MB
-    # block budget (sized for the main pass's K) ~5x. Sort by adjacency
+    # the GLOBAL max length did ~48x the needed work and overran the
+    # _PRUNE_BLOCK_BYTES budget (sized for the main pass's K) ~5x. Sort by adjacency
     # length and cut blocks at a LOCAL kmax under the same byte budget:
     # padding never exceeds one block's length spread. Measured: the
     # re-prune pass drops 17.3s -> ~1s at n=10k (same output — row order
@@ -550,7 +550,8 @@ def _build_vamana_bulk(
         over.sort(key=lambda j: len(adj[j]))
         i = 0
         while i < len(over):
-            # grow the block while (rows × local_kmax² × 4B) stays ≤64 MB;
+            # grow the block while (rows × local_kmax² × 4B) stays within
+            # the _PRUNE_BLOCK_BYTES budget;
             # ascending sort makes the last row's length the block kmax
             e = i + 1
             while e < len(over) and (

@@ -148,8 +148,10 @@ def pack_sequences(
     window space spans multiple windows) and ``pack_offset`` (token
     position of the doc's first token within its first window). One window
     shuffle partitioned by bucket; buckets bound the sort, so parallelism
-    is ``n_buckets``-wide regardless of corpus size. Exact integer
-    arithmetic: any engine reproduces the assignment bit-for-bit."""
+    is ``n_buckets``-wide regardless of corpus size. Integral arithmetic
+    throughout (long ``div``/``%``), so any engine reproduces the
+    assignment bit-for-bit up to the long range of a bucket's cumulative
+    token count."""
     from pyspark.sql import Window
 
     c = F.col(n_tokens_col) if isinstance(n_tokens_col, str) else n_tokens_col
@@ -158,15 +160,19 @@ def pack_sequences(
     out = df.withColumn("pack_bucket", bucket).withColumn(
         "_cum", F.sum(c).over(w)
     )
-    prev = F.col("_cum") - c
+    # `div` is Spark's integral division on longs — exact for the full
+    # long range, unlike `/` which routes through double (exact only to
+    # 2^53 ≈ 9e15 cumulative tokens). DuckDB's `//` matches bit-for-bit.
     return (
-        out.withColumn("pack_first", F.floor(prev / F.lit(context_len)))
+        out.withColumn("_prev", (F.col("_cum") - c).cast("long"))
         .withColumn(
             # the -least(1, c) keeps zero-token docs point-located at their
             # stream position (pack_last == pack_first) instead of inverted
-            "pack_last",
-            F.floor((F.col("_cum") - F.least(F.lit(1), c)) / F.lit(context_len)),
+            "_lastt",
+            (F.col("_cum") - F.least(F.lit(1), c)).cast("long"),
         )
-        .withColumn("pack_offset", prev % F.lit(context_len))
-        .drop("_cum")
+        .withColumn("pack_first", F.expr(f"_prev div {int(context_len)}"))
+        .withColumn("pack_last", F.expr(f"_lastt div {int(context_len)}"))
+        .withColumn("pack_offset", F.col("_prev") % F.lit(context_len))
+        .drop("_cum", "_prev", "_lastt")
     )

@@ -130,13 +130,15 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``top_2gram_frac`` / ``dup_3gram_frac``: the corresponding word
       fractions (2·max/n_words, min(1, 3·dup/n_words))
 
-    Pure JVM array expressions per row (no explode/shuffle — the counting
-    is O(distinct·grams) within a row, trivially small for documents);
-    filtering is then a plain WHERE on the fractions. The split and each
-    gram array are bound to lambda variables (the ``shingles`` fix):
-    referencing the gram EXPRESSION inside the per-distinct-gram count
-    lambda re-derives it — split included — per element, which is
-    O(words³) on long documents."""
+    Pure JVM array expressions per row (no explode/shuffle); counting is
+    sort-based: the gram array is ``array_sort``ed once and run lengths
+    are folded in ONE ``aggregate`` pass, so the per-row cost is
+    O(grams·log grams) even for high-entropy 100k-word outliers (the
+    previous per-distinct ``filter`` count was O(distinct·grams), i.e.
+    quadratic on such docs). The split and each gram array are bound to
+    lambda variables (the ``shingles`` fix): referencing a computed gram
+    EXPRESSION inside a lambda re-derives it — split included — per
+    element, which is O(words³) on long documents."""
 
     def grams(w: Column, n_w: Column, k: int) -> Column:
         return F.when(
@@ -149,34 +151,75 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    def counts(g: Column) -> Column:
-        return F.transform(
-            F.array_distinct(g), lambda x: F.size(F.filter(g, lambda y: y == x))
+    # Run-length folds over the SORTED gram array: acc = (prev gram,
+    # current run length, folded stat). `g` appears only as aggregate's
+    # input (a non-lambda argument slot — evaluated once per row), never
+    # inside a lambda body, so the binding rule holds by construction.
+
+    def max_run(g: Column) -> Column:
+        # max run length = most frequent gram's count
+        return F.aggregate(
+            F.array_sort(g),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).cast("bigint").alias("run"),
+                F.lit(0).cast("bigint").alias("best"),
+            ),
+            lambda a, x: F.struct(
+                x.alias("prev"),
+                F.when(x.eqNullSafe(a["prev"]), a["run"] + F.lit(1))
+                .otherwise(F.lit(1))
+                .cast("bigint")
+                .alias("run"),
+                F.greatest(
+                    a["best"],
+                    F.when(x.eqNullSafe(a["prev"]), a["run"] + F.lit(1)).otherwise(
+                        F.lit(1).cast("bigint")
+                    ),
+                )
+                .cast("bigint")
+                .alias("best"),
+            ),
+            lambda a: a["best"],
+        )
+
+    def dup_total(g: Column) -> Column:
+        # total occurrences across grams whose count ≥ 2: close each run
+        # as the gram changes, then close the final run in the finisher
+        return F.aggregate(
+            F.array_sort(g),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).cast("bigint").alias("run"),
+                F.lit(0).cast("bigint").alias("tot"),
+            ),
+            lambda a, x: F.struct(
+                x.alias("prev"),
+                F.when(x.eqNullSafe(a["prev"]), a["run"] + F.lit(1))
+                .otherwise(F.lit(1))
+                .cast("bigint")
+                .alias("run"),
+                F.when(x.eqNullSafe(a["prev"]), a["tot"])
+                .otherwise(
+                    a["tot"]
+                    + F.when(a["run"] >= 2, a["run"]).otherwise(F.lit(0))
+                )
+                .cast("bigint")
+                .alias("tot"),
+            ),
+            lambda a: (
+                a["tot"] + F.when(a["run"] >= 2, a["run"]).otherwise(F.lit(0))
+            ).cast("bigint"),
         )
 
     def per_words(w: Column) -> Column:
         n_w = F.size(w)
         max2 = F.element_at(
-            F.transform(
-                F.array(grams(w, n_w, 2)),
-                lambda g2: F.coalesce(F.array_max(counts(g2)), F.lit(0)).cast(
-                    "bigint"
-                ),
-            ),
+            F.transform(F.array(grams(w, n_w, 2)), lambda g2: max_run(g2)),
             1,
         )
         dup3 = F.element_at(
-            F.transform(
-                F.array(grams(w, n_w, 3)),
-                lambda g3: F.coalesce(
-                    F.aggregate(
-                        F.filter(counts(g3), lambda c: c >= 2),
-                        F.lit(0).cast("bigint"),
-                        lambda acc, c: acc + c,
-                    ),
-                    F.lit(0).cast("bigint"),
-                ),
-            ),
+            F.transform(F.array(grams(w, n_w, 3)), lambda g3: dup_total(g3)),
             1,
         )
         return F.struct(
