@@ -241,8 +241,26 @@ def _kacs_walk(mat: np.ndarray) -> None:
     mat[:, n - m2 :] = (left - right) * _SQRT_HALF
 
 
+#: Row-tile for batch rotation. The FHT+Kac's-walk rounds make ~50
+#: strided passes over the matrix; a whole Arrow batch (e.g. 7813×768×4B
+#: = 24 MB) blows every cache level, and with 32 concurrent executor
+#: workers the node goes DRAM-bound: measured 6.2k rows/s/worker at
+#: 768d. A 256-row tile (768 KB — L2-resident) measures 46k
+#: rows/s/worker under the same 32-way concurrency (7.4×; solo speed
+#: also improves). Output is bit-identical: every op in the rotation is
+#: row-independent. See docs/SCALE.md round 7.
+_ROTATE_TILE = 256
+
+
 def _rotate_impl(x: np.ndarray, reverse: bool) -> np.ndarray:
     arr = np.asarray(x, dtype=np.float32)
+    if arr.ndim == 2 and arr.shape[0] > _ROTATE_TILE:
+        out = np.empty_like(arr, dtype=np.float32)
+        for i in range(0, arr.shape[0], _ROTATE_TILE):
+            out[i : i + _ROTATE_TILE] = _rotate_impl(
+                arr[i : i + _ROTATE_TILE], reverse
+            )
+        return out
     squeeze = arr.ndim == 1
     mat = np.ascontiguousarray(np.atleast_2d(arr)).copy()
     m, n = mat.shape
