@@ -22,6 +22,16 @@ def main() -> None:
     spark = get_spark(app_name="vectorchord-bench")
     cat = catalog()
     headline = {n: q for n, q in cat.items() if q.headline}
+    # SPARK_GRAFT_BENCH_LAST: comma-separated entry names moved to the END
+    # of the run order (A/B instrument for position-dependent noise — the
+    # knn_batch_ivf spread investigation, r06 verdict #3)
+    move_last = [
+        n for n in os.environ.get("SPARK_GRAFT_BENCH_LAST", "").split(",") if n
+    ]
+    if move_last:
+        headline = {n: q for n, q in headline.items() if n not in move_last} | {
+            n: headline[n] for n in move_last if n in headline
+        }
     # contract-gated ANN entries run several searches + a brute-force
     # baseline for the oracle; time the single-search serving shape instead
     serving = serving_overrides()
