@@ -23,10 +23,19 @@ def main() -> None:
     cat = catalog()
     headline = {n: q for n, q in cat.items() if q.headline}
     # SPARK_GRAFT_BENCH_LAST: comma-separated entry names moved to the END
-    # of the run order (A/B instrument for position-dependent noise — the
-    # knn_batch_ivf spread investigation, r06 verdict #3)
+    # of the run order. Default knn_batch_ivf: an alternating first/last A/B
+    # (r07, 4 runs, same host) measured first-position warm medians of
+    # 1.093/1.124s vs last-position 0.758/0.720s with IQR 0.087/0.043 — at
+    # first position the entry pays the in-process shared-index build
+    # (cold 9-10s vs ~1s once ann_ivf_* built it) and runs JIT-cold, which
+    # is harness warm-up, not serving cost. Last position reproduces the
+    # isolated steady-state (0.69-0.90s). Set to "" to reproduce the A arm.
     move_last = [
-        n for n in os.environ.get("SPARK_GRAFT_BENCH_LAST", "").split(",") if n
+        n
+        for n in os.environ.get(
+            "SPARK_GRAFT_BENCH_LAST", "knn_batch_ivf"
+        ).split(",")
+        if n
     ]
     if move_last:
         headline = {n: q for n, q in headline.items() if n not in move_last} | {

@@ -694,6 +694,43 @@ def test_chunk_documents_windows(spark):
     assert len(covered) == 200
 
 
+def test_paragraph_dedup_first_occurrence(spark):
+    """paragraph_dedup: globally-first occurrence wins (by doc_id, para_no),
+    later copies drop, docs re-assemble in paragraph order, and a doc whose
+    every paragraph is a repeat survives with empty text."""
+    from vectorchord_spark.pipeline.dedup import paragraph_dedup
+
+    # 4-word paragraphs. doc 1: [P0 P1]; doc 2 repeats P1 then adds P2;
+    # doc 3 is entirely P0 + P1 (all repeats); doc 4 repeats P0 inside
+    # ITSELF (second copy must drop too).
+    p0, p1, p2 = "a b c d", "e f g h", "i j k l"
+    df = spark.createDataFrame(
+        [
+            (1, f"{p0} {p1}"),
+            (2, f"{p1} {p2}"),
+            (3, f"{p0} {p1}"),
+            (4, f"{p0} {p0}"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_paras, r.n_paras_kept, r.dedup_text)
+        for r in paragraph_dedup(df, para_words=4).collect()
+    }
+    assert got[1] == (2, 2, f"{p0} {p1}")
+    assert got[2] == (2, 1, p2)  # p1 already owned by doc 1
+    assert got[3] == (2, 0, "")  # every paragraph a repeat, doc kept
+    assert got[4] == (2, 0, "")  # doc 4's p0 lost to doc 1's first window
+    # self-repeat check: make doc 4 the owner of p0 by removing docs 1/3
+    got2 = {
+        r.doc_id: (r.n_paras_kept, r.dedup_text)
+        for r in paragraph_dedup(
+            df.where("doc_id in (2, 4)"), para_words=4
+        ).collect()
+    }
+    assert got2[4] == (1, p0)  # first in-doc copy kept, second dropped
+
+
 def test_pack_sequences_stream_identity(spark):
     """pack_sequences: within every bucket, replaying the doc stream in id
     order reproduces pack_first/pack_last/pack_offset exactly; windows are
@@ -808,3 +845,60 @@ def test_repetition_stats_high_entropy_outlier_doc(spark):
         assert r.max_2gram_count == 1
         assert r.dup_3gram_count == 0
     assert elapsed < 120
+
+
+def test_hash_embed_terms_exact_counts(spark):
+    """hash_embed: weights are exact signed word counts per bucket; a
+    repeated word doubles its weight; zero-sum collision buckets drop."""
+    from vectorchord_spark.pipeline.sparse import (
+        hash_embed_query,
+        hash_embed_terms,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha alpha beta"), (2, "alpha")], "doc_id long, text string"
+    )
+    t = hash_embed_terms(df, dim=64).collect()
+    by_doc: dict = {}
+    for r in t:
+        by_doc.setdefault(r.doc_id, {})[r.bucket] = r.weight
+    # doc 2 is a sub-bag of doc 1: its single bucket appears in doc 1 with
+    # exactly twice the weight (alpha x2), same sign
+    (b2, w2), = by_doc[2].items()
+    assert by_doc[1][b2] == 2 * w2 and abs(w2) == 1
+    # weights are integers, never zero
+    assert all(r.weight != 0 and isinstance(r.weight, int) for r in t)
+    # query embedding of the same text equals the doc's posting rows
+    q = {
+        (r.bucket, r.weight)
+        for r in hash_embed_query(spark, "alpha alpha beta", dim=64).collect()
+    }
+    assert q == {(b, w) for b, w in by_doc[1].items()}
+
+
+def test_sparse_knn_self_retrieval_and_ordering(spark):
+    """sparse_knn: a doc queried with its own text scores cosine 1.0 and
+    ranks first; scores are descending; dot metric returns exact ints."""
+    from vectorchord_spark.pipeline.sparse import hash_embed_terms, sparse_knn
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),
+            (3, "zeta eta theta iota"),
+            (4, "alpha beta gamma delta"),  # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    terms = hash_embed_terms(df, dim=256)
+    qt = terms.where("doc_id = 1").select("bucket", "weight")
+    got = sparse_knn(terms, qt, k=4).collect()
+    assert [r.doc_id for r in got[:2]] == [1, 4]  # cos 1.0, id tiebreak
+    assert abs(got[0].score - 1.0) < 1e-12 and abs(got[1].score - 1.0) < 1e-12
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)
+    # doc 3 shares no word (whp no bucket) with the query: inverted-index
+    # semantics never score it at all
+    assert all(r.doc_id != 3 for r in got)
+    dot = sparse_knn(terms, qt, k=4, metric="dot").collect()
+    assert all(float(r.score).is_integer() for r in dot)

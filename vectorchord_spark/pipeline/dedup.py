@@ -602,3 +602,71 @@ def connected_components(
     # labels is persisted and already materialized by the fixpoint count
     sym.unpersist()
     return labels
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    para_words: int = 32,
+) -> DataFrame:
+    """Paragraph-level exact dedup (the CCNet/RefinedWeb-lineage step:
+    dedup at sub-document granularity, then re-assemble each document from
+    its surviving paragraphs).
+
+    Corpora without explicit paragraph breaks use non-overlapping
+    ``para_words``-word windows (``chunk_documents`` with overlap 0) as the
+    paragraph unit. A paragraph survives iff it is the globally FIRST
+    occurrence of its content hash, ordered by (id, paragraph number) —
+    every later copy anywhere in the corpus is dropped.
+
+    Returns one row per input document: ``n_paras`` (total paragraphs),
+    ``n_paras_kept`` and ``dedup_text`` (surviving paragraphs re-joined in
+    document order; empty string when every paragraph was a repeat).
+
+    100 TB shape: the first-occurrence winner per hash is computed with
+    ``min(struct(id, para_no))`` — a partially-aggregable groupBy, so a
+    boilerplate paragraph repeated 10^8 times combines map-side instead of
+    hot-spotting one window partition (the row_number formulation would).
+    Re-assembly groups by document id, bounded by single-document size.
+    Three shuffles total (hash agg, winner join, doc re-assembly), all on
+    high-cardinality or document keys.
+    """
+    from vectorchord_spark.pipeline.text import chunk_documents
+
+    paras = chunk_documents(
+        df.select(id_col, text_col),
+        text_col,
+        chunk_words=para_words,
+        overlap_words=0,
+        id_col=id_col,
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col("chunk_no").alias("para_no"),
+        F.col("chunk_text").alias("para_text"),
+        F.md5("chunk_text").alias("_h"),
+    )
+    winners = paras.groupBy("_h").agg(
+        F.min(F.struct("_id", "para_no")).alias("w")
+    ).select("_h", F.col("w._id").alias("_id"), F.col("w.para_no").alias("para_no"))
+    kept = paras.join(winners, ["_h", "_id", "para_no"], "left_semi")
+    reassembled = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_paras_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_no", "para_text"))),
+                lambda s: s["para_text"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    totals = paras.groupBy("_id").agg(F.count(F.lit(1)).alias("n_paras"))
+    return (
+        totals.join(reassembled, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_paras",
+            F.coalesce("n_paras_kept", F.lit(0)).alias("n_paras_kept"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+    )

@@ -1,0 +1,142 @@
+"""Sparse-vector retrieval: hashing-trick embeddings + inverted-index top-k.
+
+The reference ships sparse-vector kernels that never reached its SQL
+surface (crates/vector/src/svect.rs; sparse dot product
+crates/simd/src/floating_f32.rs:89-97). For LLM data work the useful
+re-expression is retrieval-shaped: a deterministic feature-hashing text
+embedding stored as sparse (id, bucket, weight) posting rows, and a
+sparse dot-product / cosine top-k computed as an inverted-index join —
+the SPLADE/BM25 query shape.
+
+100 TB design:
+
+- **Embedding** is explode + one groupBy on (id, bucket): partial-
+  aggregable counts, no skew risk beyond stopword buckets (bounded by
+  ``dim`` distinct keys per doc).
+- **Search** joins the posting table to a BROADCAST query-term set on
+  ``bucket`` (the doc side never shuffles for the join), partial-sums
+  products per id, and ranks with one TakeOrdered. Norms come from one
+  partially-aggregable groupBy over the same posting table.
+- **Weights are signed integer counts**, so dot products and norms are
+  exact int64 in any engine; the only float op is the final
+  ``dot / sqrt(double(n_doc) * n_query)``, which is IEEE-identical
+  everywhere given exact integer inputs — the catalog oracle compares
+  cosine scores bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectorchord_spark.pipeline.text import words
+
+
+def _hash_bucket(word: Column, dim: int) -> Column:
+    """Deterministic [0, dim) bucket from md5('hb|' word) — same math as
+    the DuckDB oracle (('0x' || substr(md5(..), 1, 6))::BIGINT % dim)."""
+    h = F.md5(F.concat(F.lit("hb|"), word))
+    return (F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint") % F.lit(dim)).cast(
+        "int"
+    )
+
+
+def _hash_sign(word: Column) -> Column:
+    """±1 sign from the 7th hex digit of the same md5 (decorrelated from
+    the bucket, which uses digits 1-6)."""
+    h = F.md5(F.concat(F.lit("hb|"), word))
+    return F.when(
+        F.conv(F.substring(h, 7, 1), 16, 10).cast("int") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+
+
+def hash_embed_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1024,
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Hashing-trick sparse embedding as posting rows.
+
+    Each word hashes to a bucket in ``[0, dim)`` with a ±1 sign; per-key
+    signed counts are the weights (exact integers). Zero-sum collision
+    buckets are dropped (they carry no signal and would bloat the
+    posting table). ``extra_keys`` carries sub-document keys (e.g.
+    ``chunk_no``) through, making this the chunk-level RAG embedding.
+    One shuffle: the (keys, bucket) count groupBy, map-side combined.
+    """
+    keys = [id_col, *extra_keys]
+    w = df.select(*keys, F.explode(words(text_col)).alias("_w"))
+    terms = (
+        w.select(
+            *keys,
+            _hash_bucket(F.col("_w"), dim).alias("bucket"),
+            _hash_sign(F.col("_w")).alias("_s"),
+        )
+        .groupBy(*keys, "bucket")
+        .agg(F.sum("_s").cast("bigint").alias("weight"))
+        .where(F.col("weight") != 0)
+    )
+    return terms
+
+
+def hash_embed_query(spark, text: str, dim: int = 1024) -> DataFrame:
+    """Sparse query terms for a literal query string (same hash family as
+    :func:`hash_embed_terms`); a one-row driver-side frame, meant to be
+    broadcast by :func:`sparse_knn`."""
+    q = spark.createDataFrame([(text,)], "text string")
+    return hash_embed_terms(q, "text", id_col="text", dim=dim).select(
+        "bucket", "weight"
+    )
+
+
+def sparse_knn(
+    terms: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    extra_keys: tuple[str, ...] = (),
+    metric: str = "cos",
+) -> DataFrame:
+    """Inverted-index sparse top-k: broadcast the query's (bucket, weight)
+    set against the posting table, partial-sum the products per id, rank
+    by cosine (or raw dot) with a deterministic id tiebreak.
+
+    ``terms``/``query_terms`` are posting rows as produced by
+    :func:`hash_embed_terms` / :func:`hash_embed_query`. Only documents
+    sharing at least one bucket with the query are scored (standard
+    inverted-index semantics — a zero-overlap doc has score 0 and can't
+    enter a meaningful top-k).
+    """
+    if metric not in ("cos", "dot"):
+        raise ValueError(f"unsupported sparse metric {metric!r}")
+    keys = [id_col, *extra_keys]
+    q = F.broadcast(
+        query_terms.select(F.col("bucket"), F.col("weight").alias("_qw"))
+    )
+    dots = (
+        terms.join(q, "bucket")
+        .groupBy(*keys)
+        .agg(F.sum(F.col("weight") * F.col("_qw")).alias("dot"))
+    )
+    if metric == "dot":
+        scored = dots.select(*keys, F.col("dot").cast("double").alias("score"))
+    else:
+        # exact int norms; double only at the final division (bit-stable)
+        qnrm = query_terms.agg(
+            F.sum(F.col("weight") * F.col("weight")).alias("n")
+        ).first()["n"]
+        norms = terms.groupBy(*keys).agg(
+            F.sum(F.col("weight") * F.col("weight")).alias("nrm")
+        )
+        scored = dots.join(norms, keys).select(
+            *keys,
+            (
+                F.col("dot")
+                / F.sqrt(F.col("nrm").cast("double") * F.lit(float(qnrm)))
+            ).alias("score"),
+        )
+    return scored.orderBy(F.col("score").desc(), *[F.col(c) for c in keys]).limit(
+        k
+    )

@@ -3459,6 +3459,219 @@ ORDER BY doc_id
 """
 
 
+def _dedup_paragraph_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (CCNet/RefinedWeb-lineage): 8-word
+    non-overlapping windows as the paragraph unit, keep only the globally
+    first occurrence of each paragraph hash, re-assemble each doc from its
+    survivors. Winner selection is min(struct(id, para_no)) — a partially-
+    aggregable groupBy (map-side combine), so a boilerplate paragraph
+    repeated 10^8 times at corpus scale never hot-spots one partition the
+    way a row_number window would. Bit-exact oracle: DuckDB recomputes the
+    same windows, first-occurrence rank and ordered re-join."""
+    from vectorchord_spark.pipeline.dedup import paragraph_dedup
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return paragraph_dedup(docs, "text", "doc_id", para_words=8).orderBy(
+        "doc_id"
+    )
+
+
+_DEDUP_PARAGRAPH_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w, n,
+         unnest(range(0, 1 + CAST(ceil(greatest(n - 8, 0) / 8.0) AS BIGINT))) AS para_no
+  FROM base
+),
+p AS (
+  SELECT doc_id, CAST(para_no AS INT) AS para_no,
+         array_to_string(list_slice(w, para_no * 8 + 1, least(para_no * 8 + 8, n)), ' ') AS para_text
+  FROM c
+),
+h AS (SELECT doc_id, para_no, para_text, md5(para_text) AS hsh FROM p),
+k AS (
+  SELECT doc_id, para_no, para_text FROM (
+    SELECT *, row_number() OVER (PARTITION BY hsh ORDER BY doc_id, para_no) AS rn
+    FROM h
+  ) WHERE rn = 1
+),
+t AS (SELECT doc_id, count(*)::BIGINT AS n_paras FROM h GROUP BY doc_id),
+r AS (
+  SELECT doc_id, count(*)::BIGINT AS n_paras_kept,
+         string_agg(para_text, ' ' ORDER BY para_no) AS dedup_text
+  FROM k GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_paras,
+       coalesce(r.n_paras_kept, 0)::BIGINT AS n_paras_kept,
+       coalesce(r.dedup_text, '') AS dedup_text
+FROM t LEFT JOIN r ON t.doc_id = r.doc_id
+ORDER BY t.doc_id
+"""
+
+
+_SPARSE_TERMS_CTE = """
+w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+hw AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('hb|' || w), 1, 6))::BIGINT % 1024)::INT AS bucket,
+         CASE WHEN ('0x' || substr(md5('hb|' || w), 7, 1))::INT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM w
+),
+terms AS (
+  SELECT doc_id, bucket, sum(s)::BIGINT AS weight
+  FROM hw GROUP BY doc_id, bucket HAVING sum(s) != 0
+)
+"""
+
+
+def _hash_embed_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) sparse text embedding: each word
+    md5-hashes to a bucket in [0, 1024) with a ±1 sign; per-doc signed
+    integer counts are the weights, stored as inverted-index posting rows
+    (doc_id, bucket, weight). Integer weights -> bit-exact oracle. One
+    map-side-combined groupBy; the layout sparse_knn serves from."""
+    from vectorchord_spark.pipeline.sparse import hash_embed_terms
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .where("doc_id < 100")
+        .select("doc_id", "text")
+    )
+    return hash_embed_terms(docs, dim=1024).orderBy("doc_id", "bucket")
+
+
+_HASH_EMBED_SQL = f"""
+WITH {_SPARSE_TERMS_CTE}
+SELECT doc_id, bucket, weight FROM terms
+WHERE doc_id < 100 ORDER BY doc_id, bucket
+"""
+
+
+def _sparse_knn_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector retrieval (the svect kernels the reference never
+    exposed at SQL — crates/vector/src/svect.rs, sparse dot
+    crates/simd/src/floating_f32.rs:89-97 — re-expressed as the
+    SPLADE/BM25 query shape): inverted-index join of a BROADCAST query
+    term set against the hashed posting table, exact-int dot + norms,
+    cosine top-10. The only float op is the final dot/sqrt(double) —
+    IEEE-identical across engines, so scores gate bit-for-bit."""
+    from vectorchord_spark.pipeline.sparse import hash_embed_terms, sparse_knn
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = hash_embed_terms(docs, dim=1024)
+    qt = terms.where("doc_id = 17").select("bucket", "weight")
+    return sparse_knn(terms, qt, k=10).select(
+        "doc_id", F.col("score").alias("cos")
+    )
+
+
+_SPARSE_KNN_SQL = f"""
+WITH {_SPARSE_TERMS_CTE},
+q AS (SELECT bucket, weight FROM terms WHERE doc_id = 17),
+dots AS (
+  SELECT t.doc_id, sum(t.weight * q.weight)::BIGINT AS dot
+  FROM terms t JOIN q USING (bucket) GROUP BY t.doc_id
+),
+norms AS (
+  SELECT doc_id, sum(weight * weight)::BIGINT AS nrm FROM terms GROUP BY doc_id
+)
+SELECT d.doc_id,
+       d.dot / sqrt(n.nrm::DOUBLE * (SELECT sum(weight * weight)::BIGINT FROM q)) AS cos
+FROM dots d JOIN norms n USING (doc_id)
+ORDER BY cos DESC, doc_id LIMIT 10
+"""
+
+
+_RAG_QUERY = "spark stream window join merge sort"
+
+
+def _rag_chunk_retrieval_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval end-to-end: chunk_documents (32-word windows, stride
+    24) -> hashing-trick chunk embeddings -> inverted-index cosine top-10
+    chunks for a literal query string. Pure composition of the green
+    chunking + sparse primitives; every stage is a bounded groupBy or a
+    broadcast join — the shape that serves retrieval at corpus scale."""
+    from vectorchord_spark.pipeline.sparse import (
+        hash_embed_query,
+        hash_embed_terms,
+        sparse_knn,
+    )
+    from vectorchord_spark.pipeline.text import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_documents(
+        docs, "text", chunk_words=32, overlap_words=8
+    ).select("doc_id", "chunk_no", F.col("chunk_text").alias("text"))
+    terms = hash_embed_terms(
+        chunks, "text", id_col="doc_id", dim=1024, extra_keys=("chunk_no",)
+    )
+    qt = hash_embed_query(spark, _RAG_QUERY, dim=1024)
+    return sparse_knn(
+        terms, qt, k=10, extra_keys=("chunk_no",)
+    ).select("doc_id", "chunk_no", F.col("score").alias("cos"))
+
+
+_RAG_CHUNK_RETRIEVAL_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS wd, len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, wd, n,
+         unnest(range(0, 1 + CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT))) AS chunk_no
+  FROM base
+),
+chunks AS (
+  SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+         array_to_string(list_slice(wd, chunk_no * 24 + 1, least(chunk_no * 24 + 32, n)), ' ') AS text
+  FROM c
+),
+w AS (
+  SELECT doc_id, chunk_no, unnest(string_split(text, ' ')) AS w FROM chunks
+),
+hw AS (
+  SELECT doc_id, chunk_no,
+         (('0x' || substr(md5('hb|' || w), 1, 6))::BIGINT % 1024)::INT AS bucket,
+         CASE WHEN ('0x' || substr(md5('hb|' || w), 7, 1))::INT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM w
+),
+terms AS (
+  SELECT doc_id, chunk_no, bucket, sum(s)::BIGINT AS weight
+  FROM hw GROUP BY doc_id, chunk_no, bucket HAVING sum(s) != 0
+),
+qw AS (SELECT unnest(string_split('{_RAG_QUERY}', ' ')) AS w),
+qh AS (
+  SELECT (('0x' || substr(md5('hb|' || w), 1, 6))::BIGINT % 1024)::INT AS bucket,
+         CASE WHEN ('0x' || substr(md5('hb|' || w), 7, 1))::INT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM qw
+),
+q AS (
+  SELECT bucket, sum(s)::BIGINT AS weight FROM qh GROUP BY bucket
+  HAVING sum(s) != 0
+),
+dots AS (
+  SELECT t.doc_id, t.chunk_no, sum(t.weight * q.weight)::BIGINT AS dot
+  FROM terms t JOIN q USING (bucket) GROUP BY t.doc_id, t.chunk_no
+),
+norms AS (
+  SELECT doc_id, chunk_no, sum(weight * weight)::BIGINT AS nrm
+  FROM terms GROUP BY doc_id, chunk_no
+)
+SELECT d.doc_id, d.chunk_no,
+       d.dot / sqrt(n.nrm::DOUBLE * (SELECT sum(weight * weight)::BIGINT FROM q)) AS cos
+FROM dots d JOIN norms n USING (doc_id, chunk_no)
+ORDER BY cos DESC, doc_id, chunk_no LIMIT 10
+"""
+
+
 def _decontaminate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (test-set-leakage scrub): every doc_id
     sharing >= 2 distinct word 3-grams with the synthetic "benchmark"
@@ -4298,6 +4511,10 @@ def _catalog_canonical() -> dict[str, Q]:
         "mixture_weights": Q(_mixture_weights_fn, _MIXTURE_WEIGHTS_SQL),
         "chunk_documents": Q(_chunk_documents_fn, _CHUNK_DOCUMENTS_SQL),
         "pack_sequences": Q(_pack_sequences_fn, _PACK_SEQUENCES_SQL),
+        "dedup_paragraph": Q(_dedup_paragraph_fn, _DEDUP_PARAGRAPH_SQL),
+        "hash_embed": Q(_hash_embed_fn, _HASH_EMBED_SQL),
+        "sparse_knn": Q(_sparse_knn_fn, _SPARSE_KNN_SQL),
+        "rag_chunk_retrieval": Q(_rag_chunk_retrieval_fn, _RAG_CHUNK_RETRIEVAL_SQL),
         "decontaminate": Q(_decontaminate_fn, _DECONTAMINATE_SQL, headline=True),
         "multimodal_image": Q(_multimodal_image_fn, _MULTIMODAL_IMAGE_SQL),
         "multimodal_audio": Q(_multimodal_audio_fn, _MULTIMODAL_AUDIO_SQL),
