@@ -253,6 +253,17 @@ def _robust_prune(
 #: DRAM-bandwidth-bound and cache-resident under full concurrency
 _PRUNE_BLOCK_BYTES = 8 << 20
 
+#: gram columns precomputed per candidate row in _batch_robust_prune; picks
+#: beyond this position (~13% at k=160, measured) compute their row lazily
+_PRUNE_FRONT_COLS = 64
+
+
+def _prune_row_bytes(k: int, d: int) -> int:
+    """Per-row working-set bytes of _batch_robust_prune: the (F, k) gram
+    slab plus the (k, d) candidate-vector slab — used by callers to cut
+    blocks at the _PRUNE_BLOCK_BYTES cache budget."""
+    return (min(k, _PRUNE_FRONT_COLS) * k + k * d) * 4
+
 
 def _batch_robust_prune(
     v32: np.ndarray,
@@ -280,41 +291,83 @@ def _batch_robust_prune(
     """
     B, k = cand_d.shape
     x = v32[np.where(np.isfinite(cand_d), cand_ids, 0)]  # pad slots → row 0 (never picked)
-    # batched BLAS (np.matmul); einsum's 3-D contraction path is ~50x
-    # slower here
-    G = np.matmul(x, x.transpose(0, 2, 1))
-    if metric == "l2":
-        n2 = np.ascontiguousarray(np.diagonal(G, axis1=1, axis2=2))
-        P = n2[:, :, None] + n2[:, None, :] - 2.0 * G
-    else:
-        P = -G
-    taken = ~np.isfinite(cand_d)  # padding can never be picked
+    # Two-tier pairwise distances: the greedy only ever READS the gram rows
+    # of PICKED candidates (~26/row measured vs k=160 columns computed), and
+    # picks are nearest-first, so ~87% land in the first F=64 positions.
+    # Precompute gram rows for the front F columns with one batched matmul
+    # (batched BLAS — einsum's 3-D contraction path is ~50x slower here)
+    # and compute the rare deep pick's row on demand: ~2.4x fewer flops
+    # than the full (B,k,k) gram, and no (B,k,k) P materialization at all.
+    F = min(k, _PRUNE_FRONT_COLS)
+    Gf = np.matmul(x[:, :F], x.transpose(0, 2, 1))  # (B, F, k)
+    n2 = np.einsum("bkd,bkd->bk", x, x) if metric == "l2" else None
+    # avail = pickable: not padding, not yet taken, row not closed. Closing
+    # a full row (kept_n == m) by zeroing its avail row replaces the
+    # per-step kept_n broadcast test; the backfill below only runs for
+    # NON-closed rows, where avail still means exactly "never taken".
+    avail = np.isfinite(cand_d)
     minD = np.full((B, k), np.inf, np.float32)
     kept_pos = np.full((B, m), -1, np.int64)
     kept_n = np.zeros(B, np.int64)
     rows_all = np.arange(B)
     for a in alphas:
         while True:
-            elig = (~taken) & (cand_d < a * minD) & (kept_n[:, None] < m)
-            active = elig.any(axis=1)
-            if not active.any():
-                break
+            elig = cand_d < a * minD
+            elig &= avail
             pick = np.argmax(elig, axis=1)  # first True = nearest eligible
-            rows = rows_all[active]
-            pk = pick[active]
+            act = elig[rows_all, pick]
+            if not act.any():
+                break
+            rows = rows_all[act]
+            pk = pick[act]
+            avail[rows, pk] = False
             kept_pos[rows, kept_n[rows]] = pk
             kept_n[rows] += 1
-            taken[rows, pk] = True
-            minD[rows] = np.minimum(minD[rows], P[rows, pk, :])
-    # backfill nearest pruned (index order = distance order) up to m
-    fill_order = np.argsort(taken, axis=1, kind="stable")
+            closed = rows[kept_n[rows] == m]
+            if len(closed):
+                avail[closed] = False
+            front = pk < F
+            if front.all():
+                gr = Gf[rows, pk]
+                r = rows
+                p = pk
+                if metric == "l2":
+                    minD[r] = np.minimum(
+                        minD[r], n2[r] - 2.0 * gr + n2[r, p][:, None]
+                    )
+                else:
+                    minD[r] = np.minimum(minD[r], -gr)
+            else:
+                for sel in (front, ~front):
+                    if not sel.any():
+                        continue
+                    r, p = rows[sel], pk[sel]
+                    if sel is front:
+                        gr = Gf[r, p]
+                    else:  # deep pick: one gemv on demand
+                        gr = np.matmul(x[r], x[r, p][:, :, None])[:, :, 0]
+                    if metric == "l2":
+                        prow = n2[r] - 2.0 * gr + n2[r, p][:, None]
+                    else:
+                        prow = -gr
+                    minD[r] = np.minimum(minD[r], prow)
+    # backfill nearest pruned (index order = distance order) up to m;
+    # only rows with kept_n < m need it, and those were never closed, so
+    # their avail row still marks exactly the never-taken candidates
     out: list[list[int]] = []
+    fill_rows = np.nonzero(kept_n < m)[0]
+    fill_order = (
+        np.argsort(~avail[fill_rows], axis=1, kind="stable")
+        if len(fill_rows)
+        else None
+    )
+    fill_map = {int(b): i for i, b in enumerate(fill_rows)}
     for b in range(B):
         ks = [int(cand_ids[b, p]) for p in kept_pos[b, : kept_n[b]]]
         if len(ks) < m:
-            for p in fill_order[b]:
-                if taken[b, p]:
-                    break  # stable sort: all untaken come first
+            for p in fill_order[fill_map[b]]:
+                if not avail[b, p]:
+                    break  # stable sort: all still-avail come first
                 ks.append(int(cand_ids[b, p]))
                 if len(ks) == m:
                     break
@@ -473,6 +526,11 @@ def _build_vamana_bulk(
     # identical to the one-shot argpartition; only tie order can differ.
     ids_all = np.arange(n, dtype=np.int64)
     B, T = 256, 2048
+    # preallocated merge buffers: [0:k) holds the running top-k, [k:) the
+    # incoming tile — avoids two (B, k+T) concat allocations per tile, and
+    # the distance arithmetic runs in place on the tile slice
+    buf_d = np.empty((min(B, n), k + T), np.float32)
+    buf_i = np.empty((min(B, n), k + T), np.int64)
     for s in range(0, n, B):
         e = min(n, s + B)
         rows = np.arange(s, e)
@@ -480,21 +538,26 @@ def _build_vamana_bulk(
         cur_i = np.zeros((e - s, k), np.int64)
         for ts in range(0, n, T):
             te = min(n, ts + T)
+            w = te - ts
+            bd = buf_d[: e - s, : k + w]
+            bi = buf_i[: e - s, : k + w]
             g = v32[s:e] @ v32[ts:te].T
+            d = bd[:, k:]
             if metric == "l2":
-                d = sq32[s:e, None] - 2.0 * g + sq32[ts:te][None, :]
+                np.multiply(g, -2.0, out=d)
+                d += sq32[s:e, None]
+                d += sq32[ts:te][None, :]
             else:
-                d = -g
+                np.negative(g, out=d)
             if ts < e and te > s:  # exclude self where tile overlaps rows
                 ov = rows[(rows >= ts) & (rows < te)]
                 d[ov - s, ov - ts] = np.inf
-            cat_d = np.concatenate([cur_d, d], axis=1)
-            cat_i = np.concatenate(
-                [cur_i, np.broadcast_to(ids_all[ts:te], d.shape)], axis=1
-            )
-            sel = np.argpartition(cat_d, k - 1, axis=1)[:, :k]
-            cur_d = np.take_along_axis(cat_d, sel, axis=1)
-            cur_i = np.take_along_axis(cat_i, sel, axis=1)
+            bd[:, :k] = cur_d
+            bi[:, :k] = cur_i
+            bi[:, k:] = ids_all[ts:te]
+            sel = np.argpartition(bd, k - 1, axis=1)[:, :k]
+            cur_d = np.take_along_axis(bd, sel, axis=1)
+            cur_i = np.take_along_axis(bi, sel, axis=1)
         ri = rand_idx[s:e]
         gr = np.einsum("bd,bkd->bk", v32[s:e], v32[ri])
         if metric == "l2":
@@ -520,7 +583,8 @@ def _build_vamana_bulk(
     knn_d[dup] = np.inf
     # blockwise vectorized alpha-prune of every vertex's candidates
     adj: list[list[int]] = []
-    PB = max(1, _PRUNE_BLOCK_BYTES // max(1, K * K * 4))
+    dim = v32.shape[1]
+    PB = max(1, _PRUNE_BLOCK_BYTES // max(1, _prune_row_bytes(K, dim)))
     for s in range(0, n, PB):
         e = min(n, s + PB)
         adj.extend(
@@ -529,13 +593,26 @@ def _build_vamana_bulk(
             )
         )
     # bidirectional edges, then one vectorized prune pass over oversized
-    # adjacencies
-    nbr_sets = [set(a) for a in adj]
-    for p in range(n):
-        for j in adj[p]:
-            if p not in nbr_sets[j]:
-                nbr_sets[j].add(p)
-                adj[j].append(p)
+    # adjacencies. Closed form of the sequential scan (append p to adj[j]
+    # for every directed edge p→j whose reverse is absent, p ascending):
+    # sorted-key membership + one grouped append — replaces n·m Python
+    # set operations with array ops.
+    lens = np.fromiter((len(a) for a in adj), np.int64, n)
+    if lens.sum():
+        src = np.repeat(np.arange(n, dtype=np.int64), lens)
+        dst = np.fromiter((j for a in adj for j in a), np.int64, int(lens.sum()))
+        keys = np.sort(src * n + dst)
+        rev = dst * n + src
+        pos = np.searchsorted(keys, rev).clip(max=len(keys) - 1)
+        missing = keys[pos] != rev
+        add_to = dst[missing]
+        add_val = src[missing]
+        order = np.argsort(add_to, kind="stable")  # stable: src stays ascending
+        add_to = add_to[order]
+        add_val = add_val[order]
+        bounds = np.searchsorted(add_to, np.arange(n + 1, dtype=np.int64))
+        for j in np.unique(add_to):
+            adj[j].extend(add_val[bounds[j] : bounds[j + 1]].tolist())
     # After bidirectional edge insertion MOST vertices are oversized (the
     # in-degree tail is long: measured 33..348 at n=10k, m=32), and the
     # prune's pairwise matrix costs O(k²) per row — padding every row to
@@ -548,30 +625,39 @@ def _build_vamana_bulk(
     over = [j for j in range(n) if len(adj[j]) > m]
     if over:
         over.sort(key=lambda j: len(adj[j]))
+        dim = v32.shape[1]
         i = 0
         while i < len(over):
-            # grow the block while (rows × local_kmax² × 4B) stays within
-            # the _PRUNE_BLOCK_BYTES budget;
-            # ascending sort makes the last row's length the block kmax
+            # grow the block while rows x _prune_row_bytes(local_kmax) stays
+            # within the _PRUNE_BLOCK_BYTES budget; ascending sort makes the
+            # last row's length the block kmax
             e = i + 1
             while e < len(over) and (
-                (e + 1 - i) * len(adj[over[e]]) ** 2 * 4 <= _PRUNE_BLOCK_BYTES
+                (e + 1 - i) * _prune_row_bytes(len(adj[over[e]]), dim)
+                <= _PRUNE_BLOCK_BYTES
             ):
                 e += 1
             blk = over[i:e]
             kmax = len(adj[blk[-1]])
+            # pad ragged adjacencies into one (B, kmax) block, then compute
+            # candidate distances + per-row sorts with BLOCK ops (the
+            # per-row gemv/argsort loop was ~n small numpy calls per shard)
             o_ids = np.zeros((len(blk), kmax), np.int64)
-            o_d = np.full((len(blk), kmax), np.inf, np.float32)
+            pad = np.ones((len(blk), kmax), bool)
             for r, j in enumerate(blk):
-                nb = np.asarray(adj[j], np.int64)
-                nd = (
-                    sq32[nb] - 2.0 * (v32[nb] @ v32[j]) + sq32[j]
-                    if metric == "l2"
-                    else -(v32[nb] @ v32[j])
-                )
-                o = np.argsort(nd, kind="stable")
-                o_ids[r, : len(nb)] = nb[o]
-                o_d[r, : len(nb)] = nd[o]
+                o_ids[r, : len(adj[j])] = adj[j]
+                pad[r, len(adj[j]) :] = False
+            xb = v32[o_ids]  # (B, kmax, d); pad slots point at row 0
+            pv = v32[np.asarray(blk, np.int64)]
+            g = np.matmul(xb, pv[:, :, None])[:, :, 0]
+            if metric == "l2":
+                o_d = sq32[o_ids] - 2.0 * g + sq32[np.asarray(blk)][:, None]
+            else:
+                o_d = -g
+            o_d[~pad] = np.inf
+            o = np.argsort(o_d, axis=1, kind="stable")
+            o_ids = np.take_along_axis(o_ids, o, axis=1)
+            o_d = np.take_along_axis(o_d, o, axis=1)
             for j, new in zip(
                 blk, _batch_robust_prune(v32, metric, alphas, m, o_ids, o_d)
             ):
