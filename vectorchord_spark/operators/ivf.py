@@ -49,12 +49,40 @@ from vectorchord_spark.operators.sampling import (
     bounded_sample_vectors,
 )
 
+#: ``vec`` is the f32 rerank payload PACKED AS BINARY (little-endian f32,
+#: like the f16/quantized payloads): Spark's parquet LIST<FLOAT> writer
+#: emits per-element definition/repetition levels and measured only
+#: 0.1-0.3 GB/s, the single largest term of the 768d encode stage
+#: (tools/profile_encode.py: parquet 3.98s vs feed+compute 1.63s +
+#: shuffle 0.42s best-of-5 at 250k); the binary blob writes ~3x faster
+#: and decodes to numpy with one frombuffer per batch at rerank time.
 CODES_SCHEMA = (
     "id long, cluster_id int, dis_u_2 float, factor_cnt float, factor_ip float, "
-    "factor_err float, delta float, code binary, vec array<float>, "
+    "factor_err float, delta float, code binary, vec binary, "
     "vec_f16 binary, sq_dis_u_2 float, sq_nol float, sq_code binary"
 )
 SCORE_SCHEMA = "id long, cluster_id int, lb double, rough double"
+
+
+def _binary_f32_matrix(rb, col_name: str, dim: int) -> "np.ndarray":
+    """(n, dim) float64 matrix from an Arrow record batch's binary column
+    of packed little-endian f32 rows (the CODES_SCHEMA ``vec`` layout).
+    Zero-copy up to the final f64 widening: rows are fixed 4*dim bytes, so
+    the variable-width binary array's data buffer is one contiguous f32
+    run between its first and last offsets."""
+    col = rb.column(rb.schema.get_field_index(col_name))
+    if col.null_count:  # defensive: the f32 payload is written non-null
+        raise ValueError(f"NULL {col_name} payload in codes batch")
+    off = np.frombuffer(
+        col.buffers()[1], np.int32, len(col) + 1, offset=col.offset * 4
+    )
+    data = np.frombuffer(col.buffers()[2], np.uint8)
+    return (
+        data[off[0] : off[-1]]
+        .view("<f4")
+        .reshape(len(col), dim)
+        .astype(np.float64)
+    )
 
 #: hard per-cell sample bound for the distributed leaf k-means stage —
 #: caps ONE applyInPandas task's input even when coarse-cell skew
@@ -678,11 +706,13 @@ class IvfIndex(QuerySampling):
                 packed = np.packbits(cm["signs"], axis=1, bitorder="little")
                 code_arr = _fixed_binary(packed.tobytes(), packed.shape[1], n)
                 if keep_vec:
-                    vec_arr = pa.FixedSizeListArray.from_arrays(
-                        pa.array(mat.reshape(-1)), dim
-                    ).cast(pa.list_(pa.float32()))
+                    vec_arr = _fixed_binary(
+                        np.ascontiguousarray(mat, dtype="<f4").tobytes(),
+                        4 * dim,
+                        n,
+                    )
                 else:
-                    vec_arr = pa.nulls(n, pa.list_(pa.float32()))
+                    vec_arr = pa.nulls(n, pa.binary())
                 if keep_f16:
                     f16_arr = _fixed_binary(
                         np.ascontiguousarray(mat.astype("<f2")).tobytes(), 2 * dim, n
@@ -1089,6 +1119,7 @@ class IvfIndex(QuerySampling):
         # reference's rabitq8/rabitq4 opclass behavior)
         storage = meta.get("storage", "f32")
         vec_src = None
+        f32_src = None
         f16_src = None
         if base_df is not None:
             vec_src = base_df
@@ -1101,7 +1132,7 @@ class IvfIndex(QuerySampling):
                 raise ValueError(
                     "index built with rerank_in_index=False: pass base_df"
                 )
-            vec_src = self._codes_df(probed, ["id", "vec"])
+            f32_src = self._codes_df(probed, ["id", "vec"])
         elif storage == "f16":
             if not meta["rerank_in_index"]:
                 raise ValueError(
@@ -1122,6 +1153,48 @@ class IvfIndex(QuerySampling):
                 return (
                     vec_src.join(F.broadcast(cand.select("id")), "id")
                     .select("id", dist.alias("dist"))
+                    .orderBy("dist", "id")
+                )
+
+        elif f32_src is not None:
+            # f32 payload is PACKED BINARY on disk (see CODES_SCHEMA): decode
+            # per batch and replicate the JVM fold EXACTLY — per-dimension
+            # f64 accumulation in index order reproduces D.l2/D.ip's
+            # aggregate(zip_with(...)) left fold bit-for-bit (same IEEE ops,
+            # same order, same dtypes), so oracle-gated distances are
+            # unchanged by the storage layout.
+            q64 = np.asarray(q_exact, np.float64)
+
+            def f32_fold_score(batches):
+                # mapInArrow, not mapInPandas: pandas treats NaN as the null
+                # sentinel, which would turn a NaN distance (non-finite
+                # stored vector) into SQL NULL and sort it FIRST instead of
+                # last (the issue_427 contract)
+                import pyarrow as pa
+
+                for rb in batches:
+                    if not rb.num_rows:
+                        continue
+                    mat = _binary_f32_matrix(rb, "vec", dim)
+                    acc = np.zeros(rb.num_rows, np.float64)
+                    if metric == "l2":
+                        for j in range(dim):
+                            t = mat[:, j] - q64[j]
+                            acc += t * t
+                        d = np.sqrt(acc)
+                    else:
+                        for j in range(dim):
+                            acc += mat[:, j] * q64[j]
+                        d = -acc if metric == "dot" else 1.0 + (-acc)
+                    ids = rb.column(rb.schema.get_field_index("id"))
+                    if ids.type != pa.int64():
+                        ids = ids.cast(pa.int64())
+                    yield pa.record_batch([ids, pa.array(d)], names=["id", "dist"])
+
+            def rerank(cand: DataFrame) -> DataFrame:
+                return (
+                    f32_src.join(F.broadcast(cand.select("id")), "id")
+                    .mapInArrow(f32_fold_score, "id long, dist double")
                     .orderBy("dist", "id")
                 )
 
@@ -1371,19 +1444,46 @@ class IvfIndex(QuerySampling):
                     "index built with rerank_in_index=False: pass base_df"
                 )
             vec_src = self._codes_df(probed_arr, ["id", "vec"])
-            q_arr = F.array(*[D.vec_lit([float(x) for x in Qe[qi]]) for qi in range(nq)])
-            qv = F.element_at(q_arr, F.col("qid") + 1)
-            if metric == "l2":
-                dist = D.l2("vec", qv)
-            elif metric == "dot":
-                dist = D.ip("vec", qv)
-            else:
-                dist = F.lit(1.0) + D.ip("vec", qv)
+            # binary-packed payload (CODES_SCHEMA): decode per batch and
+            # replicate the JVM aggregate(zip_with) left fold exactly —
+            # per-dimension f64 accumulation, so batch rerank distances
+            # stay bit-identical to the former array<float> expression
+            Q64 = np.asarray(Qe, np.float64)
+            dim_ = int(meta["dim"])
+
+            def f32_fold_batch(batches):
+                # mapInArrow for NaN fidelity (see f32_fold_score)
+                import pyarrow as pa
+
+                for rb in batches:
+                    if not rb.num_rows:
+                        continue
+                    mat = _binary_f32_matrix(rb, "vec", dim_)
+                    qids = rb.column(rb.schema.get_field_index("qid"))
+                    if qids.type != pa.int32():
+                        qids = qids.cast(pa.int32())
+                    qs = Q64[np.asarray(qids, np.int64)]
+                    acc = np.zeros(rb.num_rows, np.float64)
+                    if metric == "l2":
+                        for j in range(dim_):
+                            t = mat[:, j] - qs[:, j]
+                            acc += t * t
+                        d = np.sqrt(acc)
+                    else:
+                        for j in range(dim_):
+                            acc += mat[:, j] * qs[:, j]
+                        d = -acc if metric == "dot" else 1.0 + (-acc)
+                    ids = rb.column(rb.schema.get_field_index("id"))
+                    if ids.type != pa.int64():
+                        ids = ids.cast(pa.int64())
+                    yield pa.record_batch(
+                        [qids, ids, pa.array(d)], names=["qid", "id", "dist"]
+                    )
 
             def exact_dist(cand: DataFrame) -> DataFrame:
                 return (
                     vec_src.join(F.broadcast(cand), "id")
-                    .select("qid", "id", dist.alias("dist"))
+                    .mapInArrow(f32_fold_batch, "qid int, id long, dist double")
                 )
 
             return exact_dist
