@@ -13,15 +13,19 @@ from vectorchord_spark.plans import explain as P
 
 
 @pytest.fixture(scope="module")
-def small_index(spark):
+def small_source(spark):
     rng = np.random.default_rng(1)
-    df = spark.createDataFrame(
+    return spark.createDataFrame(
         [(i, [float(x) for x in rng.normal(size=8)]) for i in range(2000)],
         "id long, vec array<float>",
-    )
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, small_source):
     tmp = tempfile.mkdtemp(prefix="vc_plan_idx_")
     idx = IvfIndex.build(
-        spark, df, "id", "vec", os.path.join(tmp, "idx"),
+        spark, small_source, "id", "vec", os.path.join(tmp, "idx"),
         IvfOptions(metric="l2", lists=[16]),
     )
     return idx
@@ -54,7 +58,9 @@ def test_scoring_scan_prunes_vec_column(spark, small_index):
     assert scoring and all("vec" not in s for s in scoring), schemas
 
 
-def test_batch_prefilter_and_rerank_table_plan_shape(spark, small_index):
+def test_batch_prefilter_and_rerank_table_plan_shape(
+    spark, small_index, small_source
+):
     """The round-5 batch paths keep the serving plan shape: the prefilter
     id set joins the scored scan as a BROADCAST semi-join (no sort-merge
     shuffle of candidates), and the base_df rerank-in-table join is a
@@ -71,7 +77,9 @@ def test_batch_prefilter_and_rerank_table_plan_shape(spark, small_index):
     plan = P.explain_str(res)
     assert "SortMergeJoin" not in plan, plan
     assert P.has_broadcast_join(res)
-    base = codes.select("id", "vec")
+    # rerank-in-table takes a USER (id, vec array<float>) table — the codes
+    # table's vec is packed binary and is not a valid base_df
+    base = small_source.select("id", "vec")
     res2 = small_index.search_batch(
         qs, k=5, probes=[4], guarantee=False, base_df=base
     )
