@@ -703,6 +703,18 @@ def test_null_and_nonfinite_vectors(spark):
     rows += [(2000 + i, None) for i in range(100)]
     df = spark.createDataFrame(rows, "id long, vec array<float>")
     with tempfile.TemporaryDirectory() as tmp:
+        # every storage's rerank path must emit NaN (not SQL NULL, which
+        # sorts FIRST) for non-finite stored vectors — the pandas NaN/null
+        # sentinel bug class; scorers use mapInArrow for exactly this
+        for storage in ("f16", "rabitq8"):
+            s_idx = IvfIndex.build(
+                spark, df, "id", "vec", os.path.join(tmp, f"idx_{storage}"),
+                IvfOptions(metric="l2", lists=[4], storage=storage),
+            )
+            s_got = s_idx.search([0.0031, 0.0031, 0.0031], k=10, probes=None,
+                                 rerank_factor=None).collect()
+            assert len(s_got) == 10
+            assert all(r.id < 1000 for r in s_got), (storage, s_got)
         idx = IvfIndex.build(
             spark, df, "id", "vec", os.path.join(tmp, "idx"),
             IvfOptions(metric="l2", lists=[4]),

@@ -64,14 +64,15 @@ CODES_SCHEMA = (
 SCORE_SCHEMA = "id long, cluster_id int, lb double, rough double"
 
 
-def _binary_f32_matrix(rb, col_name: str, dim: int) -> "np.ndarray":
+def _binary_fp_matrix(rb, col_name: str, dim: int, fp_dtype: str) -> "np.ndarray":
     """(n, dim) float64 matrix from an Arrow record batch's binary column
-    of packed little-endian f32 rows (the CODES_SCHEMA ``vec`` layout).
-    Zero-copy up to the final f64 widening: rows are fixed 4*dim bytes, so
-    the variable-width binary array's data buffer is one contiguous f32
-    run between its first and last offsets."""
+    of packed little-endian float rows (the CODES_SCHEMA ``vec``/
+    ``vec_f16`` layouts). Zero-copy up to the final f64 widening: rows are
+    fixed itemsize*dim bytes, so the variable-width binary array's data
+    buffer is one contiguous float run between its first and last
+    offsets."""
     col = rb.column(rb.schema.get_field_index(col_name))
-    if col.null_count:  # defensive: the f32 payload is written non-null
+    if col.null_count:  # defensive: the rerank payload is written non-null
         raise ValueError(f"NULL {col_name} payload in codes batch")
     off = np.frombuffer(
         col.buffers()[1], np.int32, len(col) + 1, offset=col.offset * 4
@@ -79,9 +80,62 @@ def _binary_f32_matrix(rb, col_name: str, dim: int) -> "np.ndarray":
     data = np.frombuffer(col.buffers()[2], np.uint8)
     return (
         data[off[0] : off[-1]]
-        .view("<f4")
+        .view(fp_dtype)
         .reshape(len(col), dim)
         .astype(np.float64)
+    )
+
+
+def _binary_f32_matrix(rb, col_name: str, dim: int) -> "np.ndarray":
+    return _binary_fp_matrix(rb, col_name, dim, "<f4")
+
+
+def _binary_f16_matrix(rb, col_name: str, dim: int) -> "np.ndarray":
+    return _binary_fp_matrix(rb, col_name, dim, "<f2")
+
+
+def _binary_u8_matrix(rb, col_name: str) -> "np.ndarray":
+    """(n, row_bytes) uint8 matrix from a fixed-row-width binary column
+    (the packed sq_code layout), via the same contiguous-buffer slice."""
+    col = rb.column(rb.schema.get_field_index(col_name))
+    if col.null_count:
+        raise ValueError(f"NULL {col_name} payload in codes batch")
+    off = np.frombuffer(
+        col.buffers()[1], np.int32, len(col) + 1, offset=col.offset * 4
+    )
+    data = np.frombuffer(col.buffers()[2], np.uint8)
+    return data[off[0] : off[-1]].reshape(len(col), -1)
+
+
+def _sq_code_matrix(rb, sq_bits: int, dim: int) -> "np.ndarray":
+    """(n, dim) uint8 lattice codes from the packed sq_code column (8-bit:
+    one byte per element; 4-bit: two elements per byte, low nibble first)."""
+    raw = _binary_u8_matrix(rb, "sq_code")
+    if sq_bits == 8:
+        return raw[:, :dim]
+    out = np.empty((raw.shape[0], raw.shape[1] * 2), np.uint8)
+    out[:, 0::2] = raw & 0x0F
+    out[:, 1::2] = raw >> 4
+    return out[:, :dim]
+
+
+def _arrow_i64(rb, name: str):
+    import pyarrow as pa
+
+    col = rb.column(rb.schema.get_field_index(name))
+    return col if col.type == pa.int64() else col.cast(pa.int64())
+
+
+def _arrow_i32(rb, name: str):
+    import pyarrow as pa
+
+    col = rb.column(rb.schema.get_field_index(name))
+    return col if col.type == pa.int32() else col.cast(pa.int32())
+
+
+def _arrow_f64_np(rb, name: str) -> "np.ndarray":
+    return np.asarray(
+        rb.column(rb.schema.get_field_index(name)), dtype=np.float64
     )
 
 #: hard per-cell sample bound for the distributed leaf k-means stage —
@@ -1200,30 +1254,34 @@ class IvfIndex(QuerySampling):
 
         elif f16_src is not None:
             # halfvec rerank: decode the 2-byte-packed vectors per Arrow
-            # batch, widen to f64, one vectorized distance per batch
+            # batch, widen to f64, one vectorized distance per batch.
+            # mapInArrow (not mapInPandas): pandas turns a NaN distance
+            # into SQL NULL, which sorts FIRST instead of the issue_427
+            # non-finite-rows-rank-last contract.
             q64 = np.asarray(q_exact, np.float64)
 
-            def f16_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                for pdf in batches:
-                    if not len(pdf):
+            def f16_score(batches):
+                import pyarrow as pa
+
+                for rb in batches:
+                    if not rb.num_rows:
                         continue
-                    mat = (
-                        np.frombuffer(b"".join(pdf["vec_f16"]), "<f2")
-                        .reshape(len(pdf), dim)
-                        .astype(np.float64)
-                    )
+                    mat = _binary_f16_matrix(rb, "vec_f16", dim)
                     if metric == "l2":
                         d = np.sqrt(((mat - q64) ** 2).sum(axis=1))
                     elif metric == "dot":
                         d = -(mat @ q64)
                     else:
                         d = 1.0 - (mat @ q64)
-                    yield pd.DataFrame({"id": pdf["id"].to_numpy(np.int64), "dist": d})
+                    ids = rb.column(rb.schema.get_field_index("id"))
+                    if ids.type != pa.int64():
+                        ids = ids.cast(pa.int64())
+                    yield pa.record_batch([ids, pa.array(d)], names=["id", "dist"])
 
             def rerank(cand: DataFrame) -> DataFrame:
                 return (
                     f16_src.join(F.broadcast(cand.select("id")), "id")
-                    .mapInPandas(f16_score, "id long, dist double")
+                    .mapInArrow(f16_score, "id long, dist double")
                     .orderBy("dist", "id")
                 )
 
@@ -1236,21 +1294,16 @@ class IvfIndex(QuerySampling):
             base_off = np.float64(-0.5 * ((1 << sq_bits) - 1))
             q_norm2 = float(q_rot64 @ q_rot64)
 
-            def sq_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                for pdf in batches:
-                    if not len(pdf):
+            def sq_score(batches):
+                # mapInArrow for NaN fidelity (see f32_fold_score)
+                import pyarrow as pa
+
+                for rb in batches:
+                    if not rb.num_rows:
                         continue
-                    codes = list(pdf["sq_code"])
-                    code = (
-                        np.frombuffer(b"".join(codes), np.uint8).reshape(
-                            len(codes), -1
-                        )[:, :dim]
-                        if sq_bits == 8
-                        else K.unpack_nibbles(codes, dim)
-                    )
-                    scale = (
-                        np.sqrt(pdf["sq_dis_u_2"].to_numpy(np.float64))
-                        / pdf["sq_nol"].to_numpy(np.float64)
+                    code = _sq_code_matrix(rb, sq_bits, dim)
+                    scale = np.sqrt(_arrow_f64_np(rb, "sq_dis_u_2")) / _arrow_f64_np(
+                        rb, "sq_nol"
                     )
                     centered = code.astype(np.float64) + base_off
                     dotq = (centered @ q_rot64) * scale
@@ -1263,8 +1316,8 @@ class IvfIndex(QuerySampling):
                         d = -dotq
                     else:
                         d = 1.0 - dotq
-                    yield pd.DataFrame(
-                        {"id": pdf["id"].to_numpy(np.int64), "dist": d}
+                    yield pa.record_batch(
+                        [_arrow_i64(rb, "id"), pa.array(d)], names=["id", "dist"]
                     )
 
             sq_src = self._codes_df(probed, ["id", "sq_dis_u_2", "sq_nol", "sq_code"])
@@ -1272,7 +1325,7 @@ class IvfIndex(QuerySampling):
             def rerank(cand: DataFrame) -> DataFrame:
                 return (
                     sq_src.join(F.broadcast(cand.select("id")), "id")
-                    .mapInPandas(sq_score, "id long, dist double")
+                    .mapInArrow(sq_score, "id long, dist double")
                     .orderBy("dist", "id")
                 )
 
@@ -1384,24 +1437,20 @@ class IvfIndex(QuerySampling):
             base_off = np.float64(-0.5 * ((1 << sq_bits) - 1))
             q_norm2 = np.einsum("ij,ij->i", Qr64, Qr64)
 
-            def sq_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                for pdf in batches:
-                    if not len(pdf):
+            def sq_score(batches):
+                # mapInArrow for NaN fidelity (see f32_fold_score)
+                import pyarrow as pa
+
+                for rb in batches:
+                    if not rb.num_rows:
                         continue
-                    codes = list(pdf["sq_code"])
-                    code = (
-                        np.frombuffer(b"".join(codes), np.uint8).reshape(
-                            len(codes), -1
-                        )[:, :dim]
-                        if sq_bits == 8
-                        else K.unpack_nibbles(codes, dim)
-                    )
-                    scale = (
-                        np.sqrt(pdf["sq_dis_u_2"].to_numpy(np.float64))
-                        / pdf["sq_nol"].to_numpy(np.float64)
+                    code = _sq_code_matrix(rb, sq_bits, dim)
+                    scale = np.sqrt(_arrow_f64_np(rb, "sq_dis_u_2")) / _arrow_f64_np(
+                        rb, "sq_nol"
                     )
                     centered = code.astype(np.float64) + base_off
-                    qids = pdf["qid"].to_numpy(np.int64)
+                    qid_arr = _arrow_i32(rb, "qid")
+                    qids = np.asarray(qid_arr, dtype=np.int64)
                     dotq = (
                         np.einsum("ij,ij->i", centered, Qr64[qids]) * scale
                     )
@@ -1418,12 +1467,9 @@ class IvfIndex(QuerySampling):
                         d = -dotq
                     else:
                         d = 1.0 - dotq
-                    yield pd.DataFrame(
-                        {
-                            "qid": pdf["qid"].to_numpy(np.int32),
-                            "id": pdf["id"].to_numpy(np.int64),
-                            "dist": d,
-                        }
+                    yield pa.record_batch(
+                        [qid_arr, _arrow_i64(rb, "id"), pa.array(d)],
+                        names=["qid", "id", "dist"],
                     )
 
             sq_src = self._codes_df(
@@ -1433,7 +1479,7 @@ class IvfIndex(QuerySampling):
             def exact_dist(cand: DataFrame) -> DataFrame:
                 return (
                     sq_src.join(F.broadcast(cand), "id")
-                    .mapInPandas(sq_score, "qid int, id long, dist double")
+                    .mapInArrow(sq_score, "qid int, id long, dist double")
                 )
 
             return exact_dist
@@ -1496,34 +1542,31 @@ class IvfIndex(QuerySampling):
         f16_src = self._codes_df(probed_arr, ["id", "vec_f16"])
         Qmat = Qe  # (nq, dim) f64, closure-captured (tiny)
 
-        def f16_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if not len(pdf):
+        def f16_score(batches):
+            # mapInArrow for NaN fidelity (see f32_fold_score)
+            import pyarrow as pa
+
+            for rb in batches:
+                if not rb.num_rows:
                     continue
-                mat = (
-                    np.frombuffer(b"".join(pdf["vec_f16"]), "<f2")
-                    .reshape(len(pdf), dim)
-                    .astype(np.float64)
-                )
-                qs = Qmat[pdf["qid"].to_numpy(np.int64)]
+                mat = _binary_f16_matrix(rb, "vec_f16", dim)
+                qid_arr = _arrow_i32(rb, "qid")
+                qs = Qmat[np.asarray(qid_arr, dtype=np.int64)]
                 if metric == "l2":
                     d = np.sqrt(((mat - qs) ** 2).sum(axis=1))
                 elif metric == "dot":
                     d = -np.einsum("ij,ij->i", mat, qs)
                 else:
                     d = 1.0 - np.einsum("ij,ij->i", mat, qs)
-                yield pd.DataFrame(
-                    {
-                        "qid": pdf["qid"].to_numpy(np.int32),
-                        "id": pdf["id"].to_numpy(np.int64),
-                        "dist": d,
-                    }
+                yield pa.record_batch(
+                    [qid_arr, _arrow_i64(rb, "id"), pa.array(d)],
+                    names=["qid", "id", "dist"],
                 )
 
         def exact_dist(cand: DataFrame) -> DataFrame:
             return (
                 f16_src.join(F.broadcast(cand), "id")
-                .mapInPandas(f16_score, "qid int, id long, dist double")
+                .mapInArrow(f16_score, "qid int, id long, dist double")
             )
 
         return exact_dist
