@@ -902,3 +902,62 @@ def test_sparse_knn_self_retrieval_and_ordering(spark):
     assert all(r.doc_id != 3 for r in got)
     dot = sparse_knn(terms, qt, k=4, metric="dot").collect()
     assert all(float(r.score).is_integer() for r in dot)
+
+
+def test_bm25_topk_matches_reference_formula(spark):
+    """bm25_topk: scores equal a direct Python computation of the
+    Robertson/Lucene BM25 over the same hashed term frequencies, and a
+    term-exclusive doc outranks docs sharing only common terms."""
+    import math
+
+    from vectorchord_spark.pipeline.sparse import bm25_topk, hash_embed_terms
+
+    corpus = {
+        1: "rare alpha alpha common common",
+        2: "common common common common",
+        3: "rare common",
+        4: "beta beta beta common",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()], "doc_id long, text string"
+    )
+    dim = 512
+    terms = hash_embed_terms(df, dim=dim, signed=False)
+    qt = hash_embed_terms(
+        spark.createDataFrame([(0, "rare alpha")], "doc_id long, text string"),
+        dim=dim,
+        signed=False,
+    ).select("bucket", "weight")
+    got = {r.doc_id: r.score for r in bm25_topk(terms, qt, k=4).collect()}
+
+    # reference computation over the same hash buckets
+    def bucket(w):
+        import hashlib
+
+        h = hashlib.md5(f"hb|{w}".encode()).hexdigest()
+        return int(h[:6], 16) % dim
+
+    tf = {i: {} for i in corpus}
+    for i, t in corpus.items():
+        for w in t.split():
+            b = bucket(w)
+            tf[i][b] = tf[i].get(b, 0) + 1
+    n = len(corpus)
+    dl = {i: sum(m.values()) for i, m in tf.items()}
+    avgdl = sum(dl.values()) / n
+    want = {}
+    k1, b_ = 1.2, 0.75
+    for qb in {bucket("rare"), bucket("alpha")}:
+        dfreq = sum(1 for m in tf.values() if qb in m)
+        idf = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        for i, m in tf.items():
+            if qb in m:
+                f = m[qb]
+                want[i] = want.get(i, 0.0) + idf * f * (k1 + 1) / (
+                    f + k1 * (1 - b_ + b_ * dl[i] / avgdl)
+                )
+    assert set(got) == set(want)
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-12, (i, got[i], want[i])
+    # doc 1 holds the exclusive high-idf terms -> must rank first
+    assert max(got, key=got.get) == 1

@@ -1,3 +1,10 @@
-from vectorchord_spark.pipeline import dedup, embed, multimodal, splits, text
+from vectorchord_spark.pipeline import (
+    dedup,
+    embed,
+    multimodal,
+    sparse,
+    splits,
+    text,
+)
 
-__all__ = ["dedup", "embed", "text", "multimodal", "splits"]
+__all__ = ["dedup", "embed", "text", "multimodal", "sparse", "splits"]

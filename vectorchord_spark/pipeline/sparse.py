@@ -56,23 +56,27 @@ def hash_embed_terms(
     id_col: str = "doc_id",
     dim: int = 1024,
     extra_keys: tuple[str, ...] = (),
+    signed: bool = True,
 ) -> DataFrame:
     """Hashing-trick sparse embedding as posting rows.
 
     Each word hashes to a bucket in ``[0, dim)`` with a ±1 sign; per-key
     signed counts are the weights (exact integers). Zero-sum collision
     buckets are dropped (they carry no signal and would bloat the
-    posting table). ``extra_keys`` carries sub-document keys (e.g.
-    ``chunk_no``) through, making this the chunk-level RAG embedding.
-    One shuffle: the (keys, bucket) count groupBy, map-side combined.
+    posting table). ``signed=False`` skips the sign (plain term
+    frequencies — the BM25 input). ``extra_keys`` carries sub-document
+    keys (e.g. ``chunk_no``) through, making this the chunk-level RAG
+    embedding. One shuffle: the (keys, bucket) count groupBy, map-side
+    combined.
     """
     keys = [id_col, *extra_keys]
     w = df.select(*keys, F.explode(words(text_col)).alias("_w"))
+    s = _hash_sign(F.col("_w")) if signed else F.lit(1)
     terms = (
         w.select(
             *keys,
             _hash_bucket(F.col("_w"), dim).alias("bucket"),
-            _hash_sign(F.col("_w")).alias("_s"),
+            s.alias("_s"),
         )
         .groupBy(*keys, "bucket")
         .agg(F.sum("_s").cast("bigint").alias("weight"))
@@ -140,3 +144,55 @@ def sparse_knn(
     return scored.orderBy(F.col("score").desc(), *[F.col(c) for c in keys]).limit(
         k
     )
+
+
+def bm25_topk(
+    terms: DataFrame,
+    query_terms: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k over the posting layout (the other half of the
+    SPLADE/BM25 retrieval shape; Robertson/Lucene formulation with the
+    +1-smoothed idf, so scores are always positive).
+
+    ``terms`` should be UNSIGNED counts (``hash_embed_terms(...,
+    signed=False)``) — BM25's tf is a frequency, not a projection.
+
+    100 TB shape: document length and per-bucket document frequency are
+    both single partially-aggregable groupBys; df is computed only for
+    the query's buckets (semi-join first). Driver state is two scalars
+    (N, avgdl). The scoring join broadcasts query terms + the tiny df
+    table; the posting side never shuffles for them.
+    """
+    q = query_terms.select("bucket").distinct()
+    dl = terms.groupBy(id_col).agg(F.sum("weight").alias("_dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("_dl").alias("avgdl")
+    ).first()
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+    df_tbl = (
+        terms.join(F.broadcast(q), "bucket")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf = F.col("weight").cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.lit(avgdl)
+    )
+    contrib = idf * tf * F.lit(k1 + 1.0) / (tf + norm)
+    scored = (
+        terms.join(F.broadcast(q), "bucket")
+        .join(F.broadcast(df_tbl), "bucket")
+        .join(dl, id_col)
+        .groupBy(id_col)
+        .agg(F.sum(contrib).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), id_col).limit(k)
