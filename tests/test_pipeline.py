@@ -961,3 +961,28 @@ def test_bm25_topk_matches_reference_formula(spark):
         assert abs(got[i] - want[i]) < 1e-12, (i, got[i], want[i])
     # doc 1 holds the exclusive high-idf terms -> must rank first
     assert max(got, key=got.get) == 1
+
+
+def test_paragraph_neardup_pairs(spark):
+    """paragraph_neardup_pairs: two docs sharing a near-identical 8-word
+    paragraph (one word changed) pair up at paragraph granularity; an
+    unrelated paragraph stays unpaired."""
+    from vectorchord_spark.pipeline.dedup import paragraph_neardup_pairs
+
+    p_shared = "alpha beta gamma delta epsilon zeta eta theta"
+    p_near = "alpha beta gamma delta epsilon zeta eta iota"  # 1 word off
+    p_other = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [
+            (1, f"{p_shared} {p_other}"),
+            (2, f"{p_near} {p_other.upper()}"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.ida, r.para_a, r.idb, r.para_b)
+        for r in paragraph_neardup_pairs(df, para_words=8).collect()
+    }
+    assert ("1", 0, "2", 0) in got  # the near-dup paragraph pair
+    # the unrelated paragraphs (1,#1) vs (2,#1) must not pair (uppercased)
+    assert ("1", 1, "2", 1) not in got

@@ -670,3 +670,55 @@ def paragraph_dedup(
             F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
         )
     )
+
+
+def paragraph_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    para_words: int = 32,
+    n: int = 3,
+    num_hashes: int = 8,
+    band_rows: int = 2,
+) -> DataFrame:
+    """Paragraph-level NEAR-dup candidate pairs: :func:`paragraph_dedup`'s
+    splitter composed with the banded MinHash+LSH join, at (id, para_no)
+    granularity. Returns one row per candidate pair of near-duplicate
+    paragraphs across (or within) documents:
+    ``(ida, para_a, idb, para_b)``, ordered pairs (a < b by the composite
+    key). Verification (exact Jaccard) is the caller's choice, as with
+    :func:`minhash_lsh_pairs`.
+
+    100 TB shape: identical to minhash_lsh_pairs — banding turns all-pairs
+    into a groupBy on band keys; paragraph granularity only multiplies the
+    row count by paragraphs-per-doc, it adds no new shuffle."""
+    from vectorchord_spark.pipeline.text import chunk_documents
+
+    paras = chunk_documents(
+        df.select(id_col, text_col),
+        text_col,
+        chunk_words=para_words,
+        overlap_words=0,
+        id_col=id_col,
+    ).select(
+        F.concat(
+            F.col(id_col).cast("string"), F.lit("#"), F.col("chunk_no")
+        ).alias("_pid"),
+        F.col("chunk_text").alias("_ptext"),
+    )
+    pairs = minhash_lsh_pairs(
+        paras, id_col="_pid", text_col="_ptext", n=n,
+        num_hashes=num_hashes, band_rows=band_rows,
+    )
+
+    def split(col: str, out_id: str, out_no: str):
+        return [
+            F.split_part(F.col(col), F.lit("#"), F.lit(1)).alias(out_id),
+            F.split_part(F.col(col), F.lit("#"), F.lit(2))
+            .cast("int")
+            .alias(out_no),
+        ]
+
+    return pairs.select(
+        *split("ida", "ida", "para_a"), *split("idb", "idb", "para_b")
+    )
