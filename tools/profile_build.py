@@ -16,6 +16,25 @@ import numpy as np
 import pandas as pd
 
 
+def _cleanup_tmpdir(path: str) -> None:
+    """Delete a profiling index dir at exit unless VC_KEEP_TMP=1.
+
+    These runs write multi-GB codes dirs; a round of repeated profiling
+    filled the disk to 99% (which itself degrades every write-heavy
+    measurement) before this existed."""
+    import atexit
+    import os as _os
+    import shutil
+
+    if _os.environ.get("VC_KEEP_TMP") != "1":
+        root = (
+            _os.path.dirname(path)
+            if _os.path.basename(path) in ("idx", "gidx")
+            else path
+        )
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+
+
 def main() -> None:
     from pyspark.sql import functions as F  # noqa: F401
 
@@ -83,6 +102,7 @@ def main() -> None:
     IvfIndex._encode_and_write = timed_encode
 
     path = tempfile.mkdtemp(prefix="vc_profile_") + "/idx"
+    _cleanup_tmpdir(path)
     t0 = time.perf_counter()
     IvfIndex.build(spark, df, "id", "vec", path, opts)
     total = time.perf_counter() - t0

@@ -31,6 +31,25 @@ import numpy as np
 import pandas as pd
 
 
+def _cleanup_tmpdir(path: str) -> None:
+    """Delete a profiling index dir at exit unless VC_KEEP_TMP=1.
+
+    These runs write multi-GB codes dirs; a round of repeated profiling
+    filled the disk to 99% (which itself degrades every write-heavy
+    measurement) before this existed."""
+    import atexit
+    import os as _os
+    import shutil
+
+    if _os.environ.get("VC_KEEP_TMP") != "1":
+        root = (
+            _os.path.dirname(path)
+            if _os.path.basename(path) in ("idx", "gidx")
+            else path
+        )
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
@@ -69,6 +88,7 @@ def main() -> None:
         metric="l2", lists=[n_lists], build_hierarchical=True, sampling_factor=64
     )
     path = tempfile.mkdtemp(prefix="vc_encprof_") + "/idx"
+    _cleanup_tmpdir(path)
     t0 = time.perf_counter()
     idx = IvfIndex.build(spark, df, "id", "vec", path, opts)
     t_build = time.perf_counter() - t0
@@ -136,5 +156,3 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
-
-

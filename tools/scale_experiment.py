@@ -20,6 +20,25 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 
 
+def _cleanup_tmpdir(path: str) -> None:
+    """Delete a profiling index dir at exit unless VC_KEEP_TMP=1.
+
+    These runs write multi-GB codes dirs; a round of repeated profiling
+    filled the disk to 99% (which itself degrades every write-heavy
+    measurement) before this existed."""
+    import atexit
+    import os as _os
+    import shutil
+
+    if _os.environ.get("VC_KEEP_TMP") != "1":
+        root = (
+            _os.path.dirname(path)
+            if _os.path.basename(path) in ("idx", "gidx")
+            else path
+        )
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+
+
 def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_rows = int(pos[0]) if pos else 1_000_000
@@ -130,6 +149,7 @@ def main() -> None:
         from vectorchord_spark import VamanaIndex
 
         gpath = tempfile.mkdtemp(prefix="vc_scale_graph_") + "/gidx"
+        _cleanup_tmpdir(gpath)
         t0 = time.perf_counter()
         gidx = VamanaIndex.build(spark, df, "id", "vec", gpath)
         gbuild_s = time.perf_counter() - t0
@@ -197,6 +217,7 @@ def main() -> None:
         # driver sample is only √10000·256 = 25.6k vectors
         n_lists = min(10_000, n_lists * 10)
     path = tempfile.mkdtemp(prefix="vc_scale_") + "/idx"
+    _cleanup_tmpdir(path)
     t0 = time.perf_counter()
     idx = IvfIndex.build(
         spark,

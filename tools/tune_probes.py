@@ -40,6 +40,25 @@ def _arg(flag: str, default: str) -> str:
     return default
 
 
+def _cleanup_tmpdir(path: str) -> None:
+    """Delete a profiling index dir at exit unless VC_KEEP_TMP=1.
+
+    These runs write multi-GB codes dirs; a round of repeated profiling
+    filled the disk to 99% (which itself degrades every write-heavy
+    measurement) before this existed."""
+    import atexit
+    import os as _os
+    import shutil
+
+    if _os.environ.get("VC_KEEP_TMP") != "1":
+        root = (
+            _os.path.dirname(path)
+            if _os.path.basename(path) in ("idx", "gidx")
+            else path
+        )
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = next(
         (a for a in sys.argv[1:] if not a.startswith("--") and os.path.isdir(a)),
@@ -69,6 +88,7 @@ def main() -> None:
 
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
         path = tempfile.mkdtemp(prefix="vc_tune_") + "/idx"
+        _cleanup_tmpdir(path)
         if graph_mode:
             idx = VamanaIndex.build(
                 spark, emb, "vec_id", "embedding", path,
