@@ -48,6 +48,19 @@ def limit_blas_threads(n: int = 1) -> bool:
     global _BLAS_LIMITED
     if _BLAS_LIMITED:
         return True
+    if set_blas_threads(n) is not None:
+        _BLAS_LIMITED = True
+        return True
+    return False
+
+
+_OPENBLAS_HANDLE: "object | None | bool" = False  # False = not yet probed
+
+
+def _openblas() -> "object | None":
+    global _OPENBLAS_HANDLE
+    if _OPENBLAS_HANDLE is not False:
+        return _OPENBLAS_HANDLE
     import ctypes
     import glob
     import os
@@ -59,19 +72,47 @@ def limit_blas_threads(n: int = 1) -> bool:
         "/usr/local/lib",
         "/usr/lib",
     ]
+    _OPENBLAS_HANDLE = None
     for d in lib_dirs:
         for so in sorted(glob.glob(os.path.join(d, "libopenblas*.so*"))):
             try:
                 lib = ctypes.CDLL(so)  # dlopen dedups: same handle numpy holds
             except OSError:
                 continue
-            for sym in ("openblas_set_num_threads64_", "openblas_set_num_threads"):
-                fn = getattr(lib, sym, None)
-                if fn is not None:
-                    fn(int(n))
-                    _BLAS_LIMITED = True
-                    return True
-    return False
+            if any(
+                getattr(lib, s, None) is not None
+                for s in ("openblas_set_num_threads64_", "openblas_set_num_threads")
+            ):
+                _OPENBLAS_HANDLE = lib
+                return lib
+    return _OPENBLAS_HANDLE
+
+
+def set_blas_threads(n: int) -> "int | None":
+    """Set the OpenBLAS thread count; returns the PREVIOUS count (so a
+    caller can scope the change), or None when no runtime entry point is
+    found (non-OpenBLAS numpy — callers must treat the change as a no-op).
+
+    Used by the driver k-means to pin per-cell Lloyd runs to one BLAS
+    thread while a Python thread pool provides the parallelism across
+    cells: small-matrix GEMMs gain nothing from BLAS threads (see
+    limit_blas_threads), and 1-thread BLAS makes each cell's float
+    reduction order independent of the pool width."""
+    lib = _openblas()
+    if lib is None:
+        return None
+    prev = None
+    for sym in ("openblas_get_num_threads64_", "openblas_get_num_threads"):
+        fn = getattr(lib, sym, None)
+        if fn is not None:
+            prev = int(fn())
+            break
+    for sym in ("openblas_set_num_threads64_", "openblas_set_num_threads"):
+        fn = getattr(lib, sym, None)
+        if fn is not None:
+            fn(int(n))
+            return prev if prev is not None else 0
+    return None
 
 
 __all__ = [

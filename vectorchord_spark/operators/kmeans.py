@@ -142,12 +142,34 @@ def hierarchical(
     labels = _assign(samples, coarse)
     counts = np.bincount(labels, minlength=coarse_k)
     seats = sainte_lague_seats(counts, c)
-    outs = []
-    for g in range(coarse_k):
-        if seats[g] == 0:
-            continue
+    live = [g for g in range(coarse_k) if seats[g] > 0]
+    # The per-cell Lloyd runs are independent and BLAS-bound (sgemm
+    # releases the GIL), so a thread pool parallelizes them. BLAS is
+    # pinned to 1 thread for the pooled section: the per-cell GEMMs are
+    # too small to gain from BLAS threads (docs/SCALE.md round-6 BLAS
+    # findings), and single-thread BLAS makes each cell's result
+    # independent of pool width. Cell results keep the sequential path's
+    # coarse-cell order (and per-cell seeds), so the output layout is
+    # unchanged. Measured 4.0s -> ~0.6s on the 64k x 768d, c=1000 build
+    # sample (31 cells, 16 threads).
+    from concurrent.futures import ThreadPoolExecutor
+
+    from vectorchord_spark import kernels as _K
+
+    def _cell(g: int) -> np.ndarray:
         part = samples[labels == g]
-        outs.append(lloyd(part, int(seats[g]), iterations, seed + 1 + g, spherical))
+        return lloyd(part, int(seats[g]), iterations, seed + 1 + g, spherical)
+
+    if len(live) > 1:
+        prev = _K.set_blas_threads(1)
+        try:
+            with ThreadPoolExecutor(max_workers=min(16, len(live))) as pool:
+                outs = list(pool.map(_cell, live))
+        finally:
+            if prev is not None and prev > 1:
+                _K.set_blas_threads(prev)
+    else:
+        outs = [_cell(g) for g in live]
     return np.concatenate(outs).astype(np.float32)
 
 

@@ -16,8 +16,10 @@ per-partition smallest keys; the filter only removes rows that could never
 be selected), except in the astronomically unlikely tail where a
 partition's per_part-th smallest key exceeds 2x its expectation — the
 sample then comes up slightly short, which the k-means callers tolerate
-(cap is a budget, not a contract). The bound itself is a pure-JVM window
-rank; vectors reach Python exactly once, in the final driver toPandas.
+(cap is a budget, not a contract). The bound itself is a pure-JVM
+in-partition sort + monotonically_increasing_id rank — one codegen span,
+no exchange; vectors reach Python exactly once, in the final driver
+toPandas.
 """
 
 from __future__ import annotations
@@ -60,20 +62,19 @@ def bounded_sample_vectors(df: DataFrame, cap: int, seed: int) -> pd.DataFrame:
         ).otherwise(F.lit(1.0))
         src = src.where(F.col("_u") < thresh)
 
-    # per-partition bound as a pure-JVM window: rank by the seeded key
-    # within each ORIGINAL partition (spark_partition_id() is evaluated
-    # before the window exchange) and keep the per_part smallest — the
-    # same selection as the previous Python stage, but the vectors cross
-    # the Arrow boundary exactly once (driver toPandas) instead of three
-    # times (JVM→Python, Python→JVM, driver collect): measured 3.6s → ~1s
-    # on the 250k × 768d build. The window shuffle moves only the
-    # prefiltered ~2·cap rows.
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(F.spark_partition_id()).orderBy("_u")
+    # per-partition bound, pure JVM and SHUFFLE-FREE: sort each partition
+    # by the seeded key in place (narrow op — no exchange), then use
+    # monotonically_increasing_id()'s documented layout (upper bits =
+    # partition index, lower 33 bits = record position within the
+    # partition) as the per-partition rank. Selects exactly the per_part
+    # smallest keys of each ORIGINAL partition — the same rows the
+    # previous window-rank version picked, without moving the prefiltered
+    # ~2·cap vector payload through a window exchange first. Vectors
+    # still cross Arrow exactly once, in the final driver toPandas.
     return (
-        src.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= per_part)
+        src.sortWithinPartitions("_u")
+        .withColumn("_rn", F.monotonically_increasing_id().bitwiseAND((1 << 33) - 1))
+        .where(F.col("_rn") < per_part)
         .select("vec")
         .limit(cap)
         .toPandas()
