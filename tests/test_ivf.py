@@ -692,6 +692,58 @@ def test_bounded_sample_vectors(spark):
     assert sorted(int(v[0]) for v in s3["vec"]) != ids1, "seed must matter"
 
 
+def test_bounded_sample_plan_is_shuffle_free(spark):
+    """Performance contract of the build sampler: the whole pass is one
+    narrow pipeline (scan -> prefilter -> in-partition sort -> rank
+    filter) with ZERO exchanges — at 100 TB the sample must cost one scan,
+    not a shuffle of the surviving vector payload. Regression guard for
+    the round-7 window-exchange removal."""
+    from vectorchord_spark.operators.sampling import bounded_sample_plan
+    from vectorchord_spark.plans import explain as P
+
+    df = (
+        spark.range(100_000, numPartitions=8)
+        .selectExpr("array(cast(id as float)) as vec")
+    )
+    plan = P.explain_str(bounded_sample_plan(df, 3000, seed=11))
+    assert "Exchange" not in plan, plan
+    assert "Sort" in plan  # the in-partition rank sort is still there
+
+
+def test_set_blas_threads_scoped_restore():
+    """kernels.set_blas_threads returns the previous thread count so the
+    driver k-means can scope its 1-thread pooled section; restoring must
+    round-trip. Skipped when numpy isn't backed by OpenBLAS."""
+    import pytest
+
+    from vectorchord_spark import kernels as K
+
+    prev = K.set_blas_threads(1)
+    if prev is None:
+        pytest.skip("no OpenBLAS runtime entry point in this numpy")
+    try:
+        assert K.set_blas_threads(2) == 1
+        assert K.set_blas_threads(1) == 2
+    finally:
+        K.set_blas_threads(prev if prev > 0 else 1)
+
+
+def test_hierarchical_kmeans_parallel_deterministic():
+    """The thread-pooled per-cell Lloyd fits must give identical output
+    across repeated calls (per-cell seeds + 1-thread BLAS make each cell
+    independent of pool scheduling)."""
+    import numpy as np
+
+    from vectorchord_spark.operators import kmeans as KM
+
+    rng = np.random.default_rng(3)
+    samples = rng.standard_normal((6000, 32)).astype(np.float32)
+    a = KM.hierarchical(samples, 100, 5, 42, False)
+    b = KM.hierarchical(samples, 100, 5, 42, False)
+    assert a.shape == (100, 32)
+    assert np.array_equal(a, b)
+
+
 def test_null_and_nonfinite_vectors(spark):
     """Reference contracts tests/fail/null.fail + tests/general/issue_427.slt:
     NULL vector rows must not break build/insert/search (they are simply

@@ -36,6 +36,13 @@ def bounded_sample_vectors(df: DataFrame, cap: int, seed: int) -> pd.DataFrame:
     Deterministic for a fixed (df partitioning, seed). The result must fit
     the driver — callers size ``cap`` for their driver-side k-means step.
     """
+    return bounded_sample_plan(df, cap, seed).toPandas()
+
+
+def bounded_sample_plan(df: DataFrame, cap: int, seed: int) -> DataFrame:
+    """The sampler's (uncollected) plan — split out so tests can assert
+    its shape: one codegen span, zero exchanges (the performance contract
+    that makes the sample pass a pure scan at 100 TB)."""
     n_parts = max(1, df.rdd.getNumPartitions())
     per_part = -(-cap // n_parts)
 
@@ -77,7 +84,6 @@ def bounded_sample_vectors(df: DataFrame, cap: int, seed: int) -> pd.DataFrame:
         .where(F.col("_rn") < per_part)
         .select("vec")
         .limit(cap)
-        .toPandas()
     )
 
 
