@@ -963,7 +963,74 @@ def test_bm25_topk_matches_reference_formula(spark):
     assert max(got, key=got.get) == 1
 
 
-def test_paragraph_neardup_pairs(spark):
+def test_rrf_fuse_matches_hand_computation(spark):
+    """rrf_fuse: fused scores equal the closed-form RRF sum over each
+    list's (score, id)-tiebroken ranks; ascending/descending score
+    conventions both rank correctly; docs absent from a list contribute
+    no term for it."""
+    from vectorchord_spark.pipeline.sparse import rrf_fuse
+
+    # dense arm: distances, ASC better. ranks: 10->1, 20->2, 30->3
+    dense = spark.createDataFrame(
+        [(10, 0.1), (20, 0.2), (30, 0.3)], "doc_id long, dist double"
+    )
+    # sparse arm: similarities, DESC better. ranks: 20->1, 40->2, 10->3
+    sparse = spark.createDataFrame(
+        [(20, 9.0), (40, 5.0), (10, 1.0)], "doc_id long, score double"
+    )
+    got = rrf_fuse(
+        [(dense, "dist", True), (sparse, "score", False)], k=10, rrf_k=60.0
+    ).collect()
+    want = {
+        10: 1 / 61 + 1 / 63,
+        20: 1 / 62 + 1 / 61,
+        30: 1 / 63,
+        40: 1 / 62,
+    }
+    assert {r.doc_id for r in got} == set(want)
+    for r in got:
+        assert abs(r.score - want[r.doc_id]) < 1e-15, (r.doc_id, r.score)
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)
+    # 20 wins: rank 1 in sparse + rank 2 in dense beats 10's (1, 3)
+    assert got[0].doc_id == 20
+
+
+def test_hybrid_retrieval_dense_plus_bm25(spark):
+    """End-to-end hybrid retrieval: BM25 and sparse-cosine arms over the
+    same corpus fused with RRF. A doc that is merely mid-ranked in each
+    arm but present in both outranks docs that appear in only one."""
+    from vectorchord_spark.pipeline.sparse import (
+        bm25_topk,
+        hash_embed_terms,
+        rrf_fuse,
+        sparse_knn,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta sigma tau"),
+            (3, "gamma delta upsilon phi"),
+            (4, "psi omega chi xi"),
+        ],
+        "doc_id long, text string",
+    )
+    dim = 512
+    terms_u = hash_embed_terms(df, dim=dim, signed=False)
+    terms_s = hash_embed_terms(df, dim=dim, signed=True)
+    q = spark.createDataFrame([(0, "alpha beta gamma delta")], "doc_id long, text string")
+    qt_u = hash_embed_terms(q, dim=dim, signed=False).select("bucket", "weight")
+    qt_s = hash_embed_terms(q, dim=dim, signed=True).select("bucket", "weight")
+    arm_bm25 = bm25_topk(terms_u, qt_u, k=4)
+    arm_cos = sparse_knn(terms_s, qt_s, k=4)
+    fused = rrf_fuse(
+        [(arm_bm25, "score", False), (arm_cos, "score", False)], k=3
+    ).collect()
+    # doc 1 matches all four query words: first in both arms -> first fused
+    assert fused[0].doc_id == 1
+    # doc 4 shares nothing with the query: absent from every arm
+    assert all(r.doc_id != 4 for r in fused)
     """paragraph_neardup_pairs: two docs sharing a near-identical 8-word
     paragraph (one word changed) pair up at paragraph granularity; an
     unrelated paragraph stays unpaired."""

@@ -196,3 +196,45 @@ def bm25_topk(
         .agg(F.sum(contrib).alias("score"))
     )
     return scored.orderBy(F.col("score").desc(), id_col).limit(k)
+
+
+def rrf_fuse(
+    ranked: "list[tuple[DataFrame, str, bool]]",
+    k: int = 10,
+    id_col: str = "doc_id",
+    rrf_k: float = 60.0,
+) -> DataFrame:
+    """Reciprocal-rank fusion of bounded ranked result frames — the
+    standard dense+sparse hybrid-retrieval combiner (Cormack et al.'s
+    RRF: fused score = Σ_lists 1 / (rrf_k + rank)).
+
+    ``ranked`` is a list of ``(df, score_col, ascending)`` triples: each
+    ``df`` must carry ``id_col`` and ``score_col``, with ``ascending=True``
+    when smaller is better (distances) and False when larger is better
+    (similarities, BM25). Ranks are recomputed here from the score column
+    with an ``id_col`` tiebreak, so inputs don't need to arrive sorted.
+
+    Inputs are expected to be top-N frames (the output of a k-NN search /
+    ``sparse_knn`` / ``bm25_topk``), so each is at most a few hundred
+    rows: the unpartitioned rank window and the fusion groupBy run on
+    k-sized data regardless of corpus size — the heavy lifting happened
+    inside the per-list retrievals. A document absent from a list simply
+    contributes no term for it (standard RRF semantics)."""
+    from pyspark.sql import Window
+
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked frame")
+    parts = []
+    for df, score_col, ascending in ranked:
+        key = F.col(score_col).asc() if ascending else F.col(score_col).desc()
+        w = Window.orderBy(key, F.col(id_col))
+        parts.append(
+            df.select(F.col(id_col), F.row_number().over(w).alias("_r"))
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    fused = allp.groupBy(id_col).agg(
+        F.sum(F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("_r"))).alias("score")
+    )
+    return fused.orderBy(F.col("score").desc(), id_col).limit(k)
