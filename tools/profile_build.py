@@ -43,6 +43,24 @@ def main() -> None:
 
     n_rows = int(os.environ.get("ROWS", "250000"))
     dim = int(os.environ.get("DIM", "64"))
+
+    # window-quality canary: single-thread rotate throughput. The shared
+    # host's CPU allocation swings 1.5-4x between minutes (docs/SCALE.md
+    # host-variance protocol), so every recorded build number should
+    # carry the canary that contextualizes it.
+    from vectorchord_spark import kernels as K
+
+    prev = K.set_blas_threads(1)
+    cm = np.random.default_rng(0).standard_normal((20000, dim)).astype(np.float32)
+    best = min(
+        (lambda t0: (K.rotate(cm), time.perf_counter() - t0)[1])(time.perf_counter())
+        for _ in range(3)
+    )
+    if prev is not None and prev > 1:
+        K.set_blas_threads(prev)
+    print(f"canary: rotate 20k x {dim}d 1-thread best {best:.3f}s "
+          f"({20000 / best:,.0f} rows/s)")
+
     spark = get_spark(app_name="vc-build-profile")
 
     n_centers = 2000
