@@ -251,3 +251,103 @@ def test_streaming_knn_serve(spark):
                 for r in idx.search(qv, k=5, probes=None, rerank_factor=None).collect()
             ]
             assert [i for _, i in sorted(got[qi])] == want
+
+
+def test_minhash_band_keys_match_batch_banding(spark):
+    """The per-row band-key expression must reproduce the batch
+    minhash_signatures + banding exactly (same md5 family, same string
+    min, same band concat) — the equivalence that makes the streaming
+    near-dup the batch op's true online twin."""
+    from vectorchord_spark.pipeline.dedup import minhash_signatures
+    from vectorchord_spark.streaming import minhash_band_keys
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    num_hashes, band_rows = 8, 2
+    per_row = {
+        r.doc_id: list(r.keys)
+        for r in df.select(
+            "doc_id",
+            minhash_band_keys("text", 3, num_hashes, band_rows).alias("keys"),
+        ).collect()
+    }
+    sig = {r.doc_id: r for r in minhash_signatures(df, num_hashes=num_hashes).collect()}
+    import hashlib
+
+    for did, row in sig.items():
+        want = []
+        for b in range(num_hashes // band_rows):
+            concat = "".join(
+                row[f"mh{b * band_rows + r}"] for r in range(band_rows)
+            )
+            want.append(hashlib.md5(concat.encode()).hexdigest())
+        assert per_row[did] == want, did
+
+
+def test_streaming_neardup_pairs_stateful(spark):
+    """Stateful streaming near-dup: duplicates arriving in LATER
+    micro-batches pair with the first-seen canonical doc (state carries
+    across batches); the emitted star induces the same dedup components
+    as the batch all-pairs band join."""
+    from vectorchord_spark.pipeline.dedup import minhash_lsh_pairs
+    from vectorchord_spark.streaming import streaming_neardup_pairs
+
+    d_main = "the quick brown fox jumps over the lazy dog again and again"
+    d_other = "completely different words about storage engines and parquet"
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/in"
+        os.makedirs(src)
+        # batch 1: canonical docs
+        spark.createDataFrame(
+            [(1, d_main), (2, d_other)], "doc_id long, text string"
+        ).write.mode("append").parquet(src)
+        q = streaming_neardup_pairs(spark, src, f"{tmp}/ckpt", f"{tmp}/out")
+        q.awaitTermination(120)
+        # batch 2: two near-dups of doc 1 land later
+        spark.createDataFrame(
+            [(7, d_main), (9, d_main)], "doc_id long, text string"
+        ).write.mode("append").parquet(src)
+        q2 = streaming_neardup_pairs(spark, src, f"{tmp}/ckpt", f"{tmp}/out")
+        q2.awaitTermination(120)
+        got = {
+            (r.ida, r.idb)
+            for r in spark.read.parquet(f"{tmp}/out").collect()
+        }
+        # star to the canonical doc 1; doc 2 never pairs
+        assert got == {(1, 7), (1, 9)}, got
+        # same components as the batch clique {(1,7),(1,9),(7,9)}
+        batch_pairs = {
+            (r.ida, r.idb)
+            for r in minhash_lsh_pairs(
+                spark.createDataFrame(
+                    [(1, d_main), (2, d_other), (7, d_main), (9, d_main)],
+                    "doc_id long, text string",
+                )
+            ).collect()
+        }
+        assert batch_pairs == {(1, 7), (1, 9), (7, 9)}
+
+        def comps(pairs, nodes):
+            parent = {x: x for x in nodes}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in pairs:
+                parent[find(a)] = find(b)
+            groups = {}
+            for x in nodes:
+                groups.setdefault(find(x), set()).add(x)
+            return {frozenset(g) for g in groups.values()}
+
+        nodes = {1, 2, 7, 9}
+        assert comps(got, nodes) == comps(batch_pairs, nodes)

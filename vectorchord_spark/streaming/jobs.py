@@ -265,6 +265,135 @@ def streaming_dedup(
     return writer.start()
 
 
+def minhash_band_keys(
+    text: "F.Column | str",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_rows: int = 2,
+) -> "F.Column":
+    """Per-ROW banded MinHash keys: array of ``num_hashes // band_rows``
+    md5 band keys, equal to the batch ``minhash_signatures`` +
+    ``minhash_lsh_pairs`` banding for the same document (string-min over
+    the same distinct-shingle md5 family, same band concat) — but computed
+    as one row-local expression (``array_min`` over a bound ``transform``)
+    with NO aggregation, which is what makes it usable inside a streaming
+    query where a groupBy signature aggregation would need watermark
+    semantics. The shingle array is bound per the repo's lambda-binding
+    rule (never reference a computed array inside a HOF lambda)."""
+    from vectorchord_spark.pipeline.dedup import shingles
+
+    sh = shingles(text, n)
+
+    def _hash_j(j: int):
+        # NB: a `lambda s, j=j:` would have arity 2 and pyspark's transform
+        # would bind the ARRAY INDEX to j, shadowing the closure — the
+        # lambda must be unary
+        pref = f"{j}|"
+        return lambda s: F.md5(F.concat(F.lit(pref), s))
+
+    def per_sh(shc: "F.Column") -> "F.Column":
+        mins = [
+            F.array_min(F.transform(shc, _hash_j(j)))
+            for j in range(num_hashes)
+        ]
+        n_bands = num_hashes // band_rows
+        return F.array(
+            *[
+                F.md5(
+                    F.concat(*[mins[b * band_rows + r] for r in range(band_rows)])
+                )
+                for b in range(n_bands)
+            ]
+        )
+
+    return F.element_at(F.transform(F.array(sh), per_sh), 1)
+
+
+def streaming_neardup_pairs(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_path: str,
+    sink_path: str,
+    schema: str = "doc_id long, text string",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_rows: int = 2,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming near-duplicate detection: the online twin of the batch
+    ``minhash_lsh_pairs`` catalog op. As documents land, each one's banded
+    MinHash keys are computed row-locally and a stateful operator keyed by
+    ``(band, key)`` remembers the FIRST document seen under each band key;
+    every later document colliding on that key emits a candidate pair
+    ``(ida, idb)`` with ``ida`` the canonical (first-seen) doc.
+
+    Contract vs the batch op: the batch all-pairs band join emits the full
+    clique per band bucket; this emits the STAR to the bucket's canonical
+    doc. Both induce the same connected components (what dedup group
+    assembly consumes), while the star keeps per-key state O(1) — the
+    property that lets the stream run forever. A pair colliding in several
+    bands is emitted once per band (at-least-once; ``distinct`` downstream
+    if exact-once pairs matter). State is one long per distinct band key
+    (no timeout — for continuous ingest, bound it by periodically
+    compacting with the batch op, like streaming_dedup's no-watermark
+    mode)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = spark.readStream.schema(schema).parquet(source_path)
+    banded = stream.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            minhash_band_keys(F.col(text_col), n, num_hashes, band_rows)
+        ).alias("band", "key"),
+    )
+
+    out_schema = "ida long, idb long, band int"
+    state_schema = "first long"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd  # noqa: PLC0415
+
+        band, _k = key
+        ids: list[int] = []
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=["_id"])
+            ids.extend(int(v) for v in pdf["_id"].to_numpy())
+        ids.sort()
+        if not ids:
+            yield pd.DataFrame([])
+            return
+        if state.exists:
+            (first,) = state.get
+        else:
+            first = ids[0]
+            state.update((first,))
+        rows = [
+            {"ida": min(first, i), "idb": max(first, i), "band": int(band)}
+            for i in ids
+            if i != first
+        ]
+        yield pd.DataFrame(rows, columns=["ida", "idb", "band"])
+
+    pairs = banded.groupBy("band", "key").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        pairs.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_knn_serve(
     index: IvfIndex,
     queries_path: str,
