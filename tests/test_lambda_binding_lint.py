@@ -98,6 +98,19 @@ class _FunctionLinter(ast.NodeVisitor):
             self.generic_visit(node)
 
     def _check_lambda(self, lam: ast.Lambda) -> None:
+        # arity pitfall (round-7 continuation): `lambda s, j=j:` has arity
+        # 2, so pyspark's transform binds the ARRAY INDEX to j — the
+        # closure default is silently shadowed by a real argument. A
+        # default in a HOF lambda is always this broken capture idiom
+        # (legitimate 2-ary HOF lambdas take both args for real); close
+        # over values with a unary lambda factory instead.
+        if lam.args.defaults:
+            self.problems.append(
+                f"{self.filename}:{lam.lineno}: F-HOF lambda with a "
+                f"defaulted parameter — pyspark dispatches on arity, so "
+                f"the default is shadowed by the element/index argument; "
+                f"close over the value with a factory function instead"
+            )
         params = {a.arg for a in lam.args.args}
         self.lambda_params.append(params)
         bound = set().union(*self.lambda_params)
@@ -196,6 +209,19 @@ def test_lint_catches_the_r06_bug_shape():
     assert lint_src(bad), "the r06 bug shape must be flagged"
     assert not lint_src(good), "the bound rewrite must pass"
     assert not lint_src(cheap), "F.col locals are cheap per-element"
+
+    # arity pitfall: a defaulted param is shadowed by the index argument
+    arity_bad = (
+        "def f(arr):\n"
+        "    return [F.transform(arr, lambda s, j=j: F.md5(s))\n"
+        "            for j in range(4)]\n"
+    )
+    arity_ok = (
+        "def f(a, b):\n"
+        "    return F.zip_with(a, b, lambda x, y: x + y)\n"
+    )
+    assert lint_src(arity_bad), "defaulted HOF-lambda param must be flagged"
+    assert not lint_src(arity_ok), "real 2-ary HOF lambdas are fine"
 
 
 if __name__ == "__main__":
