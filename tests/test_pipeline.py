@@ -1053,3 +1053,26 @@ def test_hybrid_retrieval_dense_plus_bm25(spark):
     assert ("1", 0, "2", 0) in got  # the near-dup paragraph pair
     # the unrelated paragraphs (1,#1) vs (2,#1) must not pair (uppercased)
     assert ("1", 1, "2", 1) not in got
+
+
+def test_deterministic_shuffle(spark):
+    """deterministic_shuffle: a pure function of (ids, seed) — identical
+    order across runs, an independent permutation per seed, all rows
+    preserved, and never a global sort exchange in the plan."""
+    from vectorchord_spark.pipeline.splits import deterministic_shuffle
+    from vectorchord_spark.plans import explain as P
+
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    a = [r.doc_id for r in deterministic_shuffle(df, n_buckets=8).collect()]
+    b = [r.doc_id for r in deterministic_shuffle(df, n_buckets=8).collect()]
+    assert a == b, "same seed must reproduce the permutation"
+    assert sorted(a) == list(range(5000)), "no rows lost or duplicated"
+    assert a != sorted(a), "order must actually be shuffled"
+    c = [
+        r.doc_id
+        for r in deterministic_shuffle(df, seed="other", n_buckets=8).collect()
+    ]
+    assert c != a, "a different seed must give a different permutation"
+    plan = P.explain_str(deterministic_shuffle(df, n_buckets=8))
+    # hash distribution + in-partition sort; NOT a rangepartitioning sort
+    assert "rangepartitioning" not in plan.lower()

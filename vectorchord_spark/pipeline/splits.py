@@ -176,3 +176,39 @@ def pack_sequences(
         .withColumn("pack_offset", F.col("_prev") % F.lit(context_len))
         .drop("_cum", "_prev", "_lastt")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "shuffle",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle — the pre-training export step that
+    randomizes example order WITHOUT a full sort and without RNG state.
+
+    Every row gets the md5 key ``seed|id``; rows are hash-distributed into
+    ``n_buckets`` output partitions by the key and sorted by it inside
+    each partition. The resulting order is a pure function of (ids, seed):
+    reproducible across runs, clusters, and engines, and changing ``seed``
+    produces an independent permutation. Cost is ONE bounded shuffle +
+    in-partition sorts (never a global sort/range-exchange); a 100 TB
+    corpus shuffles at whatever ``n_buckets`` parallelism the writer
+    wants. Ties are impossible (the key embeds the unique id), so the
+    permutation is total.
+    """
+    if n_buckets is None:
+        try:
+            n_buckets = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+        except ValueError:
+            n_buckets = 200
+    c = F.col(id_col)
+    key = F.md5(F.concat(F.lit(f"{seed}|"), c.cast("string")))
+    return (
+        df.withColumn("_shuffle_key", key)
+        .repartition(int(n_buckets), F.col("_shuffle_key"))
+        .sortWithinPartitions("_shuffle_key")
+        .drop("_shuffle_key")
+    )
