@@ -1076,3 +1076,42 @@ def test_deterministic_shuffle(spark):
     plan = P.explain_str(deterministic_shuffle(df, n_buckets=8))
     # hash distribution + in-partition sort; NOT a rangepartitioning sort
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_normalize_text(spark):
+    """normalize_text: case/punct/digit variants collapse to one canonical
+    form, so exact dedup catches formatting-only near-dups (the CCNet
+    preprocessing contract)."""
+    from vectorchord_spark.pipeline.dedup import exact_dedup
+    from vectorchord_spark.pipeline.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World!  It is 2024."),
+            (2, "hello world it is 0"),
+            (3, "HELLO -- world?? It is 1999!"),
+            (4, "entirely different content"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.norm
+        for r in df.select(
+            "doc_id", normalize_text("text").alias("norm")
+        ).collect()
+    }
+    assert got[1] == got[2] == got[3] == "hello world it is 0"
+    assert got[4] == "entirely different content"
+    # composition: normalized exact dedup groups the three variants
+    normed = df.select("doc_id", normalize_text("text").alias("text"))
+    groups = {
+        (r.keeper_id, r.n_copies) for r in exact_dedup(normed, ["text"]).collect()
+    }
+    assert (1, 3) in groups
+    # flags off = passthrough-ish behaviors
+    raw = df.select(
+        normalize_text(
+            "text", lowercase=False, strip_punct=False, collapse_digits=False
+        ).alias("n")
+    ).first()
+    assert raw.n == "Hello, World! It is 2024."  # only whitespace collapsed

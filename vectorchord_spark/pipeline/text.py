@@ -25,6 +25,32 @@ def token_count(text: Column | str, pattern: str = TOKEN_RE) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("bigint")
 
 
+def normalize_text(
+    text: Column | str,
+    lowercase: bool = True,
+    strip_punct: bool = True,
+    collapse_digits: bool = True,
+) -> Column:
+    """CCNet-style text normalization for dedup robustness: lowercase,
+    punctuation/symbols → space, digit runs → ``0``, whitespace collapsed.
+    Pure JVM regexp/lower expressions — no Python, no shuffle; feed the
+    result into ``shingles``/``minhash``/``simhash`` so near-dups that
+    differ only in case, punctuation, or numbers collapse together (the
+    CCNet/RefinedWeb preprocessing step). Accent folding is deliberately
+    out of scope (Java regex has no portable transliteration; a Pandas UDF
+    with unicodedata is the escape hatch if needed)."""
+    c = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        c = F.lower(c)
+    if strip_punct:
+        # \p{P} = unicode punctuation, \p{S} = symbols (Java regex
+        # supports unicode general categories)
+        c = F.regexp_replace(c, r"[\p{P}\p{S}]+", " ")
+    if collapse_digits:
+        c = F.regexp_replace(c, r"\d+", "0")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality statistics (the usual pre-training filters)."""
     w = words(text_col)
