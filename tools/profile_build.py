@@ -61,6 +61,22 @@ def main() -> None:
     print(f"canary: rotate 20k x {dim}d 1-thread best {best:.3f}s "
           f"({20000 / best:,.0f} rows/s)")
 
+    # disk-window canary: fsync'd write throughput to the index tempdir's
+    # filesystem. The virtio disk swings 0.04-0.2 GB/s between windows
+    # independently of the CPU canary (a 74k-rows/s CPU window measured a
+    # 44s encode against a 0.06 GB/s disk), so both axes must be recorded.
+    buf = os.urandom(128 * 1024 * 1024)
+    cpath = os.path.join(tempfile.gettempdir(), "_vc_disk_canary.bin")
+    t0 = time.perf_counter()
+    with open(cpath, "wb") as f:
+        f.write(buf)
+        f.flush()
+        os.fsync(f.fileno())
+    dt = time.perf_counter() - t0
+    os.remove(cpath)
+    print(f"canary: write+fsync 128MB {dt:.2f}s ({0.125 / dt:.2f} GB/s) "
+          f"to {tempfile.gettempdir()}")
+
     spark = get_spark(app_name="vc-build-profile")
 
     n_centers = 2000

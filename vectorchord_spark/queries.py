@@ -4334,6 +4334,11 @@ _DEP_RULES: "list[tuple[tuple[str, ...], list[str]]]" = [
         ["pipeline/splits.py"],
     ),
     (("pack_sequences",), ["pipeline/splits.py", "pipeline/text.py"]),
+    (
+        ("sparse_knn", "hash_embed", "rag_chunk", "bm25"),
+        ["pipeline/sparse.py", "pipeline/text.py"],
+    ),
+    (("semdedup",), ["pipeline/semdedup.py", "operators/kmeans.py"]),
 ]
 
 
