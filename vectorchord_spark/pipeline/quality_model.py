@@ -1,0 +1,206 @@
+"""Learned quality filtering: a fastText-style linear classifier over
+hashed bag-of-words features, trained on the driver and scored in the JVM.
+
+Real pre-training pipelines (the CCNet / GPT-3 / RefinedWeb lineage)
+filter web text with a small linear classifier trained to separate a
+high-quality reference corpus from raw crawl. The model is tiny (one
+weight per hash bucket); the data is not — so the Spark-first split is:
+
+- **featurize** reuses :func:`~vectorchord_spark.pipeline.sparse.
+  hash_embed_terms` (md5 hashing trick, exact integer term frequencies,
+  one map-side-combined groupBy) with optional word-bigram features —
+  the fastText recipe;
+- **train** collects a BOUNDED labeled sample's posting rows to the
+  driver (cap × avg-terms rows, the model-fit pattern used by the IVF
+  build) and runs deterministic mini-batch logistic SGD in numpy;
+- **score** is pure JVM: join the posting table to the broadcast
+  (bucket, weight) frame, one partial-aggregable groupBy(id), and emit
+  the L1-normalized logit. No Python in the scoring path, so the 100 TB
+  pass is a broadcast join + one shuffle.
+
+Scores are emitted as ``dot`` (int-exact weighted sum scaled by 1e6) and
+``logit`` (dot / (1e6 · n_terms) + bias): integer accumulation keeps the
+scoring path bit-reproducible across engines, the same contract as
+``sparse_knn``. Apply ``sigmoid`` yourself if you want probabilities;
+thresholding the logit is equivalent and exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectorchord_spark.pipeline.sparse import hash_embed_terms
+from vectorchord_spark.pipeline.text import words
+
+_SCALE = 1_000_000  # fixed-point factor for int-exact JVM scoring
+
+
+def bigram_text(text: Column | str) -> Column:
+    """The document's word bigrams joined as a single space-separated
+    string of ``w1_w2`` tokens, so bigram features flow through the same
+    word-hashing path as unigrams. The split array is bound to a lambda
+    variable (the repo's HOF-binding rule) so codegen splits once."""
+    t = F.col(text) if isinstance(text, str) else text
+
+    def per_words(w: Column) -> Column:
+        cnt = F.size(w)
+        grams = F.transform(
+            F.sequence(F.lit(1), cnt - 1),
+            lambda i: F.concat_ws(
+                "_", F.element_at(w, i), F.element_at(w, i + 1)
+            ),
+        )
+        # NULL (not "") when there is no bigram: concat_ws skips NULLs
+        # but keeps empty strings, which would add a phantom "" token
+        return F.when(cnt >= 2, F.array_join(grams, " ")).otherwise(
+            F.lit(None).cast("string")
+        )
+
+    return F.element_at(
+        F.transform(F.array(words(t)), per_words), 1
+    )
+
+
+def quality_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1 << 18,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Posting rows (id, bucket, weight) of hashed unigram (+ bigram)
+    term frequencies — the classifier input. Exact integers; one
+    map-side-combined groupBy; bigrams hash through the same md5 family
+    so the scoring join needs no second feature table."""
+    src = df.select(F.col(id_col), F.col(text_col).alias("_t"))
+    if bigrams:
+        src = src.select(
+            id_col,
+            F.concat_ws(" ", F.col("_t"), bigram_text(F.col("_t"))).alias("_t"),
+        )
+    return hash_embed_terms(src, "_t", id_col=id_col, dim=dim, signed=False)
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1 << 18,
+    bigrams: bool = True,
+    sample_cap: int = 100_000,
+    epochs: int = 10,
+    lr: float = 0.5,
+    l2: float = 1e-6,
+    seed: int = 42,
+) -> dict:
+    """Fit the linear model on a bounded labeled sample (driver SGD).
+
+    ``df`` carries a {0, 1} ``label_col`` (1 = high quality). At most
+    ``sample_cap`` documents' posting rows are collected — driver memory
+    is O(sample · avg_terms + dim), never O(table). Features are
+    L1-normalized term frequencies (the fastText mean-of-embeddings
+    form). Deterministic for a fixed (input partitioning, seed).
+
+    Returns {"w": float32[dim], "b": float, "dim": int, "bigrams": bool}.
+    """
+    labeled = df.select(
+        F.col(id_col), F.col(text_col), F.col(label_col).cast("int").alias("_y")
+    ).limit(sample_cap)
+    feats = quality_features(
+        labeled, text_col=text_col, id_col=id_col, dim=dim, bigrams=bigrams
+    )
+    rows = (
+        feats.join(labeled.select(id_col, "_y"), id_col)
+        .select(id_col, "bucket", "weight", "_y")
+        .toPandas()
+    )
+    if not len(rows):
+        raise ValueError("no training rows: empty input or empty texts")
+
+    ids, doc_idx = np.unique(rows[id_col].to_numpy(), return_inverse=True)
+    n = len(ids)
+    bucket = rows["bucket"].to_numpy(np.int64)
+    tf = rows["weight"].to_numpy(np.float64)
+    y = np.zeros(n)
+    y[doc_idx] = rows["_y"].to_numpy(np.float64)  # same label every row
+    totals = np.bincount(doc_idx, weights=tf, minlength=n)
+    totals[totals == 0] = 1.0
+    x = tf / totals[doc_idx]  # L1-normalized feature values
+
+    w = np.zeros(dim)
+    b = 0.0
+    rng = np.random.default_rng(seed)
+    order = np.arange(n)
+    # per-doc row slices (posting rows grouped by doc) for mini-batch SGD
+    sort = np.argsort(doc_idx, kind="stable")
+    bounds = np.searchsorted(doc_idx[sort], np.arange(n + 1))
+    for _ in range(epochs):
+        rng.shuffle(order)
+        for d in order:
+            sl = sort[bounds[d] : bounds[d + 1]]
+            bi, xi = bucket[sl], x[sl]
+            z = min(30.0, max(-30.0, float(w[bi] @ xi) + b))
+            p = 1.0 / (1.0 + np.exp(-z))
+            g = p - y[d]
+            w[bi] -= lr * (g * xi + l2 * w[bi])
+            b -= lr * g
+    return {"w": w.astype(np.float32), "b": float(b), "dim": dim, "bigrams": bigrams}
+
+
+def score_quality(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document: (id, n_terms, dot, logit).
+
+    Pure JVM: the model's non-zero weights become a broadcast
+    (bucket, 1e6-scaled int weight) frame joined to the posting rows;
+    ``dot`` is the exact int64 weighted term-frequency sum and
+    ``logit = dot / (1e6 · n_terms) + b`` — one IEEE division and one
+    addition, bit-reproducible across engines. Filter ``logit > t`` (or
+    apply a sigmoid) downstream.
+    """
+    w = np.asarray(model["w"], np.float64)
+    nz = np.flatnonzero(w)
+    spark = df.sparkSession
+    import pandas as pd
+
+    wdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "bucket": nz.astype(np.int32),
+                "_w": np.rint(w[nz] * _SCALE).astype(np.int64),
+            }
+        )
+        if len(nz)
+        else pd.DataFrame({"bucket": pd.Series([], dtype="int32"),
+                           "_w": pd.Series([], dtype="int64")})
+    )
+    feats = quality_features(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        dim=model["dim"],
+        bigrams=model["bigrams"],
+    )
+    scored = (
+        feats.join(F.broadcast(wdf), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("weight").cast("bigint").alias("n_terms"),
+            F.sum(
+                F.coalesce(F.col("_w"), F.lit(0)) * F.col("weight")
+            ).cast("bigint").alias("dot"),
+        )
+    )
+    logit = (
+        F.col("dot").cast("double")
+        / (F.lit(float(_SCALE)) * F.col("n_terms").cast("double"))
+        + F.lit(float(model["b"]))
+    )
+    return scored.select(id_col, "n_terms", "dot", logit.alias("logit"))

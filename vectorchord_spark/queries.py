@@ -4339,6 +4339,10 @@ _DEP_RULES: "list[tuple[tuple[str, ...], list[str]]]" = [
         ["pipeline/sparse.py", "pipeline/text.py"],
     ),
     (("semdedup",), ["pipeline/semdedup.py", "operators/kmeans.py"]),
+    (
+        ("quality_score",),
+        ["pipeline/quality_model.py", "pipeline/sparse.py", "pipeline/text.py"],
+    ),
 ]
 
 
