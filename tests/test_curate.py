@@ -1,0 +1,119 @@
+"""End-to-end curation tests: the kept/audit partition invariant, stage
+reason correctness, and config toggles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vectorchord_spark.pipeline.curate import CurateConfig, CurateResult, curate
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def bench_df(docs):
+    # a 5-doc "benchmark" taken from the corpus itself guarantees
+    # contamination hits exist
+    return docs.where(F.col("doc_id") % 97 == 0).limit(5).select("text").cache()
+
+
+def test_kept_and_audit_partition_input(spark, docs, bench_df):
+    res = curate(docs, CurateConfig(benchmark=bench_df, min_words=5))
+    all_ids = {r[0] for r in docs.select("doc_id").collect()}
+    kept_ids = {r[0] for r in res.kept.select("doc_id").collect()}
+    audit = res.audit.collect()
+    dropped_ids = {r["id"] for r in audit}
+    # disjoint and exhaustive
+    assert kept_ids & dropped_ids == set()
+    assert kept_ids | dropped_ids == all_ids
+    # audit has no duplicate ids (one drop reason per doc)
+    assert len(audit) == len(dropped_ids)
+    # stats agrees with audit
+    assert sum(res.stats.values()) == len(audit)
+    # kept keeps the original schema
+    assert res.kept.columns == docs.columns
+
+
+def test_stage_reasons_are_true(spark, docs, bench_df):
+    res = curate(docs, CurateConfig(benchmark=bench_df, min_words=5))
+    rows = {r["id"]: r for r in res.audit.collect()}
+    pdf = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, r in rows.items():
+        if r["stage"] == "length":
+            assert len(pdf[doc_id].split(" ")) < 5
+        elif r["stage"] == "exact_dup":
+            keeper = int(r["detail"].split("=")[1])
+            assert pdf[keeper] == pdf[doc_id]
+            assert keeper < doc_id
+        elif r["stage"] == "contaminated":
+            assert int(r["detail"]) >= 1
+    # the planted benchmark must contaminate at least its own source docs
+    # (minus any that an earlier stage already removed)
+    assert any(r["stage"] == "contaminated" for r in rows.values())
+    assert any(r["stage"] == "exact_dup" or r["stage"] == "near_dup"
+               for r in rows.values())
+
+
+def test_language_filter_uses_existing_column(spark, docs):
+    langs = [r[0] for r in docs.select("lang").distinct().collect()]
+    assert len(langs) > 1, "testdata should be multilingual"
+    keep = (langs[0],)
+    res = curate(
+        docs,
+        CurateConfig(
+            langs=keep, min_words=0, max_top_2gram_frac=None,
+            max_dup_3gram_frac=None, min_quality=None,
+            exact_dedup=False, near_dedup=False,
+        ),
+    )
+    kept_langs = {r[0] for r in res.kept.select("lang").distinct().collect()}
+    assert kept_langs == set(keep)
+    lang_drops = res.audit.where("stage = 'language'").count()
+    assert lang_drops == docs.where(~F.col("lang").isin(*keep)).count()
+
+
+def test_all_stages_off_keeps_everything(spark, docs):
+    res = curate(
+        docs,
+        CurateConfig(
+            min_words=0, max_top_2gram_frac=None, max_dup_3gram_frac=None,
+            min_quality=None, exact_dedup=False, near_dedup=False,
+        ),
+    )
+    assert res.kept.count() == docs.count()
+    assert res.audit.count() == 0
+    assert res.stats == {}
+
+
+def test_learned_model_stage(spark, docs):
+    # a model that fails everything: huge negative bias
+    model = {"w": np.zeros(64, np.float32), "b": -5.0, "dim": 64,
+             "bigrams": False}
+    res = curate(
+        docs,
+        CurateConfig(
+            min_words=0, max_top_2gram_frac=None, max_dup_3gram_frac=None,
+            min_quality=None, exact_dedup=False, near_dedup=False,
+            quality_model=model, min_logit=0.0,
+        ),
+    )
+    assert res.kept.count() == 0
+    assert res.stats == {"quality_model": docs.count()}
+
+
+def test_row_filter_stages_are_one_jvm_pass(spark, docs):
+    """Stages 1-4 (no dedup, no model) must add no Python evaluation and
+    no extra shuffle beyond the repetition-stats self-join."""
+    res = curate(
+        docs,
+        CurateConfig(
+            min_words=5, exact_dedup=False, near_dedup=False,
+        ),
+    )
+    plan = res.kept._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker

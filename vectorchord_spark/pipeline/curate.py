@@ -1,0 +1,270 @@
+"""End-to-end corpus curation: the standard pre-training data pipeline
+(CCNet / Gopher / RefinedWeb lineage) as one auditable composition.
+
+Stage order (each published pipeline's own order, cheap-row-filters
+first so the expensive dedup shuffles see the smallest corpus):
+
+1. **length**      — word-count bounds (Gopher §A1.1)
+2. **language**    — keep an allowed language set (existing ``lang``
+                     column if present, else wordlist-profile langid)
+3. **repetition**  — Gopher repeated-n-gram fractions
+4. **quality**     — heuristic score bound, plus an optional learned
+                     classifier (:mod:`quality_model`) logit bound
+5. **exact_dup**   — one content-hash groupBy, keep min id
+6. **near_dup**    — MinHash-LSH pairs → connected components → keep the
+                     highest-quality doc per duplicate cluster
+7. **contaminated**— n-gram-overlap decontamination vs a benchmark frame
+
+Every dropped row lands in the **audit** frame as (id, stage, detail) —
+the provenance real curation runs must keep (what was removed and why).
+``kept ∪ audit`` partitions the input exactly; a test asserts it.
+
+Scale shape: stages 1–4 are ONE JVM projection pass (no shuffle, no
+Python); stage 5 is one hash groupBy; stage 6 is the banded-LSH path
+(never all-pairs) plus the bounded-iteration component loop; stage 7 is
+a broadcast inverted-index join. Survivors are persisted once before
+the dedup stages so the shuffle stages don't recompute the row filters.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CurateConfig:
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    # stage 1: length
+    min_words: int = 10
+    max_words: int = 1_000_000
+    # stage 2: language — None disables; uses lang_col when the input has
+    # it, else detect_language over lang_profiles
+    langs: tuple[str, ...] | None = None
+    lang_col: str = "lang"
+    lang_profiles: dict = field(default_factory=dict)
+    # stage 3: Gopher repetition bounds (None disables each)
+    max_top_2gram_frac: float | None = 0.2
+    max_dup_3gram_frac: float | None = 0.3
+    # stage 4: quality
+    min_quality: float | None = 0.3
+    quality_model: dict | None = None
+    min_logit: float = 0.0
+    # stage 5/6: dedup
+    exact_dedup: bool = True
+    near_dedup: bool = True
+    minhash_hashes: int = 8
+    minhash_band_rows: int = 2
+    shingle_n: int = 3
+    # stage 7: decontamination
+    benchmark: DataFrame | None = None
+    decontaminate_n: int = 3
+    decontaminate_min_overlap: int = 1
+
+
+@dataclass
+class CurateResult:
+    kept: DataFrame       # surviving rows, original columns
+    audit: DataFrame      # (id, stage, detail) for every dropped row
+    stats: dict           # stage -> rows dropped (computed on collect)
+
+
+def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
+    cfg = config or CurateConfig()
+    idc, txt = cfg.id_col, cfg.text_col
+
+    from vectorchord_spark.pipeline.text import (
+        detect_language,
+        quality_score,
+        repetition_stats,
+        words,
+    )
+
+    # ---- stages 1-4: one projection pass, first failing stage wins ----
+    n_words = F.size(words(txt)).cast("bigint")
+    checks: list[tuple[str, F.Column, F.Column]] = []
+    checks.append(
+        (
+            "length",
+            (n_words >= cfg.min_words) & (n_words <= cfg.max_words),
+            F.concat(F.lit("n_words="), n_words.cast("string")),
+        )
+    )
+    if cfg.langs is not None:
+        lang = (
+            F.col(cfg.lang_col)
+            if cfg.lang_col in docs.columns
+            else detect_language(txt, cfg.lang_profiles)
+        )
+        checks.append(
+            ("language", lang.isin(*cfg.langs), F.coalesce(lang, F.lit("?")))
+        )
+    rep_cols: list[str] = []
+    if cfg.max_top_2gram_frac is not None or cfg.max_dup_3gram_frac is not None:
+        rep = repetition_stats(docs.select(idc, txt), txt)
+        docs = docs.join(
+            rep.select(
+                F.col(idc), "top_2gram_frac", "dup_3gram_frac"
+            ),
+            idc,
+        )
+        rep_cols = ["top_2gram_frac", "dup_3gram_frac"]
+        cond = F.lit(True)
+        if cfg.max_top_2gram_frac is not None:
+            cond = cond & (F.col("top_2gram_frac") <= cfg.max_top_2gram_frac)
+        if cfg.max_dup_3gram_frac is not None:
+            cond = cond & (F.col("dup_3gram_frac") <= cfg.max_dup_3gram_frac)
+        checks.append(
+            (
+                "repetition",
+                cond,
+                F.concat_ws(
+                    ",",
+                    F.round("top_2gram_frac", 4).cast("string"),
+                    F.round("dup_3gram_frac", 4).cast("string"),
+                ),
+            )
+        )
+    if cfg.min_quality is not None:
+        q = quality_score(txt)
+        checks.append(
+            ("quality", q >= cfg.min_quality, F.round(q, 4).cast("string"))
+        )
+
+    fail_stage = F.lit(None).cast("string")
+    fail_detail = F.lit(None).cast("string")
+    for name, ok, detail in reversed(checks):
+        fail_stage = F.when(~ok, F.lit(name)).otherwise(fail_stage)
+        fail_detail = F.when(~ok, detail.cast("string")).otherwise(fail_detail)
+    flagged = docs.withColumn("_stage", fail_stage).withColumn(
+        "_detail", fail_detail
+    )
+    audits = [
+        flagged.where(F.col("_stage").isNotNull()).select(
+            F.col(idc).alias("id"),
+            F.col("_stage").alias("stage"),
+            F.col("_detail").alias("detail"),
+        )
+    ]
+    survivors = flagged.where(F.col("_stage").isNull()).drop(
+        "_stage", "_detail", *rep_cols
+    )
+
+    # optional learned quality bound (one broadcast join + groupBy)
+    if cfg.quality_model is not None:
+        from vectorchord_spark.pipeline.quality_model import score_quality
+
+        scores = score_quality(
+            survivors, cfg.quality_model, text_col=txt, id_col=idc
+        )
+        bad = scores.where(F.col("logit") < cfg.min_logit)
+        audits.append(
+            bad.select(
+                F.col(idc).alias("id"),
+                F.lit("quality_model").alias("stage"),
+                F.round("logit", 4).cast("string").alias("detail"),
+            )
+        )
+        survivors = survivors.join(
+            bad.select(idc), idc, "left_anti"
+        )
+
+    survivors = survivors.persist()
+
+    # ---- stage 5: exact dedup (keep min id per content hash) ----
+    if cfg.exact_dedup:
+        h = F.md5(F.col(txt))
+        keeper = Window.partitionBy(h)
+        ranked = survivors.withColumn(
+            "_keep_id", F.min(idc).over(keeper)
+        )
+        dropped = ranked.where(F.col(idc) != F.col("_keep_id"))
+        audits.append(
+            dropped.select(
+                F.col(idc).alias("id"),
+                F.lit("exact_dup").alias("stage"),
+                F.concat(
+                    F.lit("keeper="), F.col("_keep_id").cast("string")
+                ).alias("detail"),
+            )
+        )
+        survivors = ranked.where(F.col(idc) == F.col("_keep_id")).drop(
+            "_keep_id"
+        )
+
+    # ---- stage 6: near dedup (LSH pairs -> components -> keep best) ----
+    if cfg.near_dedup:
+        from vectorchord_spark.pipeline.dedup import (
+            connected_components,
+            minhash_lsh_pairs,
+        )
+
+        pairs = minhash_lsh_pairs(
+            survivors,
+            id_col=idc,
+            text_col=txt,
+            n=cfg.shingle_n,
+            num_hashes=cfg.minhash_hashes,
+            band_rows=cfg.minhash_band_rows,
+        )
+        comp = connected_components(pairs)
+        q = survivors.select(
+            F.col(idc).alias("id"), quality_score(txt).alias("_q")
+        )
+        ranked = comp.join(q, "id").withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(F.desc("_q"), "id")
+            ),
+        )
+        keepers = ranked.where(F.col("_rn") == 1).select(
+            F.col("component").alias("_kc"), F.col("id").alias("_kid")
+        )
+        losers = (
+            ranked.where(F.col("_rn") > 1)
+            .join(keepers, F.col("component") == F.col("_kc"))
+            .select(
+                F.col("id"),
+                F.lit("near_dup").alias("stage"),
+                F.concat(F.lit("keeper="), F.col("_kid").cast("string")).alias(
+                    "detail"
+                ),
+            )
+        )
+        audits.append(losers.select("id", "stage", "detail"))
+        survivors = survivors.join(
+            losers.select(F.col("id").alias(idc)), idc, "left_anti"
+        )
+
+    # ---- stage 7: decontamination ----
+    if cfg.benchmark is not None:
+        from vectorchord_spark.pipeline.dedup import contamination
+
+        hits = contamination(
+            survivors,
+            cfg.benchmark,
+            idc,
+            txt,
+            cfg.decontaminate_n,
+            cfg.decontaminate_min_overlap,
+        )
+        audits.append(
+            hits.select(
+                F.col(idc).alias("id"),
+                F.lit("contaminated").alias("stage"),
+                F.col("overlap").cast("string").alias("detail"),
+            )
+        )
+        survivors = survivors.join(hits.select(idc), idc, "left_anti")
+
+    audit = audits[0]
+    for a in audits[1:]:
+        audit = audit.unionByName(a)
+    stats = {
+        r["stage"]: r["n"]
+        for r in audit.groupBy("stage").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return CurateResult(kept=survivors, audit=audit, stats=stats)

@@ -176,10 +176,8 @@ def score_quality(
                 "bucket": nz.astype(np.int32),
                 "_w": np.rint(w[nz] * _SCALE).astype(np.int64),
             }
-        )
-        if len(nz)
-        else pd.DataFrame({"bucket": pd.Series([], dtype="int32"),
-                           "_w": pd.Series([], dtype="int64")})
+        ),
+        "bucket int, _w bigint",
     )
     feats = quality_features(
         df,

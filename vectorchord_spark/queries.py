@@ -4343,6 +4343,10 @@ _DEP_RULES: "list[tuple[tuple[str, ...], list[str]]]" = [
         ("quality_score",),
         ["pipeline/quality_model.py", "pipeline/sparse.py", "pipeline/text.py"],
     ),
+    (
+        ("curate",),
+        ["pipeline/curate.py", "pipeline/dedup.py", "pipeline/text.py"],
+    ),
 ]
 
 
