@@ -6,6 +6,7 @@ import tempfile
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from vectorchord_spark.operators.graph import (
     VamanaIndex,
@@ -372,3 +373,54 @@ def test_graph_insert_routed_recall(spark, vec_df):
             r.id for r in idx.search(q, k=10, ef_search=64, probe_shards=3).collect()
         }
         assert len(got & exact) / 10.0 >= 0.9
+
+
+def test_spark_int_hash_matches_jvm(spark):
+    """_spark_int_hash must be bit-equal to F.hash on int32 columns — it
+    is what makes the LPT golden keys land in their exact partitions."""
+    from vectorchord_spark.operators.graph import _spark_int_hash
+
+    vals = list(range(-40, 40)) + [12345, -7, 2**31 - 1, -(2**31)]
+    df = spark.createDataFrame([(v,) for v in vals], "k int").select(
+        "k", F.hash("k").alias("h")
+    )
+    for r in df.collect():
+        assert _spark_int_hash(r["k"]) == r["h"], r["k"]
+
+
+def test_lpt_partition_keys_land_exactly(spark):
+    """Golden keys: key[p] must hash-partition to index p, end-to-end
+    through a real repartition (spark_partition_id check), and the
+    grouped build shape must reuse the repartition exchange (exactly one
+    Exchange in the plan)."""
+    import pandas as pd
+
+    from vectorchord_spark.operators.graph import (
+        _lpt_partition_keys,
+        _spark_int_hash,
+    )
+
+    n = 37
+    keys = _lpt_partition_keys(n)
+    assert sorted(_spark_int_hash(k) % n for k in keys) == list(range(n))
+
+    df = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "pkey int, shard int"
+    ).repartition(n, "pkey")
+    rows = df.select(
+        "pkey", "shard", F.spark_partition_id().alias("pid")
+    ).collect()
+    for r in rows:
+        assert r["pid"] == _spark_int_hash(r["pkey"]) % n
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf[["shard"]]
+
+    plan = (
+        df.groupBy("pkey", "shard")
+        .applyInPandas(f, "shard int")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan

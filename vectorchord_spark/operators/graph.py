@@ -686,6 +686,48 @@ _BULK_MAX_ROWS = 100_000
 _MAX_SHARD_ROWS = 20_000
 
 
+def _spark_int_hash(k: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashInt (what ``F.hash``/HashPartitioning
+    compute for an int32 column, seed 42) — verified bit-equal against
+    ``F.hash`` on positive/negative/extreme int32 values in tests."""
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+    k1 = (k & 0xFFFFFFFF) * 0xCC9E2D51 & 0xFFFFFFFF
+    k1 = rotl(k1, 15) * 0x1B873593 & 0xFFFFFFFF
+    h1 = seed ^ k1
+    h1 = (rotl(h1, 13) * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h1 ^= 4
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def _lpt_partition_keys(n: int) -> list[int]:
+    """For each partition index p in [0, n): a small non-negative int key
+    whose Spark hash-partition index (pmod(murmur3(key), n)) is exactly p.
+
+    This is the lever for longest-processing-time-first task scheduling
+    with a plain ``repartition(n, key_col)``: Spark launches tasks in
+    partition-index order, so mapping the biggest shard's rows to the key
+    of partition 0 (etc.) makes the fixed-size task pool start the
+    stragglers first — the classic LPT bound — without a custom
+    partitioner, an extra shuffle, or empty partitions."""
+    keys: list[int | None] = [None] * n
+    found, k = 0, 0
+    while found < n:
+        idx = _spark_int_hash(k) % n
+        if keys[idx] is None:
+            keys[idx] = k
+            found += 1
+        k += 1
+    return keys  # type: ignore[return-value]
+
+
 def _build_graph(
     vecs: np.ndarray, opts: VamanaOptions, rng: np.random.Generator
 ) -> tuple[list[list[int]], int]:
@@ -1080,19 +1122,51 @@ class VamanaIndex(QuerySampling):
                 )
             return out
 
-        # pin the build-stage partition count: the group-by would use the
-        # session shuffle partitions and AQE's coalesce then packs ~4
-        # shards per task (measured 30 tasks for 111 shards at 1M rows) —
-        # the build is CPU-bound per shard, so packing turns the wall
-        # clock into the straggler task's SUM of shards instead of the
-        # largest single shard. An explicit count disables AQE coalescing
-        # for this exchange and 4x the shard count makes hash collisions
-        # (two shards in one task) rare; empty partitions cost nothing.
-        graph = (
-            assigned.repartition(max(32, 4 * total_shards), "shard")
-            .groupBy("shard")
-            .applyInPandas(build_shard, GRAPH_SCHEMA)
-        )
+        # Build-stage task layout: one shard per partition, LAUNCHED IN
+        # DESCENDING SIZE ORDER (longest-processing-time-first). The
+        # driver already knows every shard's post-closure row count, so
+        # each shard's rows get the golden key of its size-rank partition
+        # (_lpt_partition_keys) and a plain repartition(total_shards)
+        # places shard rank r in partition r exactly. Spark launches
+        # tasks in partition-index order, so the quadratic-cost straggler
+        # shards start in wave 1 and the small shards pack the tail —
+        # measured on the 1M-row point: random hash order wastes ~12s of
+        # makespan vs LPT (73.5s vs 61.7s simulated from per-shard task
+        # times) and the previous 4x over-partitioning added ~480 empty
+        # task slots. The explicit partition count still disables AQE
+        # coalescing (which would pack several CPU-bound shards per
+        # task). Grouping includes _pkey so HashPartitioning([_pkey])
+        # satisfies the group distribution — no second exchange
+        # (plan-asserted in tests).
+        if os.environ.get("VC_GRAPH_LPT") == "0":
+            # A/B escape hatch: the pre-LPT hash layout (4x over-
+            # partitioned, random launch order) for paired benchmarking
+            graph = (
+                assigned.repartition(max(32, 4 * total_shards), "shard")
+                .groupBy("shard")
+                .applyInPandas(build_shard, GRAPH_SCHEMA)
+            )
+        else:
+            est = [
+                cluster_cnt.get(c, 0) / n_sub[c]
+                for c in range(n_shards)
+                for _ in range(n_sub[c])
+            ]
+            order = sorted(range(total_shards), key=lambda s: (-est[s], s))
+            keys = _lpt_partition_keys(total_shards)
+            key_of_shard = [0] * total_shards
+            for rank, s in enumerate(order):
+                key_of_shard[s] = keys[rank]
+            pkey_arr = F.array(*[F.lit(int(k)) for k in key_of_shard])
+            graph = (
+                assigned.withColumn(
+                    "_pkey",
+                    F.element_at(pkey_arr, F.col("shard") + 1).cast("int"),
+                )
+                .repartition(total_shards, "_pkey")
+                .groupBy("_pkey", "shard")
+                .applyInPandas(build_shard, GRAPH_SCHEMA)
+            )
         # applyInPandas output already holds whole shards per task, so the
         # partitionBy write needs no repartition — the previous
         # repartition(shard) pushed the FAT built graph (vecs + neighbors
