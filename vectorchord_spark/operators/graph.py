@@ -57,6 +57,14 @@ from vectorchord_spark.operators.sampling import (
     bounded_sample_vectors,
 )
 
+# LPT task layout (longest shard first): the mechanism lives in
+# operators/scheduling.py; the graph build was its first user and its
+# tests pin the hash replica through these aliases.
+from vectorchord_spark.operators.scheduling import (
+    lpt_partition_keys as _lpt_partition_keys,
+    spark_int_hash as _spark_int_hash,
+)
+
 GRAPH_SCHEMA = (
     "shard int, id long, row_no int, medoid_row int, is_primary boolean, "
     "neighbors array<int>, "
@@ -684,48 +692,6 @@ _BULK_MAX_ROWS = 100_000
 #: at 37-77s each); recall is unaffected by construction since probed
 #: clusters always expand to ALL their subshards
 _MAX_SHARD_ROWS = 20_000
-
-
-def _spark_int_hash(k: int, seed: int = 42) -> int:
-    """Spark's Murmur3_x86_32.hashInt (what ``F.hash``/HashPartitioning
-    compute for an int32 column, seed 42) — verified bit-equal against
-    ``F.hash`` on positive/negative/extreme int32 values in tests."""
-
-    def rotl(x: int, r: int) -> int:
-        return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
-
-    k1 = (k & 0xFFFFFFFF) * 0xCC9E2D51 & 0xFFFFFFFF
-    k1 = rotl(k1, 15) * 0x1B873593 & 0xFFFFFFFF
-    h1 = seed ^ k1
-    h1 = (rotl(h1, 13) * 5 + 0xE6546B64) & 0xFFFFFFFF
-    h1 ^= 4
-    h1 ^= h1 >> 16
-    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
-    h1 ^= h1 >> 13
-    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
-    h1 ^= h1 >> 16
-    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
-
-
-def _lpt_partition_keys(n: int) -> list[int]:
-    """For each partition index p in [0, n): a small non-negative int key
-    whose Spark hash-partition index (pmod(murmur3(key), n)) is exactly p.
-
-    This is the lever for longest-processing-time-first task scheduling
-    with a plain ``repartition(n, key_col)``: Spark launches tasks in
-    partition-index order, so mapping the biggest shard's rows to the key
-    of partition 0 (etc.) makes the fixed-size task pool start the
-    stragglers first — the classic LPT bound — without a custom
-    partitioner, an extra shuffle, or empty partitions."""
-    keys: list[int | None] = [None] * n
-    found, k = 0, 0
-    while found < n:
-        idx = _spark_int_hash(k) % n
-        if keys[idx] is None:
-            keys[idx] = k
-            found += 1
-        k += 1
-    return keys  # type: ignore[return-value]
 
 
 def _build_graph(

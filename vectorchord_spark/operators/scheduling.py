@@ -1,0 +1,102 @@
+"""Longest-processing-time-first (LPT) task layout for grouped
+applyInPandas stages.
+
+Spark launches tasks in partition-index order, and a groupBy →
+applyInPandas stage over skewed CPU-bound groups (graph shards, SemDeDup
+clusters) pays a makespan penalty when a big group lands in the tail
+wave — measured ~12s of a 95s 1M-row graph build. The classic fix is
+LPT scheduling: start the biggest groups first. Spark has no task-order
+API, but partition INDEX is controllable: for hash partitioning the
+index is ``pmod(murmur3(key), n)``, so for every target index there is a
+small int ("golden key") that lands exactly there. Mapping each group to
+the golden key of its size-rank partition turns a plain
+``repartition(n, key_col)`` into strict LPT launch order — no custom
+partitioner, no extra shuffle (HashPartitioning on the key column
+satisfies the grouped distribution when the key is included in the
+grouping columns), and no empty partitions.
+
+First used by the graph build (`operators/graph.py`); `lpt_grouped_apply`
+is the reusable form for any (group → pandas fn) stage.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def spark_int_hash(k: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashInt (what ``F.hash``/HashPartitioning
+    compute for an int32 column, seed 42) — verified bit-equal against
+    ``F.hash`` on positive/negative/extreme int32 values in tests."""
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+    k1 = (k & 0xFFFFFFFF) * 0xCC9E2D51 & 0xFFFFFFFF
+    k1 = rotl(k1, 15) * 0x1B873593 & 0xFFFFFFFF
+    h1 = seed ^ k1
+    h1 = (rotl(h1, 13) * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h1 ^= 4
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def lpt_partition_keys(n: int) -> list[int]:
+    """For each partition index p in [0, n): a small non-negative int key
+    with ``pmod(murmur3(key), n) == p``. Expected search cost is
+    O(n·log n) hash evaluations (coupon collector)."""
+    keys: list[int | None] = [None] * n
+    found, k = 0, 0
+    while found < n:
+        idx = spark_int_hash(k) % n
+        if keys[idx] is None:
+            keys[idx] = k
+            found += 1
+        k += 1
+    return keys  # type: ignore[return-value]
+
+
+def lpt_grouped_apply(
+    df: DataFrame,
+    key_col: str,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str,
+    sizes: Mapping[int, float] | None = None,
+) -> DataFrame:
+    """``df.groupBy(key_col).applyInPandas(fn, schema)`` with LPT launch
+    order: one group per partition, biggest group first.
+
+    ``sizes`` maps group key → cost estimate (row count is the usual
+    proxy; pass a superlinear transform for quadratic-cost groups). When
+    None, a narrow count pass derives it (one JVM aggregation over the
+    key column only; driver memory O(#groups) — the same bound the
+    golden-key array needs anyway). ``fn`` receives the group's rows
+    including the extra ``_lpt_pkey`` column; its output must match
+    ``schema`` exactly (the usual applyInPandas contract).
+    """
+    if sizes is None:
+        sizes = {
+            r[0]: r[1]
+            for r in df.groupBy(key_col).agg(F.count(F.lit(1))).collect()
+        }
+    groups = sorted(sizes, key=lambda g: (-sizes[g], g))
+    n = max(1, len(groups))
+    keys = lpt_partition_keys(n)
+    mapping = {g: keys[rank] for rank, g in enumerate(groups)}
+    mexpr = F.create_map(
+        *[x for g, k in mapping.items() for x in (F.lit(g), F.lit(int(k)))]
+    )
+    return (
+        df.withColumn("_lpt_pkey", mexpr[F.col(key_col)].cast("int"))
+        .repartition(n, "_lpt_pkey")
+        .groupBy("_lpt_pkey", key_col)
+        .applyInPandas(fn, schema)
+    )

@@ -169,6 +169,7 @@ def semdedup_flags(
     eps: float = 0.95,
     keep: str = "least_typical",
     max_cluster_size: int = 200_000,
+    lpt: bool = True,
 ) -> DataFrame:
     """Per-row SemDeDup keep flags from a cluster assignment.
 
@@ -176,6 +177,14 @@ def semdedup_flags(
     :func:`assign_clusters`; ``df`` supplies the vectors. One shuffle
     (groupBy cluster_id), then the blocked triangular pass per cluster.
     Output: (id, cluster_id, centroid_sim, keep).
+
+    ``lpt=True`` (default) launches clusters longest-first with a
+    quadratic cost estimate (the pass is O(m²·dim)): k-means cluster
+    masses are skewed, so random task order can leave the biggest
+    cluster in the tail wave — the same makespan waste the graph build
+    measured at ~12s/95s before its LPT layout. Costs one narrow count
+    aggregation (driver memory O(n_clusters), already the centroid
+    bound).
     """
     if keep not in _KEEP_ORDERS:
         raise ValueError(f"keep must be one of {_KEEP_ORDERS}, got {keep!r}")
@@ -193,11 +202,11 @@ def semdedup_flags(
         ]
     )
 
-    def per_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
         if m > max_cluster_size:
             raise ValueError(
-                f"SemDeDup cluster {key[0]} has {m} rows "
+                f"SemDeDup cluster {int(pdf['cluster_id'].iloc[0])} has {m} rows "
                 f"(> max_cluster_size={max_cluster_size}); increase "
                 "n_clusters so expected cluster size is ~1e3-1e4 (the "
                 "published algorithm's operating range) or raise "
@@ -222,7 +231,19 @@ def semdedup_flags(
             }
         )
 
-    return joined.groupBy("cluster_id").applyInPandas(per_cluster, schema)
+    if not lpt:
+        return joined.groupBy("cluster_id").applyInPandas(per_cluster, schema)
+    from vectorchord_spark.operators.scheduling import lpt_grouped_apply
+
+    sizes = {
+        r[0]: float(r[1]) ** 2  # quadratic cost proxy
+        for r in assigned.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)))
+        .collect()
+    }
+    return lpt_grouped_apply(
+        joined, "cluster_id", per_cluster, schema, sizes=sizes
+    )
 
 
 def semdedup(
