@@ -22,6 +22,44 @@ def main() -> None:
     spark = get_spark(app_name="vectorchord-bench")
     cat = catalog()
     headline = {n: q for n, q in cat.items() if q.headline}
+
+    # bench-only extras: round-7 ops that are pytest-oracled but not
+    # catalog-gated (the driver's 50-slot gate prefix is already fully
+    # subscribed this round — docs/ROUND_NOTES.md r08 prefix math), so
+    # their throughput is tracked here without consuming catalog slots.
+    from types import SimpleNamespace
+
+    import numpy as np
+
+    def _semdedup_bench(spark, sf_dir):
+        from vectorchord_spark.pipeline.semdedup import semdedup
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return semdedup(
+            emb, n_clusters=8, eps=0.40, sample_cap=4096, seed=11
+        ).where("keep")
+
+    def _quality_learned_bench(spark, sf_dir):
+        from vectorchord_spark.pipeline.quality_model import score_quality
+
+        # fixed deterministic model (LCG weights): benches the JVM-only
+        # scoring path — hash features, broadcast join, int-exact sums
+        dim = 1 << 14
+        w = (
+            ((np.arange(dim, dtype=np.int64) * 2654435761) % 1999).astype(
+                np.float64
+            )
+            / 1999.0
+            - 0.5
+        ).astype(np.float32)
+        model = {"w": w, "b": 0.125, "dim": dim, "bigrams": True}
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return score_quality(docs, model)
+
+    headline |= {
+        "semdedup": SimpleNamespace(fn=_semdedup_bench),
+        "quality_learned": SimpleNamespace(fn=_quality_learned_bench),
+    }
     # SPARK_GRAFT_BENCH_LAST: comma-separated entry names moved to the END
     # of the run order. Default knn_batch_ivf: an alternating first/last A/B
     # (r07, 4 runs, same host) measured first-position warm medians of
