@@ -75,6 +75,34 @@ def test_language_filter_uses_existing_column(spark, docs):
     assert lang_drops == docs.where(~F.col("lang").isin(*keep)).count()
 
 
+def test_null_text_and_lang_are_dropped_and_audited(spark):
+    """NULL is failure: a NULL text (length predicate → NULL) or a NULL
+    lang (isin() → NULL) must be dropped AND audited, not silently kept —
+    three-valued logic would otherwise let such rows pass every stage."""
+    df = spark.createDataFrame(
+        [
+            (1, "a good long document with plenty of words here", "en"),
+            (2, None, "en"),
+            (3, "another good long document with plenty of words", None),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    res = curate(
+        df,
+        CurateConfig(
+            langs=("en",), min_words=5, max_top_2gram_frac=None,
+            max_dup_3gram_frac=None, min_quality=None,
+            exact_dedup=False, near_dedup=False,
+        ),
+    )
+    kept_ids = {r[0] for r in res.kept.select("doc_id").collect()}
+    audit = {r["id"]: r["stage"] for r in res.audit.collect()}
+    assert kept_ids == {1}
+    assert set(audit) == {2, 3}
+    assert audit[2] == "length"  # NULL text fails the first check
+    assert audit[3] == "language"  # NULL lang fails isin()
+
+
 def test_all_stages_off_keeps_everything(spark, docs):
     res = curate(
         docs,

@@ -1031,6 +1031,9 @@ def test_hybrid_retrieval_dense_plus_bm25(spark):
     assert fused[0].doc_id == 1
     # doc 4 shares nothing with the query: absent from every arm
     assert all(r.doc_id != 4 for r in fused)
+
+
+def test_paragraph_neardup_pairs(spark):
     """paragraph_neardup_pairs: two docs sharing a near-identical 8-word
     paragraph (one word changed) pair up at paragraph granularity; an
     unrelated paragraph stays unpaired."""

@@ -168,6 +168,15 @@ def hierarchical(
         finally:
             if prev is not None and prev > 1:
                 _K.set_blas_threads(prev)
+            elif prev == 0:
+                # set_blas_threads pinned BLAS but found no *get* entry
+                # point (prev unknowable, reported as 0): restore the
+                # machine default rather than leaving the driver pinned
+                # at 1 thread — limit_blas_threads' contract is that the
+                # DRIVER keeps default threading for its large GEMMs.
+                import os as _os
+
+                _K.set_blas_threads(_os.cpu_count() or 1)
     else:
         outs = [_cell(g) for g in live]
     return np.concatenate(outs).astype(np.float32)

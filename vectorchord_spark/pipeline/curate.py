@@ -137,6 +137,11 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
     fail_stage = F.lit(None).cast("string")
     fail_detail = F.lit(None).cast("string")
     for name, ok, detail in reversed(checks):
+        # NULL is failure: a NULL text makes the length predicate NULL and
+        # a NULL/missing lang makes isin() NULL — three-valued logic would
+        # let such rows slide past every stage unflagged, so each check's
+        # verdict is coalesced to False before negation.
+        ok = F.coalesce(ok, F.lit(False))
         fail_stage = F.when(~ok, F.lit(name)).otherwise(fail_stage)
         fail_detail = F.when(~ok, detail.cast("string")).otherwise(fail_detail)
     flagged = docs.withColumn("_stage", fail_stage).withColumn(

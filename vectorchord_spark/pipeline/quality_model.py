@@ -106,17 +106,24 @@ def train_quality_classifier(
 
     Returns {"w": float32[dim], "b": float, "dim": int, "bigrams": bool}.
     """
+    # persist(): ``labeled`` feeds two subtrees (feature extraction and the
+    # label join) and LIMIT without an ordering is not guaranteed to pick
+    # the same rows twice — materializing once pins a single sample so the
+    # inner join can't silently shrink or skew the training set.
     labeled = df.select(
         F.col(id_col), F.col(text_col), F.col(label_col).cast("int").alias("_y")
-    ).limit(sample_cap)
+    ).limit(sample_cap).persist()
     feats = quality_features(
         labeled, text_col=text_col, id_col=id_col, dim=dim, bigrams=bigrams
     )
-    rows = (
-        feats.join(labeled.select(id_col, "_y"), id_col)
-        .select(id_col, "bucket", "weight", "_y")
-        .toPandas()
-    )
+    try:
+        rows = (
+            feats.join(labeled.select(id_col, "_y"), id_col)
+            .select(id_col, "bucket", "weight", "_y")
+            .toPandas()
+        )
+    finally:
+        labeled.unpersist()
     if not len(rows):
         raise ValueError("no training rows: empty input or empty texts")
 

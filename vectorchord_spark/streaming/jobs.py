@@ -362,7 +362,10 @@ def streaming_neardup_pairs(
             ids.extend(int(v) for v in pdf["_id"].to_numpy())
         ids.sort()
         if not ids:
-            yield pd.DataFrame([])
+            # must carry the declared output columns: the Arrow
+            # serializer selects (ida, idb, band) by name and a
+            # zero-column frame would raise at runtime.
+            yield pd.DataFrame(columns=["ida", "idb", "band"])
             return
         if state.exists:
             (first,) = state.get
