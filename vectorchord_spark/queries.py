@@ -3701,6 +3701,110 @@ SELECT doc_id, overlap FROM hits WHERE overlap >= 2 ORDER BY doc_id
 """
 
 
+def _semdedup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) flag pass, label-cluster variant: the
+    cluster assignment is the table's ``label`` column (so the oracle can
+    reproduce it) and the intra-cluster visit order is ``min_id`` — row i
+    is dropped iff ANY lower-id row in its cluster has cosine similarity
+    > eps. Exercises the full distributed flag machinery (one
+    groupBy(cluster) shuffle, LPT longest-first launch, blocked
+    triangular GEMM per cluster); the k-means fit+assign stages are
+    pytest-oracled and benched separately (bench.py `semdedup`). eps sits
+    inside the intra-label cosine distribution (min |cos−eps| margin
+    ~2e-4 at sf0.01/sf0.001 — far above f64 accumulation noise, so the
+    boolean gates bit-stably against DuckDB's list_cosine_similarity)."""
+    from vectorchord_spark.pipeline.semdedup import semdedup_flags
+
+    emb = _read(spark, sf_dir, "embeddings")
+    assigned = emb.select(
+        F.col("vec_id"),
+        F.col("label").cast("int").alias("cluster_id"),
+        F.lit(0.0).alias("centroid_sim"),
+    )
+    flags = semdedup_flags(
+        assigned, emb, id_col="vec_id", vec_col="embedding",
+        eps=0.3, keep="min_id",
+    )
+    return flags.select(
+        "vec_id",
+        "cluster_id",
+        F.col("keep").cast("int").alias("keep"),
+    ).orderBy("vec_id")
+
+
+_SEMDEDUP_SQL = """
+WITH e AS (SELECT vec_id, label::INT AS cluster_id, embedding FROM embeddings)
+SELECT a.vec_id, a.cluster_id,
+       CAST(coalesce(max(CASE WHEN list_cosine_similarity(
+                a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.3
+            THEN 1 ELSE 0 END), 0) = 0 AS INT) AS keep
+FROM e a LEFT JOIN e b
+  ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+GROUP BY a.vec_id, a.cluster_id
+ORDER BY a.vec_id
+"""
+
+
+def _quality_score_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter scoring (fastText-style linear model over
+    hashed unigram+bigram term frequencies) with a FIXED deterministic
+    model so the oracle can recompute it: weight(bucket) = ((bucket ·
+    2654435761) mod 1999 − 999) · 1e-6 (an LCG over buckets). Scoring is
+    the production path — pure JVM: md5 feature hashing, broadcast
+    (bucket, int-weight) join, one partial-aggregable groupBy; ``dot``
+    is an exact int64 (1e6-scaled weights round-trip the f32 model
+    exactly: |w|≤999 ⇒ f32 error < 1e-4 after rescale, rint exact) and
+    ``logit = dot/(1e6·n_terms) + 0.125`` is one IEEE division+addition
+    — bit-identical across engines. Training is pytest-gated
+    (held-out separation) — SGD itself is not SQL-expressible."""
+    import numpy as np
+
+    from vectorchord_spark.pipeline.quality_model import score_quality
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dim = 1 << 10
+    wq = (np.arange(dim, dtype=np.int64) * 2654435761) % 1999 - 999
+    model = {
+        "w": (wq.astype(np.float64) * 1e-6).astype(np.float32),
+        "b": 0.125,
+        "dim": dim,
+        "bigrams": True,
+    }
+    return score_quality(docs, model).orderBy("doc_id")
+
+
+_QUALITY_SCORE_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS wd,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(wd) AS w FROM base
+  UNION ALL
+  SELECT doc_id, wd[i] || '_' || wd[i + 1] AS w
+  FROM (SELECT doc_id, wd, unnest(range(1, n)) AS i FROM base WHERE n >= 2)
+),
+h AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('hb|' || w), 1, 6))::BIGINT % 1024) AS bucket
+  FROM toks
+),
+terms AS (
+  SELECT doc_id, bucket, count(*)::BIGINT AS weight
+  FROM h GROUP BY doc_id, bucket
+),
+scored AS (
+  SELECT doc_id, sum(weight)::BIGINT AS n_terms,
+         sum(((bucket * 2654435761) % 1999 - 999) * weight)::BIGINT AS dot
+  FROM terms GROUP BY doc_id
+)
+SELECT doc_id, n_terms, dot,
+       dot::DOUBLE / (1000000.0 * n_terms::DOUBLE) + 0.125 AS logit
+FROM scored ORDER BY doc_id
+"""
+
+
 def _multimodal_image_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end image pipeline through the REAL decode branch
     (`strict=True`): synthesize a solid-color PNG per document (pixel
@@ -4529,6 +4633,12 @@ def _catalog_canonical() -> dict[str, Q]:
         "sparse_knn": Q(_sparse_knn_fn, _SPARSE_KNN_SQL),
         "rag_chunk_retrieval": Q(_rag_chunk_retrieval_fn, _RAG_CHUNK_RETRIEVAL_SQL),
         "decontaminate": Q(_decontaminate_fn, _DECONTAMINATE_SQL, headline=True),
+        # NOT headline: bench.py tracks the richer end-to-end twins
+        # (k-means-fit semdedup, dim 2^14 quality model) as bench-only
+        # entries; these catalog variants pin the same machinery to
+        # SQL-reproducible configurations for the driver's oracle gate
+        "semdedup": Q(_semdedup_fn, _SEMDEDUP_SQL),
+        "quality_score": Q(_quality_score_fn, _QUALITY_SCORE_SQL),
         "multimodal_image": Q(_multimodal_image_fn, _MULTIMODAL_IMAGE_SQL),
         "multimodal_audio": Q(_multimodal_audio_fn, _MULTIMODAL_AUDIO_SQL),
         "multimodal_video": Q(_multimodal_video_fn, _MULTIMODAL_VIDEO_SQL),
