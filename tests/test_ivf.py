@@ -65,6 +65,41 @@ def test_build_and_recall(spark, clustered_df, opts):
         assert got_full == exact
 
 
+def test_cheap_path_equivalence_and_plan(spark, clustered_df):
+    """Small-probed-set short circuit: with the probed cells under
+    cheap_threshold, search() must return row-identical results to the
+    full guarantee machinery (the contract is the same: exact top-k
+    within the probed cells) while its plan drops the guarantee pass —
+    no threshold cross-join (BroadcastNestedLoopJoin) and no persisted
+    scored scan (InMemoryTableScan)."""
+    rng = np.random.default_rng(14)
+    q = [float(x) for x in rng.uniform(-1, 1, 8)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = IvfIndex.build(
+            spark, clustered_df, "id", "vec", os.path.join(tmp, "idx"),
+            IvfOptions(metric="l2", lists=[33]),
+        )
+        cheap = idx.search(q, k=10, probes=[6], rerank_factor=4)
+        full = idx.search(
+            q, k=10, probes=[6], rerank_factor=4, cheap_threshold=0
+        )
+        assert [(r.id, r.dist) for r in cheap.collect()] == [
+            (r.id, r.dist) for r in full.collect()
+        ]
+        cheap_plan = cheap._jdf.queryExecution().executedPlan().toString()
+        full_plan = full._jdf.queryExecution().executedPlan().toString()
+        for marker in ("BroadcastNestedLoopJoin", "InMemoryTableScan"):
+            assert marker not in cheap_plan, f"cheap path still runs {marker}"
+        assert "BroadcastNestedLoopJoin" in full_plan  # guarantee pass alive
+        # decision boundary: a threshold below the probed row count takes
+        # the machinery path (plan shows the guarantee cross-join)
+        tiny = idx.search(
+            q, k=10, probes=[6], rerank_factor=4, cheap_threshold=1
+        )
+        tiny_plan = tiny._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in tiny_plan
+
+
 def test_range_search(spark, clustered_df):
     rng = np.random.default_rng(12)
     q = [float(x) for x in rng.uniform(-1, 1, 8)]

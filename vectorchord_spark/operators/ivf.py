@@ -1031,15 +1031,31 @@ class IvfIndex(QuerySampling):
             union.update(int(c) for c in self._descend(Q_rot[qi], probes))
         return np.array(sorted(union))
 
-    def _codes_df(self, probed: np.ndarray, columns: list[str]) -> DataFrame:
+    def _codes_base(self) -> DataFrame:
+        """The codes table as an ANALYZED lazy DataFrame, cached per codes
+        version (DataFrames are immutable, so sharing one across searches
+        is safe). spark.read.parquet costs a driver→JVM file listing +
+        footer read per call; a single search builds 2-3 codes scans, so
+        uncached reads added ~0.5-0.9s of pure plan-construction wall to
+        every serving call at sf0.1. Invalidated by insert/delete/compact
+        (they bump the version or change the tombstone set — the cached
+        plan's file list is resolved at analysis time and would go stale)."""
+        key = (self.meta["codes_version"], os.path.exists(self._tombstones_path))
+        cached = getattr(self, "_codes_base_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         df = self.spark.read.parquet(self.codes_path)
-        if len(probed) < self.meta["n_leaves"]:
-            df = df.where(F.col("cluster_id").isin([int(c) for c in probed]))
-        df = df.select(*columns)
-        if os.path.exists(self._tombstones_path):
+        if key[1]:
             tomb = self.spark.read.parquet(self._tombstones_path)
             df = df.join(F.broadcast(tomb), "id", "left_anti")
+        self._codes_base_cache = (key, df)
         return df
+
+    def _codes_df(self, probed: np.ndarray, columns: list[str]) -> DataFrame:
+        df = self._codes_base()
+        if len(probed) < self.meta["n_leaves"]:
+            df = df.where(F.col("cluster_id").isin([int(c) for c in probed]))
+        return df.select(*columns)
 
     def search(
         self,
@@ -1053,8 +1069,20 @@ class IvfIndex(QuerySampling):
         base_df: DataFrame | None = None,
         guarantee: bool = True,
         lazy_descent: bool = False,
+        cheap_threshold: int = 8192,
     ) -> DataFrame:
         """k-NN search returning a DataFrame (id, dist) ordered by distance.
+
+        ``cheap_threshold``: when the probed cells hold at most this many
+        rows, skip the RaBitQ rough-scoring + guarantee machinery and
+        exact-rerank every probed row directly — the answer is the same
+        contract (exact top-k within the probed cells) computed in ONE
+        Spark job instead of three. At small scale the fixed machinery
+        dominates (sf0.1: probed search ~2× the exhaustive scan); at
+        scale the 1-bit codes are 32× less I/O than the f32 vectors, so
+        the rough path wins — the default (8192 rows) sits well under
+        the measured crossover (probed sets ≥~30k rows at 1M×64d favor
+        rough scoring). 0 disables the short circuit.
 
         ``guarantee=True`` reproduces the reference's lazy-rerank contract
         (exact within the probed cells, up to estimator-bound validity): after
@@ -1332,6 +1360,27 @@ class IvfIndex(QuerySampling):
         m_cand = rerank_factor * k if rerank_factor is not None else None
         if max_scan_tuples is not None:
             m_cand = min(m_cand, max_scan_tuples) if m_cand else max_scan_tuples
+
+        # Small-probed-set short circuit: exact-reranking EVERY probed row
+        # returns the guarantee contract's answer (exact top-k within the
+        # probed cells — crates/vchordrq/src/rerank.rs:53-101 restricted
+        # brute force) unconditionally, so when the probed cells are small
+        # the descent result feeds the rerank directly and the rough-score
+        # stage, the persist, and the two-pass lb sweep never run. Not
+        # taken under max_scan_tuples (that contract truncates by lb order)
+        # or guarantee=False with a cap (explicitly top-m-by-lb).
+        if (
+            cheap_threshold
+            and max_scan_tuples is None
+            and (m_cand is None or guarantee)
+            and sum(self.cluster_sizes().get(int(c), 0) for c in probed)
+            <= cheap_threshold
+        ):
+            cand = self._codes_df(probed, ["id"])
+            if prefilter is not None:
+                cand = cand.join(prefilter.select("id"), "id", "left_semi")
+            return rerank(cand).limit(int(k))
+
         if m_cand is None:
             # exhaustive: rerank everything that was scored
             return rerank(scored).limit(int(k))
@@ -1831,6 +1880,7 @@ class IvfIndex(QuerySampling):
             src = src.select("id", D.normalize("vec").cast("array<float>").alias("vec"))
         self._encode_and_write(src, mode="append")
         self._cluster_sizes = None
+        self._codes_base_cache = None
 
     def delete(self, ids: "list[int] | DataFrame") -> None:
         """Logical delete via tombstones (vacuum happens in compact())."""
@@ -1840,6 +1890,7 @@ class IvfIndex(QuerySampling):
             tomb = self.spark.createDataFrame([(int(i),) for i in ids], "id long")
         tomb.write.mode("append").parquet(self._tombstones_path)
         self._cluster_sizes = None
+        self._codes_base_cache = None
 
     def compact(self) -> None:
         """Rewrite codes without tombstoned rows and re-coalesce files
@@ -1872,6 +1923,7 @@ class IvfIndex(QuerySampling):
         )
         shutil.rmtree(self._tombstones_path, ignore_errors=True)
         self._cluster_sizes = None
+        self._codes_base_cache = None
 
     def prewarm(self) -> int:
         """Cache the codes table in executor memory (S11)."""
