@@ -1412,6 +1412,7 @@ class VamanaIndex(QuerySampling):
         else:
             tomb = self.spark.createDataFrame([(int(i),) for i in ids], "id long")
         tomb.write.mode("append").parquet(self._tombstones_path)
+        self._tombstones_cache = None
 
     def compact(self) -> None:
         """Vacuum: rebuild every shard containing tombstoned vertices
@@ -1541,10 +1542,40 @@ class VamanaIndex(QuerySampling):
             order = order[: int(probe_shards)]
         return [int(s) for s in order]
 
+    def _graph_base(self) -> DataFrame:
+        """The graph table as one ANALYZED lazy DataFrame, cached per graph
+        version (same rationale as IvfIndex._codes_base: spark.read.parquet
+        pays a driver→JVM file listing per call, and every search builds
+        two graph scans — traverse + rescore — so uncached reads added
+        ~0.2-0.4s of plan-construction wall per serving call). DML bumps
+        graph_version (insert/compact) or is invalidated explicitly
+        (delete appends tombstones without a version bump, but tombstones
+        join in _rescore_src, not here — still keyed for safety)."""
+        key = self.meta.get("graph_version", 0)
+        cached = getattr(self, "_graph_base_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        df = self.spark.read.parquet(self.graph_path)
+        self._graph_base_cache = (key, df)
+        return df
+
+    def _tombstones_df(self) -> "DataFrame | None":
+        """Tombstones as a cached lazy DataFrame (None when there are
+        none). delete() invalidates — an appended tombstone file would be
+        invisible to a plan whose file list was already resolved."""
+        if not os.path.exists(self._tombstones_path):
+            return None
+        cached = getattr(self, "_tombstones_cache", None)
+        if cached is not None:
+            return cached
+        tomb = self.spark.read.parquet(self._tombstones_path)
+        self._tombstones_cache = tomb
+        return tomb
+
     def _traverse_src(self, shards: list[int]) -> DataFrame:
         bits = self.meta.get("bits", 1)
         cols = _TRAVERSE_COLS_1BIT if bits == 1 else _TRAVERSE_COLS_2BIT
-        df = self.spark.read.parquet(self.graph_path)
+        df = self._graph_base()
         if len(shards) < self.meta["n_shards"]:
             df = df.where(F.col("shard").isin(shards))
         return df.select(*cols)
@@ -1557,12 +1588,12 @@ class VamanaIndex(QuerySampling):
         # reference nulls the payload but keeps the vertex until vacuum,
         # crates/vchordg analogue of bulkdelete) — they are filtered from
         # the RESULT here, not from the traversal.
-        df = self.spark.read.parquet(self.graph_path)
+        df = self._graph_base()
         if len(shards) < self.meta["n_shards"]:
             df = df.where(F.col("shard").isin(shards))
         df = df.select("id", "vec")
-        if os.path.exists(self._tombstones_path):
-            tomb = self.spark.read.parquet(self._tombstones_path)
+        tomb = self._tombstones_df()
+        if tomb is not None:
             df = df.join(F.broadcast(tomb), "id", "left_anti")
         return df
 
