@@ -88,3 +88,34 @@ def test_lpt_grouped_apply_explicit_sizes_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert sorted(r["g"] for r in out.collect()) == [0, 1, 2]
+
+
+def test_lpt_grouped_apply_join_mapping_above_literal_budget(spark, monkeypatch):
+    """Above _LPT_MAP_LITERAL_MAX groups the key mapping ships as a
+    broadcast join instead of a create_map literal (plan-size bound,
+    10⁵-group SemDeDup regime); results must be identical to the plain
+    groupBy path and the plan must not contain the literal map."""
+    from vectorchord_spark.operators import scheduling as SCH
+
+    monkeypatch.setattr(SCH, "_LPT_MAP_LITERAL_MAX", 3)
+    df = spark.range(1000).select(
+        (F.col("id") % 11).cast("int").alias("g"), F.col("id").alias("v")
+    )
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"g": [int(pdf["g"].iloc[0])], "s": [int(pdf["v"].sum())],
+             "n": [len(pdf)]}
+        )
+
+    out = SCH.lpt_grouped_apply(df, "g", agg, "g int, s long, n long")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    got = {r["g"]: (r["s"], r["n"]) for r in out.collect()}
+    want = {
+        r["g"]: (r["s"], r["n"])
+        for r in df.groupBy("g")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want

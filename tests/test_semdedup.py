@@ -110,6 +110,41 @@ def test_semdedup_end_to_end_matches_oracle(spark, emb):
     assert 0 < int((~got["keep"]).sum()) < n
 
 
+def test_semdedup_distributed_fit(spark, emb):
+    """distributed_fit=True routes the fit through the IVF two-stage
+    distributed k-means; the flag semantics must stay exactly the
+    per-cluster oracle GIVEN whatever centroids that fit produced."""
+    out = SD.semdedup(
+        emb, n_clusters=6, eps=0.40, sample_cap=4096, seed=11,
+        distributed_fit=True,
+    ).toPandas()
+    n = emb.count()
+    assert len(out) == n
+    cents = SD.fit_semdedup_centroids(
+        emb, n_clusters=6, sample_cap=4096, seed=11, distributed=True
+    )
+    assert cents.shape[0] == 6 and np.isfinite(cents).all()
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    vecs = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+    rn = np.linalg.norm(vecs, axis=1)
+    rn[rn == 0] = 1.0
+    c = np.asarray(cents, np.float64)
+    cn = np.linalg.norm(c, axis=1)
+    cn[cn == 0] = 1.0
+    sims = (vecs @ c.T) / rn[:, None] / cn[None, :]
+    lab = sims.argmax(axis=1)
+    csim = sims[np.arange(len(lab)), lab]
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    got = out.sort_values("vec_id").reset_index(drop=True)
+    order = np.argsort(ids)
+    assert (got["cluster_id"].to_numpy() == lab[order]).all()
+    want_keep = np.zeros(len(ids), bool)
+    for cl in np.unique(lab):
+        mask = lab == cl
+        want_keep[mask] = _py_semdedup(ids[mask], vecs[mask], csim[mask], 0.40)
+    assert (got["keep"].to_numpy() == want_keep[order]).all()
+
+
 def test_semdedup_keep_orders(spark, emb):
     least = SD.semdedup(emb, n_clusters=4, eps=0.9, seed=3).toPandas()
     most = SD.semdedup(

@@ -28,6 +28,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: above this group count, lpt_grouped_apply ships the group→partition
+#: mapping as a broadcast-joined frame instead of a create_map literal —
+#: a 10⁵-entry literal map is O(#groups) PLAN nodes that every optimizer
+#: rule re-walks; the join keeps plan size constant at any group count
+_LPT_MAP_LITERAL_MAX = 4096
+
+
 def spark_int_hash(k: int, seed: int = 42) -> int:
     """Spark's Murmur3_x86_32.hashInt (what ``F.hash``/HashPartitioning
     compute for an int32 column, seed 42) — verified bit-equal against
@@ -91,12 +98,25 @@ def lpt_grouped_apply(
     n = max(1, len(groups))
     keys = lpt_partition_keys(n)
     mapping = {g: keys[rank] for rank, g in enumerate(groups)}
-    mexpr = F.create_map(
-        *[x for g, k in mapping.items() for x in (F.lit(g), F.lit(int(k)))]
-    )
+    if len(groups) <= _LPT_MAP_LITERAL_MAX:
+        mexpr = F.create_map(
+            *[x for g, k in mapping.items() for x in (F.lit(g), F.lit(int(k)))]
+        )
+        keyed = df.withColumn("_lpt_pkey", mexpr[F.col(key_col)].cast("int"))
+    else:
+        # above the literal budget a create_map would inline O(#groups)
+        # plan nodes (10⁵ groups → a 10⁵-node expression the optimizer
+        # re-walks per rule); ship the mapping as a broadcast-joined frame
+        # instead — same row routing, constant plan size, no extra shuffle
+        # on the data side
+        spark = df.sparkSession
+        mdf = spark.createDataFrame(
+            [(int(g), int(k)) for g, k in mapping.items()],
+            f"{key_col} long, _lpt_pkey int",
+        ).withColumn(key_col, F.col(key_col).cast(dict(df.dtypes)[key_col]))
+        keyed = df.join(F.broadcast(mdf), key_col, "left")
     return (
-        df.withColumn("_lpt_pkey", mexpr[F.col(key_col)].cast("int"))
-        .repartition(n, "_lpt_pkey")
+        keyed.repartition(n, "_lpt_pkey")
         .groupBy("_lpt_pkey", key_col)
         .applyInPandas(fn, schema)
     )

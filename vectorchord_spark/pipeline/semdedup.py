@@ -49,23 +49,54 @@ from pyspark.sql.types import (
 _KEEP_ORDERS = ("least_typical", "most_typical", "min_id")
 
 
+#: above this cluster count the fit runs as a Spark job: the paper
+#: operates at k=50 000 where a quality driver sample alone (k · a few
+#: hundred rows) outgrows driver memory, and the driver Lloyd becomes
+#: the build's serial bottleneck
+_DISTRIBUTED_FIT_MIN_K = 4096
+
+
 def fit_semdedup_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
     n_clusters: int = 16,
     sample_cap: int = 262_144,
     seed: int = 42,
+    distributed: bool | None = None,
 ) -> np.ndarray:
-    """Spherical k-means centroids from a bounded sample (driver fit).
+    """Spherical k-means centroids over the L2-normalized embeddings.
 
-    The sample is capped so driver memory is O(sample_cap * dim)
-    regardless of table size; rows are taken deterministically for a
-    given input partitioning (same contract as the IVF build sampler).
+    ``distributed=None`` (auto) fits on the driver from a bounded sample
+    (memory O(sample_cap · dim), deterministic for a given input
+    partitioning — the IVF build sampler's contract) for small k, and
+    switches to the distributed two-stage fit (coarse driver k-means →
+    per-cell Lloyd as one Spark task each, the IVF ``distributed_kmeans``
+    machinery) when ``n_clusters ≥ 4096`` — the paper's k=50k operating
+    point never pulls more than the coarse √k·256 sample to the driver.
     """
+    if distributed is None:
+        distributed = n_clusters >= _DISTRIBUTED_FIT_MIN_K
+    sel = df.select(F.col(vec_col).alias("vec"))
+    if distributed:
+        from vectorchord_spark.functions import distances as D
+        from vectorchord_spark.operators.ivf import (
+            IvfOptions,
+            _distributed_leaf_kmeans,
+        )
+
+        normed = sel.select(
+            D.normalize("vec").cast("array<float>").alias("vec")
+        )
+        opts = IvfOptions(
+            lists=[n_clusters],
+            spherical_centroids=True,
+            seed=seed,
+            sampling_factor=max(1, sample_cap // max(1, n_clusters)),
+        )
+        return _distributed_leaf_kmeans(normed, n_clusters, opts)
     from vectorchord_spark.operators.kmeans import lloyd
     from vectorchord_spark.operators.sampling import bounded_sample_vectors
 
-    sel = df.select(F.col(vec_col).alias("vec"))
     sample = bounded_sample_vectors(sel, sample_cap, seed)
     mat = np.stack([np.asarray(v, np.float32) for v in sample["vec"]])
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -256,6 +287,7 @@ def semdedup(
     sample_cap: int = 262_144,
     seed: int = 42,
     max_cluster_size: int = 200_000,
+    distributed_fit: bool | None = None,
 ) -> DataFrame:
     """End-to-end SemDeDup: fit → assign → flag.
 
@@ -266,7 +298,12 @@ def semdedup(
     algorithm's own asymptotics, with every term bounded and distributed.
     """
     cents = fit_semdedup_centroids(
-        df, vec_col, n_clusters=n_clusters, sample_cap=sample_cap, seed=seed
+        df,
+        vec_col,
+        n_clusters=n_clusters,
+        sample_cap=sample_cap,
+        seed=seed,
+        distributed=distributed_fit,
     )
     assigned = assign_clusters(df, cents, id_col=id_col, vec_col=vec_col)
     return semdedup_flags(
