@@ -30,6 +30,7 @@ def main() -> None:
     from types import SimpleNamespace
 
     import numpy as np
+    from pyspark.sql import functions as F
 
     def _semdedup_bench(spark, sf_dir):
         from vectorchord_spark.pipeline.semdedup import semdedup
@@ -56,9 +57,29 @@ def main() -> None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return score_quality(docs, model)
 
+    def _curate_bench(spark, sf_dir):
+        from vectorchord_spark.pipeline.curate import CurateConfig, curate
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        res = curate(
+            docs,
+            CurateConfig(
+                min_words=10,
+                langs=("en", "de", "fr"),
+                max_top_2gram_frac=0.2,
+                max_dup_3gram_frac=0.5,
+                min_quality=0.2,
+            ),
+        )
+        # one frame that forces the whole pipeline (kept + audited drops)
+        return res.kept.select(F.col("doc_id")).unionAll(
+            res.audit.select(F.col("id").alias("doc_id"))
+        )
+
     headline |= {
         "semdedup": SimpleNamespace(fn=_semdedup_bench),
         "quality_learned": SimpleNamespace(fn=_quality_learned_bench),
+        "curate": SimpleNamespace(fn=_curate_bench),
     }
     # SPARK_GRAFT_BENCH_LAST: comma-separated entry names moved to the END
     # of the run order. Default knn_batch_ivf: an alternating first/last A/B

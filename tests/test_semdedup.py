@@ -145,6 +145,22 @@ def test_semdedup_distributed_fit(spark, emb):
     assert (got["keep"].to_numpy() == want_keep[order]).all()
 
 
+def test_assign_f32_routing_matches_precise(spark, emb):
+    """precise=False routes the argmax in f32 but recomputes the winner's
+    similarity in f64 — on data without routing near-ties (the test
+    embeddings' assignment gaps are far above f32 error) the output frame
+    must be IDENTICAL to the precise path, bit-for-bit in centroid_sim."""
+    cents = SD.fit_semdedup_centroids(emb, n_clusters=8, sample_cap=4096, seed=11)
+    a = SD.assign_clusters(emb, cents).toPandas().sort_values("vec_id")
+    b = (
+        SD.assign_clusters(emb, cents, precise=False)
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    assert (a["cluster_id"].to_numpy() == b["cluster_id"].to_numpy()).all()
+    assert (a["centroid_sim"].to_numpy() == b["centroid_sim"].to_numpy()).all()
+
+
 def test_semdedup_keep_orders(spark, emb):
     least = SD.semdedup(emb, n_clusters=4, eps=0.9, seed=3).toPandas()
     most = SD.semdedup(

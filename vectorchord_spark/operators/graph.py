@@ -496,6 +496,19 @@ def _build_vamana_bulk(
     the incremental loop on a 15k-row shard because candidate generation
     is two GEMMs instead of ~n beam searches.
     """
+    import time as _time
+
+    _timers = os.environ.get("VC_VAMANA_TIMERS") == "1"
+    _tm: dict[str, float] = {}
+    _t0 = _time.perf_counter()
+
+    def _mark(name: str) -> None:
+        nonlocal _t0
+        if _timers:
+            now = _time.perf_counter()
+            _tm[name] = _tm.get(name, 0.0) + (now - _t0)
+            _t0 = now
+
     n = len(vecs)
     metric = "l2" if opts.metric == "l2" else "dot"
     alphas = opts.alpha if metric == "l2" else [1.0]
@@ -578,6 +591,7 @@ def _build_vamana_bulk(
         order = np.argsort(alld, axis=1, kind="stable")
         knn_idx[s:e] = np.take_along_axis(allid, order, axis=1)
         knn_d[s:e] = np.take_along_axis(alld, order, axis=1)
+    _mark("knn")
     # a random candidate may duplicate a kNN slot (or be the self row, at
     # distance ∞ already if drawn == row is impossible since d[self]=inf);
     # mask duplicate ids to +inf so the prune's padding rule skips them.
@@ -589,6 +603,7 @@ def _build_vamana_bulk(
     dup = np.zeros_like(dup_sorted)
     np.put_along_axis(dup, by_id, dup_sorted, axis=1)
     knn_d[dup] = np.inf
+    _mark("dupmask")
     # blockwise vectorized alpha-prune of every vertex's candidates
     adj: list[list[int]] = []
     dim = v32.shape[1]
@@ -600,6 +615,7 @@ def _build_vamana_bulk(
                 v32, metric, alphas, m, knn_idx[s:e], knn_d[s:e]
             )
         )
+    _mark("prune")
     # bidirectional edges, then one vectorized prune pass over oversized
     # adjacencies. Closed form of the sequential scan (append p to adj[j]
     # for every directed edge p→j whose reverse is absent, p ascending):
@@ -621,6 +637,7 @@ def _build_vamana_bulk(
         bounds = np.searchsorted(add_to, np.arange(n + 1, dtype=np.int64))
         for j in np.unique(add_to):
             adj[j].extend(add_val[bounds[j] : bounds[j + 1]].tolist())
+    _mark("bidir")
     # After bidirectional edge insertion MOST vertices are oversized (the
     # in-degree tail is long: measured 33..348 at n=10k, m=32), and the
     # prune's pairwise matrix costs O(k²) per row — padding every row to
@@ -671,7 +688,18 @@ def _build_vamana_bulk(
             ):
                 adj[j] = new
             i = e
+    _mark("reprune")
     _repair_connectivity(adj, medoid, v64)
+    _mark("repair")
+    if _timers:
+        import sys as _sys
+
+        print(
+            "[vc-vamana-timer] n=%d " % n
+            + " ".join(f"{k}={v:.3f}s" for k, v in _tm.items()),
+            file=_sys.stderr,
+            flush=True,
+        )
     return adj, medoid
 
 

@@ -77,6 +77,7 @@ def lpt_grouped_apply(
     fn: Callable[[pd.DataFrame], pd.DataFrame],
     schema: str,
     sizes: Mapping[int, float] | None = None,
+    max_partitions: int | None = None,
 ) -> DataFrame:
     """``df.groupBy(key_col).applyInPandas(fn, schema)`` with LPT launch
     order: one group per partition, biggest group first.
@@ -88,6 +89,16 @@ def lpt_grouped_apply(
     golden-key array needs anyway). ``fn`` receives the group's rows
     including the extra ``_lpt_pkey`` column; its output must match
     ``schema`` exactly (the usual applyInPandas contract).
+
+    ``max_partitions`` caps the task count by LPT *bin-packing* groups
+    into that many partitions (biggest group into the least-loaded bin;
+    bins launch heaviest-first). One-partition-per-group is right for a
+    few hundred heavy groups — the dynamic scheduler keeps load
+    balanced — but at 10⁴-10⁵ TINY groups (the SemDeDup k=10k+ regime)
+    per-task overhead dominates: 4096 one-group tasks measured ~60s of
+    pure scheduling at ~24 rows/group. applyInPandas still delivers each
+    group separately within a shared partition, so ``fn`` semantics are
+    unchanged.
     """
     if sizes is None:
         sizes = {
@@ -95,9 +106,31 @@ def lpt_grouped_apply(
             for r in df.groupBy(key_col).agg(F.count(F.lit(1))).collect()
         }
     groups = sorted(sizes, key=lambda g: (-sizes[g], g))
-    n = max(1, len(groups))
-    keys = lpt_partition_keys(n)
-    mapping = {g: keys[rank] for rank, g in enumerate(groups)}
+    if max_partitions is not None and len(groups) > max_partitions:
+        import heapq
+
+        n = max(1, int(max_partitions))
+        heap = [(0.0, b) for b in range(n)]
+        bin_of: dict = {}
+        loads = [0.0] * n
+        for g in groups:  # descending cost → classic LPT packing
+            load, b = heapq.heappop(heap)
+            bin_of[g] = b
+            loads[b] = load + float(sizes[g])
+            heapq.heappush(heap, (loads[b], b))
+        # heaviest bin launches first: rank bins by final load
+        rank_of_bin = {
+            b: r
+            for r, b in enumerate(
+                sorted(range(n), key=lambda b: (-loads[b], b))
+            )
+        }
+        keys = lpt_partition_keys(n)
+        mapping = {g: keys[rank_of_bin[bin_of[g]]] for g in groups}
+    else:
+        n = max(1, len(groups))
+        keys = lpt_partition_keys(n)
+        mapping = {g: keys[rank] for rank, g in enumerate(groups)}
     if len(groups) <= _LPT_MAP_LITERAL_MAX:
         mexpr = F.create_map(
             *[x for g, k in mapping.items() for x in (F.lit(g), F.lit(int(k)))]

@@ -109,38 +109,82 @@ def assign_clusters(
     centroids: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    precise: bool = True,
 ) -> DataFrame:
     """Nearest-centroid (cosine) assignment: (id, cluster_id, centroid_sim).
 
     One broadcast of the (k, dim) centroid matrix; one GEMM per Arrow
-    batch; no shuffle. centroid_sim is the cosine similarity of the row
-    to its assigned centroid, computed in f64 (it is the dedup sort key,
-    so its precision decides survivor identity).
-    """
-    cents = np.ascontiguousarray(centroids, np.float64)
-    cnorm = np.linalg.norm(cents, axis=1)
-    cnorm[cnorm == 0] = 1.0
-    bc = df.sparkSession.sparkContext.broadcast((cents, cnorm))
+    batch; no shuffle. centroid_sim is ALWAYS the f64 cosine similarity
+    of the row to its assigned centroid (it is the dedup sort key, so
+    its precision decides survivor identity within a cluster).
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c, cn = bc.value
-        for pdf in batches:
-            if not len(pdf):
+    ``precise=True`` also runs the routing argmax in f64; ``precise=
+    False`` routes in f32 (BLAS sgemm, measured ~10-30× the f64 rate on
+    AVX-512 hosts) and recomputes only the winner's similarity in f64 —
+    the same precision decision the IVF encode job makes for its routing
+    (operators/ivf.py: "f32 is ample for argmin routing"). The k·dim
+    routing GEMM is the dominant term at the paper's k (measured: 349s
+    of a 482s 1M × 768d × k=10240 end-to-end run was the f64 routing).
+    """
+    c64 = np.ascontiguousarray(centroids, np.float64)
+    cn64 = np.linalg.norm(c64, axis=1)
+    cn64[cn64 == 0] = 1.0
+    dim = c64.shape[1]
+    if precise:
+        bc = df.sparkSession.sparkContext.broadcast((c64, cn64))
+    else:
+        c32 = np.ascontiguousarray(centroids, np.float32)
+        cn32 = np.linalg.norm(c32.astype(np.float64), axis=1).astype(np.float32)
+        cn32[cn32 == 0] = 1.0
+        bc = df.sparkSession.sparkContext.broadcast((c32 / cn32[:, None], c64, cn64))
+
+    def assign(batches) -> Iterator:
+        # mapInArrow: the list<float> column flattens to ONE contiguous
+        # values buffer per batch (same pattern as the IVF encode job) —
+        # the previous per-row np.asarray loop cost more than the GEMM
+        # itself at 100k x 128d (18s assign wall, ~2s of it matmul).
+        import pyarrow as pa
+
+        if precise:
+            c, cn = bc.value
+        else:
+            cunit32, c, cn = bc.value
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
                 continue
-            mat = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            ids = rb.column(0)
+            if ids.type != pa.int64():
+                ids = ids.cast(pa.int64())
+            flat = rb.column(1).flatten()
+            if flat.type != pa.float32():
+                flat = flat.cast(pa.float32())
+            m32 = np.asarray(flat).reshape(n, dim)
+            mat = m32.astype(np.float64)
             rn = np.linalg.norm(mat, axis=1)
             rn[rn == 0] = 1.0
-            sims = (mat @ c.T) / rn[:, None] / cn[None, :]
-            lab = sims.argmax(axis=1)
-            yield pd.DataFrame(
-                {
-                    "_id": pdf[id_col].to_numpy(np.int64),
-                    "cluster_id": lab.astype(np.int32),
-                    "centroid_sim": sims[np.arange(len(lab)), lab],
-                }
+            if precise:
+                sims = (mat @ c.T) / rn[:, None] / cn[None, :]
+                lab = sims.argmax(axis=1)
+            else:
+                s32 = m32 @ cunit32.T  # row norm is argmax-invariant
+                lab = s32.argmax(axis=1)
+            # the emitted winner similarity goes through ONE shared f64
+            # einsum in BOTH modes: gemm and einsum accumulate in
+            # different orders, so reusing the routing matrix's element
+            # would make the two modes differ in the last bits even when
+            # they agree on the assignment
+            win = np.einsum("ij,ij->i", mat, c[lab]) / rn / cn[lab]
+            yield pa.record_batch(
+                [
+                    ids,
+                    pa.array(lab.astype(np.int32)),
+                    pa.array(win),
+                ],
+                names=["_id", "cluster_id", "centroid_sim"],
             )
 
-    out = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    out = df.select(F.col(id_col), F.col(vec_col)).mapInArrow(
         assign, "_id long, cluster_id int, centroid_sim double"
     )
     return out.withColumnRenamed("_id", id_col)
@@ -272,8 +316,19 @@ def semdedup_flags(
         .agg(F.count(F.lit(1)))
         .collect()
     }
+    # one-task-per-cluster is right for tens of heavy clusters; at the
+    # paper's k=10k-50k the clusters are tiny and per-task overhead
+    # dominates (measured ~60s of scheduling for 4096 one-group tasks),
+    # so above ~4 waves of tasks the groups LPT-bin-pack instead
+    par = joined.sparkSession.sparkContext.defaultParallelism
+    cap = max(4 * par, 64)
     return lpt_grouped_apply(
-        joined, "cluster_id", per_cluster, schema, sizes=sizes
+        joined,
+        "cluster_id",
+        per_cluster,
+        schema,
+        sizes=sizes,
+        max_partitions=cap if len(sizes) > cap else None,
     )
 
 
@@ -288,6 +343,7 @@ def semdedup(
     seed: int = 42,
     max_cluster_size: int = 200_000,
     distributed_fit: bool | None = None,
+    precise_assign: bool = True,
 ) -> DataFrame:
     """End-to-end SemDeDup: fit → assign → flag.
 
@@ -305,7 +361,9 @@ def semdedup(
         seed=seed,
         distributed=distributed_fit,
     )
-    assigned = assign_clusters(df, cents, id_col=id_col, vec_col=vec_col)
+    assigned = assign_clusters(
+        df, cents, id_col=id_col, vec_col=vec_col, precise=precise_assign
+    )
     return semdedup_flags(
         assigned,
         df,
