@@ -371,12 +371,34 @@ def _batch_robust_prune(
     )
     fill_map = {int(b): i for i, b in enumerate(fill_rows)}
     for b in range(B):
-        ks = [int(cand_ids[b, p]) for p in kept_pos[b, : kept_n[b]]]
+        # duplicate candidate ids (a rand draw colliding with a kNN slot)
+        # can essentially never both be PICKED — the first pick drives the
+        # twin's minD to ~0 — but one numerical corner survives (an exact
+        # duplicate VECTOR of p at cand_d=0 against a minD of +2·ulp), and
+        # backfill takes nearest-pruned by index order regardless; the
+        # seen-set makes both paths id-unique by construction.
+        seen: set[int] = set()
+        ks: list[int] = []
+        for p in kept_pos[b, : kept_n[b]]:
+            cid = int(cand_ids[b, p])
+            if cid not in seen:
+                seen.add(cid)
+                ks.append(cid)
         if len(ks) < m:
-            for p in fill_order[fill_map[b]]:
+            if b in fill_map:
+                row_order = fill_order[fill_map[b]]
+            else:
+                # dedup shrank a greedily-FULL row (the numerical corner
+                # above) — it missed the vectorized fill_rows precompute
+                row_order = np.argsort(~avail[b], kind="stable")
+            for p in row_order:
                 if not avail[b, p]:
                     break  # stable sort: all still-avail come first
-                ks.append(int(cand_ids[b, p]))
+                cid = int(cand_ids[b, p])
+                if cid in seen:
+                    continue
+                seen.add(cid)
+                ks.append(cid)
                 if len(ks) == m:
                     break
         out.append(ks)
@@ -624,18 +646,17 @@ def _build_vamana_bulk(
         knn_idx[s:e] = np.take_along_axis(allid, order, axis=1)
         knn_d[s:e] = np.take_along_axis(alld, order, axis=1)
     _mark("knn")
-    # a random candidate may duplicate a kNN slot (or be the self row, at
-    # distance ∞ already if drawn == row is impossible since d[self]=inf);
-    # mask duplicate ids to +inf so the prune's padding rule skips them.
-    # Vectorized: stable-sort by id per row, mark repeats, scatter back.
-    by_id = np.argsort(knn_idx, axis=1, kind="stable")
-    ids_sorted = np.take_along_axis(knn_idx, by_id, axis=1)
-    dup_sorted = np.zeros_like(ids_sorted, dtype=bool)
-    dup_sorted[:, 1:] = ids_sorted[:, 1:] == ids_sorted[:, :-1]
-    dup = np.zeros_like(dup_sorted)
-    np.put_along_axis(dup, by_id, dup_sorted, axis=1)
-    knn_d[dup] = np.inf
-    _mark("dupmask")
+    # A random candidate may duplicate a kNN slot (a rand draw of the row
+    # itself is already masked to ∞ above). No explicit dedup pass is
+    # needed (the per-row (n, K) id-argsort it took cost ~150 CPU-s at 1M
+    # rows — 9% of the kernel): the greedy prune CANNOT keep both copies
+    # of a duplicated candidate — picking one sets the other's running
+    # minD to (numerically) its self-distance ≈ 0, failing the strict
+    # ``d_p < α·minD`` test for any real d_p — and the stable
+    # distance-sort keeps the kNN copy ahead of its rand twin, so the
+    # same element survives that the old mask kept. The one path that
+    # could re-admit a duplicate, the nearest-pruned BACKFILL, now skips
+    # already-kept ids explicitly (see _batch_robust_prune).
     # blockwise vectorized alpha-prune of every vertex's candidates
     adj: list[list[int]] = []
     dim = v32.shape[1]
