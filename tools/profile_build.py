@@ -77,7 +77,11 @@ def main() -> None:
     print(f"canary: write+fsync 128MB {dt:.2f}s ({0.125 / dt:.2f} GB/s) "
           f"to {tempfile.gettempdir()}")
 
-    spark = get_spark(app_name="vc-build-profile")
+    # UI on: the post-build stage-metrics dump needs the REST endpoint
+    spark = get_spark(
+        app_name="vc-build-profile",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
 
     n_centers = 2000
     centers = np.random.default_rng(77).standard_normal((n_centers, dim)) * 2.0
@@ -147,6 +151,44 @@ def main() -> None:
         f"kmeans={t_marks.get('kmeans', 0):.1f}s "
         f"encode={t_marks.get('encode', 0):.1f}s"
     )
+
+    # JVM-side CPU accounting (the VC_ENCODE_TIMERS sums only cover the
+    # PYTHON worker phases; shuffle serialization, the Tungsten sort, and
+    # parquet encoding are JVM task-thread work): pull per-stage
+    # executorCpuTime/executorRunTime from the local UI REST API so the
+    # CPU-sum floor table covers BOTH sides.
+    try:
+        import json as _json
+        import urllib.request as _rq
+
+        base = "http://localhost:4040/api/v1"
+        apps = _json.load(_rq.urlopen(f"{base}/applications", timeout=5))
+        app = apps[0]["id"]
+        stages = _json.load(
+            _rq.urlopen(f"{base}/applications/{app}/stages?status=complete", timeout=5)
+        )
+        rows = sorted(
+            (
+                (
+                    s["stageId"],
+                    s.get("executorCpuTime", 0) / 1e9,
+                    s.get("executorRunTime", 0) / 1e3,
+                    s["name"].split("\n")[0][:48],
+                )
+                for s in stages
+            ),
+            key=lambda r: -r[1],
+        )
+        tot_cpu = sum(r[1] for r in rows)
+        tot_run = sum(r[2] for r in rows)
+        print(
+            f"jvm-stage-metrics: total executorCpuTime {tot_cpu:.1f} CPU-s, "
+            f"executorRunTime {tot_run:.1f} task-s; top stages:"
+        )
+        for sid, cpu, run, name in rows[:6]:
+            print(f"  stage {sid}: cpu {cpu:.1f}s run {run:.1f}s  {name}")
+    except Exception as e:  # REST UI disabled or port taken — diagnostic only
+        print(f"jvm-stage-metrics: unavailable ({e})")
     spark.stop()
 
 

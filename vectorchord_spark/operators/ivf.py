@@ -891,6 +891,10 @@ class IvfIndex(QuerySampling):
             # the encode stage
             .sortWithinPartitions("cluster_id", "id")
             .write.mode(mode)
+            # default codec (snappy) kept deliberately: an uncompressed
+            # A/B at 1M x 768d on tmpfs measured encode 34.5s vs 25.5s —
+            # snappy's CPU is cheaper than the extra bytes even on a
+            # 2+ GB/s destination, and cheaper still on real disks
             .parquet(self.codes_path)
         )
 
