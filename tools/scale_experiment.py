@@ -166,6 +166,12 @@ def main() -> None:
             f"n_shards={n_shards}, shard rows min/avg/max = "
             f"{sizes[0]}/{sizes[2]:.0f}/{sizes[1]}"
         )
+        if "--build-only" in sys.argv:
+            # window-lottery mode: the recall evals cost ~3-4 min and are
+            # identical run to run — skip them when only the build wall
+            # is being hunted (recall is re-verified on full runs)
+            spark.stop()
+            return
         # mean over 20 queries (a single query is a ±0.3 coin flip at
         # k=10), at two probe settings to show the probes-vs-shard-count
         # serving tradeoff
