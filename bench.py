@@ -76,10 +76,26 @@ def main() -> None:
             res.audit.select(F.col("id").alias("doc_id"))
         )
 
+    _lm_cache = {}
+
+    def _perplexity_lm_bench(spark, sf_dir):
+        from vectorchord_spark.pipeline.ngram_lm import score_lm, train_ngram_lm
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        lm = _lm_cache.get(sf_dir)
+        if lm is None:
+            # reference model fit once (like the ANN index builds): the
+            # per-round timing tracks the JVM scoring pass
+            lm = _lm_cache[sf_dir] = train_ngram_lm(
+                docs.where("doc_id % 10 = 0"), order=3, min_count=2
+            )
+        return score_lm(docs, lm)
+
     headline |= {
         "semdedup": SimpleNamespace(fn=_semdedup_bench),
         "quality_learned": SimpleNamespace(fn=_quality_learned_bench),
         "curate": SimpleNamespace(fn=_curate_bench),
+        "perplexity_lm": SimpleNamespace(fn=_perplexity_lm_bench),
     }
     # SPARK_GRAFT_BENCH_LAST: comma-separated entry names moved to the END
     # of the run order. Default knn_batch_ivf: an alternating first/last A/B

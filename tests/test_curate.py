@@ -103,6 +103,41 @@ def test_null_text_and_lang_are_dropped_and_audited(spark):
     assert audit[3] == "language"  # NULL lang fails isin()
 
 
+def test_perplexity_stage(spark):
+    """CCNet perplexity stage: docs far from the reference LM are dropped
+    with stage='perplexity' and the bits detail; in-domain docs pass."""
+    from vectorchord_spark.pipeline.ngram_lm import score_lm, train_ngram_lm
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog every day")
+         for i in range(50)],
+        "doc_id long, text string",
+    )
+    lm = train_ngram_lm(ref, order=3, min_count=2)
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog every day"),
+            (2, "zzz qqq vvv kkk yyy www mmm nnn ppp rrr sss"),
+        ],
+        "doc_id long, text string",
+    )
+    # pick the ceiling between the two docs' measured bits
+    bits = {r.doc_id: r.bits_per_token for r in score_lm(docs, lm).collect()}
+    assert bits[1] < bits[2]
+    cut = (bits[1] + bits[2]) / 2
+    res = curate(
+        docs,
+        CurateConfig(
+            min_words=5, max_top_2gram_frac=None, max_dup_3gram_frac=None,
+            min_quality=None, exact_dedup=False, near_dedup=False,
+            ngram_lm=lm, max_bits_per_token=cut,
+        ),
+    )
+    assert {r.doc_id for r in res.kept.collect()} == {1}
+    audit = {r.id: r.stage for r in res.audit.collect()}
+    assert audit == {2: "perplexity"}
+
+
 def test_all_stages_off_keeps_everything(spark, docs):
     res = curate(
         docs,

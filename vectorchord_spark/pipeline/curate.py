@@ -53,6 +53,11 @@ class CurateConfig:
     min_quality: float | None = 0.3
     quality_model: dict | None = None
     min_logit: float = 0.0
+    # stage 4b: CCNet perplexity filter — a trained pipeline.ngram_lm
+    # NgramLM plus the bits-per-token ceiling (lower = closer to the
+    # reference corpus; CCNet keeps head+middle of the distribution)
+    ngram_lm: "object | None" = None
+    max_bits_per_token: float = 20.0
     # stage 5/6: dedup
     exact_dedup: bool = True
     near_dedup: bool = True
@@ -191,6 +196,23 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
         survivors = survivors.join(
             bad.select(idc), idc, "left_anti"
         )
+
+    # optional CCNet perplexity filter (stupid-backoff n-gram LM scored
+    # pure-JVM; pipeline/ngram_lm.py) — one explode + broadcast joins +
+    # groupBy, same cost shape as the learned-quality stage
+    if cfg.ngram_lm is not None:
+        from vectorchord_spark.pipeline.ngram_lm import score_lm
+
+        bits = score_lm(survivors, cfg.ngram_lm, text_col=txt, id_col=idc)
+        bad = bits.where(F.col("bits_per_token") > cfg.max_bits_per_token)
+        audits.append(
+            bad.select(
+                F.col(idc).alias("id"),
+                F.lit("perplexity").alias("stage"),
+                F.round("bits_per_token", 3).cast("string").alias("detail"),
+            )
+        )
+        survivors = survivors.join(bad.select(idc), idc, "left_anti")
 
     survivors = survivors.persist()
 
