@@ -424,3 +424,22 @@ def test_lpt_partition_keys_land_exactly(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_batch_robust_prune_dedup_shrunk_full_row_backfills():
+    """The numerical corner where duplicate candidate ids are BOTH
+    picked (dot metric: elig is cand_d < minD, satisfiable for a twin
+    when p.u > u.u) closes the row at kept_n == m; after id-dedup the
+    row is short and must backfill from never-taken candidates even
+    though its avail row was zeroed at closing."""
+    from vectorchord_spark.operators.graph import _batch_robust_prune
+
+    v32 = np.array([[2.0, 0.0], [1.0, 0.0], [0.9, 0.0]], np.float32)
+    # candidates of an implicit vertex p=[2,0]: ids (1, 1, 2) — a twin
+    # pair then a near-dup; cand_d = -(p.u), ascending
+    cand_ids = np.array([[1, 1, 2]], np.int64)
+    cand_d = np.array([[-2.0, -2.0, -1.8]], np.float32)
+    out = _batch_robust_prune(v32, "dot", [1.0], 2, cand_ids, cand_d)
+    # greedy picks slot0 (id1) then slot1 (id1 again: -2 < minD=-1),
+    # closing the row; dedup leaves [1]; backfill must add id2
+    assert out == [[1, 2]]

@@ -156,3 +156,75 @@ def test_order_1_and_bad_order(spark, ref_corpus):
     total = sum(c for g, c in tabs[0].items() if g != LM._BOS)
     want = math.log2(tabs[0]["the"] / total) + math.log2(tabs[0]["cat"] / total)
     assert out.logscore_sum == pytest.approx(want, abs=1e-12)
+
+
+def test_short_and_empty_docs_train_and_score(spark, ref_corpus):
+    """Real crawl corpora contain docs shorter than the model order
+    (including empty strings): F.sequence(k, n) DESCENDS when n < k,
+    which walked element_at through index 0 / out-of-bounds and aborted
+    the job under ANSI mode before the positions guard."""
+    rows = [
+        (1, ""),                      # empty doc -> [BOS, ''] padded
+        (2, "hello"),                 # one word < order
+        (3, "the cat"),               # two words < order=3's 3-gram
+        (4, "the cat sat on the mat"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    lm = LM.train_ngram_lm(docs, order=3, min_count=1)
+    # count parity with the Python reference on the same short corpus
+    want = _py_counts([r[1] for r in rows], 3, 1)
+    for k in range(1, 4):
+        got = {r.gram: r.cnt for r in lm.counts[k - 1].collect()}
+        assert got == want[k - 1], f"order {k}"
+    # scoring the same mixed-length corpus must not abort either, and
+    # must match the Python reference per doc
+    total = sum(c for g, c in want[0].items() if g != LM._BOS)
+    got = {
+        r.doc_id: (r.n_tokens, r.logscore_sum)
+        for r in LM.score_lm(docs, lm).collect()
+    }
+    for did, text in rows:
+        n, ls = _py_score(text, want, total, 3)
+        assert got[did][0] == n, f"doc {did}"
+        assert got[did][1] == pytest.approx(ls, rel=0, abs=1e-9), f"doc {did}"
+
+
+def test_score_shuffle_join_fallback_parity(spark, ref_corpus):
+    """broadcast_max_rows=0 forces every count join onto the shuffle
+    path (the web-scale-reference-corpus fallback); scores must be
+    identical to the broadcast plan, and the fallback plan must really
+    drop the broadcast exchanges."""
+    lm = LM.train_ngram_lm(ref_corpus, order=3, min_count=2)
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "zzz qqq"), (3, "")],
+        "doc_id long, text string",
+    )
+    a = {r.doc_id: r.logscore_sum for r in LM.score_lm(docs, lm).collect()}
+    b = {
+        r.doc_id: r.logscore_sum
+        for r in LM.score_lm(docs, lm, broadcast_max_rows=0).collect()
+    }
+    assert a == b
+    # with the auto-broadcast threshold off, only the explicit hint can
+    # produce a broadcast join: the fallback plan must have none (at
+    # real scale Catalyst re-enables broadcast only while tables fit
+    # its own threshold — exactly the desired behavior)
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            LM.score_lm(docs, lm, broadcast_max_rows=0)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" not in plan
+        hinted = (
+            LM.score_lm(docs, lm)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in hinted
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)

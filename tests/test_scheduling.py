@@ -119,3 +119,32 @@ def test_lpt_grouped_apply_join_mapping_above_literal_budget(spark, monkeypatch)
         .collect()
     }
     assert got == want
+
+
+def test_lpt_grouped_apply_join_mapping_string_keys(spark, monkeypatch):
+    """The broadcast-mapping path must honor the key column's actual
+    dtype: string group keys (supported by the create_map literal path)
+    previously raised on int(g) / the hardcoded long schema."""
+    from vectorchord_spark.operators import scheduling as SCH
+
+    monkeypatch.setattr(SCH, "_LPT_MAP_LITERAL_MAX", 3)
+    df = spark.range(300).select(
+        F.concat(F.lit("grp_"), (F.col("id") % 9).cast("string")).alias("g"),
+        F.col("id").alias("v"),
+    )
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"g": [pdf["g"].iloc[0]], "s": [int(pdf["v"].sum())],
+             "n": [len(pdf)]}
+        )
+
+    out = SCH.lpt_grouped_apply(df, "g", agg, "g string, s long, n long")
+    got = {r["g"]: (r["s"], r["n"]) for r in out.collect()}
+    want = {
+        r["g"]: (r["s"], r["n"])
+        for r in df.groupBy("g")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want

@@ -387,12 +387,19 @@ def _batch_robust_prune(
         if len(ks) < m:
             if b in fill_map:
                 row_order = fill_order[fill_map[b]]
+                avail_b = avail[b]
             else:
                 # dedup shrank a greedily-FULL row (the numerical corner
-                # above) — it missed the vectorized fill_rows precompute
-                row_order = np.argsort(~avail[b], kind="stable")
+                # above). Its avail row was zeroed when the row closed,
+                # so reconstruct "never taken" = non-pad minus the
+                # picked positions; without this the fallback saw an
+                # all-False row and silently returned m-1 edges.
+                taken = np.zeros(avail.shape[1], bool)
+                taken[kept_pos[b, : kept_n[b]]] = True
+                avail_b = np.isfinite(cand_d[b]) & ~taken
+                row_order = np.argsort(~avail_b, kind="stable")
             for p in row_order:
-                if not avail[b, p]:
+                if not avail_b[p]:
                     break  # stable sort: all still-avail come first
                 cid = int(cand_ids[b, p])
                 if cid in seen:

@@ -143,10 +143,26 @@ def lpt_grouped_apply(
         # instead — same row routing, constant plan size, no extra shuffle
         # on the data side
         spark = df.sparkSession
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        # build the mapping frame in the key's ACTUAL dtype — the
+        # create_map literal path supports string/any keys, and this
+        # path must not silently diverge above the literal budget
+        key_type = df.schema[key_col].dataType
+        tn = key_type.typeName()
+        conv: Callable = (
+            int if tn in ("byte", "short", "integer", "long")
+            else str if tn == "string"
+            else float if tn in ("float", "double")
+            else (lambda x: x)
+        )
         mdf = spark.createDataFrame(
-            [(int(g), int(k)) for g, k in mapping.items()],
-            f"{key_col} long, _lpt_pkey int",
-        ).withColumn(key_col, F.col(key_col).cast(dict(df.dtypes)[key_col]))
+            [(conv(g), int(k)) for g, k in mapping.items()],
+            StructType([
+                StructField(key_col, key_type),
+                StructField("_lpt_pkey", IntegerType()),
+            ]),
+        )
         keyed = df.join(F.broadcast(mdf), key_col, "left")
     return (
         keyed.repartition(n, "_lpt_pkey")

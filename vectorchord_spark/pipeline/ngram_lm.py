@@ -64,6 +64,12 @@ class NgramLM:
     # populated lazily: per-order broadcastable sizes (diagnostics)
     sizes: "list[int]" = field(default_factory=list)
 
+    def unpersist(self) -> None:
+        """Release the persisted count tables (train_ngram_lm caches
+        them; call when done scoring)."""
+        for t in self.counts:
+            t.unpersist()
+
 
 def _gram_col(w: Column, i: Column, k: int) -> Column:
     """The k-gram ending at 1-based position ``i`` of the padded token
@@ -103,18 +109,26 @@ def train_ngram_lm(
         # DENOMINATOR of every sentence-initial bigram score; it is
         # excluded from total_unigrams below (real tokens can't collide
         # with the control-char marker)
+        # guard: F.sequence(k, _n) DESCENDS when _n < k (short/empty
+        # docs — ubiquitous in crawl corpora), walking element_at
+        # through index 0 / out-of-bounds, which aborts under ANSI
+        # mode. A doc shorter than k real words simply has no k-grams.
+        positions = F.when(
+            F.col("_n") >= k, F.sequence(F.lit(k), F.col("_n"))
+        ).otherwise(F.array().cast("array<int>"))
         grams = base.select(
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(k), F.col("_n")),
-                    lambda i: _gram_col(F.col("_w"), i, k),
-                )
+                F.transform(positions, lambda i: _gram_col(F.col("_w"), i, k))
             ).alias("gram")
         )
         tbl = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
         if k >= 2 and min_count > 1:
             tbl = tbl.where(F.col("cnt") >= min_count)
-        counts.append(tbl)
+        # persist: each table is read 2-3× downstream (the sizes count
+        # below, then score_lm's numerator + next-order denominator
+        # broadcasts) — without this every broadcast build re-runs the
+        # full reference-corpus groupBy from raw text
+        counts.append(tbl.persist())
     total = (
         counts[0].where(F.col("gram") != _BOS).agg(F.sum("cnt")).collect()[0][0]
         or 0
@@ -131,6 +145,7 @@ def score_lm(
     text_col: str = "text",
     id_col: str = "doc_id",
     oov_floor: float = 1e-9,
+    broadcast_max_rows: "int | None" = 50_000_000,
 ) -> DataFrame:
     """Per-document stupid-backoff score: (id, n_tokens, logscore_sum,
     bits_per_token). Pure JVM: explode → broadcast left joins → one
@@ -141,6 +156,22 @@ def score_lm(
     bits_per_token = −Σ log₂ S / n_tokens — the perplexity proxy to
     threshold or quantile-bucket on (lower = more reference-like).
     """
+    def _hint(k: int, tbl_df: DataFrame) -> DataFrame:
+        """Broadcast a count table only while it fits the budget: a
+        web-scale reference corpus can push the pruned 2-gram table
+        past driver/broadcast limits, in which case the join falls back
+        to a plain shuffle join (same plan otherwise, same results).
+        ``lm.sizes`` (filled by train_ngram_lm) supplies the row counts;
+        unknown sizes broadcast, matching the pre-knob behavior."""
+        rows = lm.sizes[k - 1] if len(lm.sizes) >= k else None
+        if (
+            broadcast_max_rows is not None
+            and rows is not None
+            and rows > broadcast_max_rows
+        ):
+            return tbl_df
+        return F.broadcast(tbl_df)
+
     w = _padded_words(text_col)
     base = df.select(F.col(id_col), w.alias("_w"), F.size(w).alias("_n"))
     # one row per REAL token (positions 2..n over the padded array),
@@ -164,9 +195,10 @@ def score_lm(
     # denominator is the corpus total)
     out = toks
     for k in range(1, lm.order + 1):
-        tbl = F.broadcast(
+        tbl = _hint(
+            k,
             lm.counts[k - 1].withColumnRenamed("gram", f"_g{k}")
-            .withColumnRenamed("cnt", f"_c{k}")
+            .withColumnRenamed("cnt", f"_c{k}"),
         )
         out = out.join(tbl, f"_g{k}", "left")
     for k in range(2, lm.order + 1):
@@ -174,10 +206,11 @@ def score_lm(
         ctx = F.expr(
             f"substring(_g{k}, 1, length(_g{k}) - length(_g1) - 1)"
         )
-        tbl = F.broadcast(
+        tbl = _hint(
+            k - 1,
             lm.counts[k - 2].select(
                 F.col("gram").alias(f"_x{k}"), F.col("cnt").alias(f"_d{k}")
-            )
+            ),
         )
         out = out.withColumn(f"_x{k}", ctx).join(tbl, f"_x{k}", "left")
 
