@@ -147,11 +147,12 @@ def test_q19_pushes_disjunctive_part_filter(spark, sf_dir):
 
 
 def test_catalog_staleness_rotation():
-    """catalog() must order entries by verification staleness: every entry
-    with no green CORRECTNESS row sorts before every verified entry, and
-    among verified entries older evidence sorts first — so the driver's
-    bounded gate prefix always re-verifies the least-recently-verified
-    entries (no entry's evidence can age unboundedly)."""
+    """catalog() must order entries by evidence validity then staleness
+    (r09 policy): never-verified first, then hash-demoted entries (green
+    row predates current code — no valid evidence) oldest-round first,
+    then hash-clean entries (green row still describes current code)
+    oldest-round first — so the driver's bounded gate prefix always
+    re-verifies the entries whose evidence is least valid."""
     from vectorchord_spark.queries import (
         _catalog_canonical,
         _effective_history,
@@ -163,13 +164,16 @@ def test_catalog_staleness_rotation():
     hist = _effective_history(entries)
     names = list(catalog())
     assert set(names) == set(entries), "rotation must not drop entries"
-    keys = [
-        (hist.get(n, (-1, False))[0], not hist.get(n, (-1, False))[1])
-        for n in names
-    ]
+
+    def _key(n):
+        r, demoted = hist.get(n, (-1, False))
+        cls = 0 if r < 0 else (1 if demoted else 2)
+        return (cls, r)
+
+    keys = [_key(n) for n in names]
     assert keys == sorted(keys), (
-        "entries must be ordered oldest-evidence-first, hash-demoted "
-        "before clean peers within a round"
+        "entries must be ordered never-verified, then hash-demoted "
+        "(oldest first), then hash-clean (oldest first)"
     )
     # the repo ships CORRECTNESS files, so history must be non-trivial here
     assert _verification_history(), (
@@ -219,14 +223,15 @@ def test_catalog_rotation_capacity():
         int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
         for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
     ]
-    newest = max(rounds) if rounds else 0
+    assert rounds, "no CORRECTNESS files — driver state missing"
     eff = _effective_history(_catalog_canonical())
-    # the union-coverage invariant needs every entry NOT green in the
-    # newest round inside the next gate prefix; hash-demoted fresh
-    # entries spill over gracefully (they re-queue next round), so they
-    # don't count against the hard budget
-    due = [n for n, (r, _d) in eff.items() if r <= newest - 1]
+    # r09 validity-first invariant: every entry WITHOUT valid evidence
+    # (never verified, or hash-demoted — its green row predates the
+    # current code) must fit the next gate prefix; hash-clean entries'
+    # rows stay valid regardless of age, so they spill over gracefully
+    due = [n for n, (r, d) in eff.items() if r < 0 or d]
     assert len(due) <= 50, (
-        f"{len(due)} entries due for re-verification exceed the 50-entry "
-        f"gate prefix — consolidate entries or negotiate a larger gate"
+        f"{len(due)} entries without valid evidence exceed the 50-entry "
+        f"gate prefix — consolidate entries or split the work across "
+        f"rounds"
     )

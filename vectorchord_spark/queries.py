@@ -392,31 +392,11 @@ ORDER BY revenue DESC, n_name
 """
 
 
-def _events_hourly_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _read(spark, sf_dir, "events")
-    hour = F.date_format(
-        F.date_trunc("hour", F.timestamp_micros(F.col("ts_us"))),
-        "yyyy-MM-dd HH:mm:ss",
-    )
-    return (
-        ev.groupBy(hour.alias("hour"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
-        .orderBy("hour", "event_type")
-    )
-
-
-_EVENTS_HOURLY_SQL = """
-SELECT strftime(date_trunc('hour', make_timestamp(epoch_us(ts))), '%Y-%m-%d %H:%M:%S') AS hour,
-       event_type,
-       count(*) AS n,
-       round(sum(value), 2) AS total_value
-FROM events
-GROUP BY 1, 2
-ORDER BY hour, event_type
-"""
+# r09 fold: the former `events_hourly` entry merged into `events_rollup`
+# — a ROLLUP over (hour, event_type) whose detail level IS the hourly
+# groupBy, so one entry covers both machinery surfaces (time-derivation
+# projection, count/sum aggregates, grouping sets). Freed the catalog
+# slot for `perplexity_score` (the 100-entry gate budget).
 
 
 def _sessionize_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1080,27 +1060,35 @@ ORDER BY event_type, k_bucket
 
 
 def _events_rollup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouping-sets surface: ROLLUP over (event_type, hour-of-day)."""
+    """Grouping-sets surface: ROLLUP over (hour, event_type). The
+    detail grouping set is exactly the hourly per-type aggregation (the
+    former `events_hourly` entry, folded here r09), the middle set the
+    hourly totals, the grand total the whole-table aggregate."""
     ev = _read(spark, sf_dir, "events")
-    hod = F.hour(F.timestamp_micros(F.col("ts_us"))).cast("int")
+    hour = F.date_format(
+        F.date_trunc("hour", F.timestamp_micros(F.col("ts_us"))),
+        "yyyy-MM-dd HH:mm:ss",
+    )
     return (
-        ev.withColumn("hod", hod)
-        .rollup("event_type", "hod")
+        ev.withColumn("hour", hour)
+        .rollup("hour", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
-        .orderBy("event_type", "hod")
+        .orderBy("hour", "event_type")
     )
 
 
 _EVENTS_ROLLUP_SQL = """
-SELECT event_type, hod, count(*) AS n, round(sum(value), 2) AS total_value
+SELECT hour, event_type, count(*) AS n, round(sum(value), 2) AS total_value
 FROM (
-  SELECT event_type, hour(make_timestamp(epoch_us(ts)))::INT AS hod, value FROM events
+  SELECT strftime(date_trunc('hour', make_timestamp(epoch_us(ts))), '%Y-%m-%d %H:%M:%S') AS hour,
+         event_type, value
+  FROM events
 )
-GROUP BY ROLLUP (event_type, hod)
-ORDER BY event_type, hod
+GROUP BY ROLLUP (hour, event_type)
+ORDER BY hour, event_type
 """
 
 
@@ -3805,6 +3793,76 @@ FROM scored ORDER BY doc_id
 """
 
 
+def _perplexity_score_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity scoring (stupid-backoff n-gram LM, Brants
+    et al. 2007): train an order-2 LM on the even-doc_id half of
+    `documents`, score the odd half. Both train (map-side-combined
+    exact-int gram counts) and score (explode → broadcast left joins →
+    coalesce cascade → one groupBy, zero Python) are the production
+    paths. Output is gate-stable: exact-int ``n_tokens`` plus
+    ``millibits = floor(bits_per_token·1000)`` — per-token log2 terms
+    are bit-identical across engines (same exact-int ratios, same IEEE
+    double ops); only the per-doc sum's accumulation order can differ
+    (≲1e-12), absorbed by the 1e-3 quantization."""
+    from vectorchord_spark.pipeline.ngram_lm import score_lm, train_ngram_lm
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = train_ngram_lm(docs.where(F.col("doc_id") % 2 == 0), order=2,
+                        min_count=2)
+    scored = score_lm(docs.where(F.col("doc_id") % 2 == 1), lm)
+    out = scored.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("bits_per_token") * 1000).cast("bigint").alias(
+            "millibits"
+        ),
+    ).orderBy("doc_id")
+    return out
+
+
+_PERPLEXITY_SCORE_SQL = """
+WITH bos AS (SELECT chr(2)||'s'||chr(2) AS b),
+ref AS (
+  SELECT doc_id, list_prepend((SELECT b FROM bos), string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id % 2 = 0
+),
+uni AS (
+  SELECT gram, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest(w) AS gram FROM ref) GROUP BY 1
+),
+bi AS (
+  SELECT gram, count(*)::BIGINT AS cnt FROM (
+    SELECT w[i-1] || ' ' || w[i] AS gram
+    FROM ref, unnest(generate_series(2, len(w))) AS t(i)
+  ) GROUP BY 1 HAVING count(*) >= 2
+),
+tot AS (SELECT sum(cnt)::DOUBLE AS t FROM uni WHERE gram <> (SELECT b FROM bos)),
+test AS (
+  SELECT doc_id, list_prepend((SELECT b FROM bos), string_split(text, ' ')) AS w
+  FROM documents WHERE doc_id % 2 = 1
+),
+toks AS (
+  SELECT doc_id, w[i-1] || ' ' || w[i] AS g2, w[i-1] AS ctx, w[i] AS w1
+  FROM test, unnest(generate_series(2, len(w))) AS t(i)
+),
+scored AS (
+  SELECT t.doc_id,
+         log2(coalesce(
+           bi.cnt::DOUBLE / u_ctx.cnt::DOUBLE,
+           0.4 * (u_w.cnt::DOUBLE / (SELECT t FROM tot)),
+           1e-9)) AS ls
+  FROM toks t
+  LEFT JOIN bi ON bi.gram = t.g2
+  LEFT JOIN uni u_ctx ON u_ctx.gram = t.ctx
+  LEFT JOIN uni u_w ON u_w.gram = t.w1
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       CAST(floor(-sum(ls) / count(*) * 1000) AS BIGINT) AS millibits
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def _multimodal_image_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end image pipeline through the REAL decode branch
     (`strict=True`): synthesize a solid-color PNG per document (pixel
@@ -4391,7 +4449,10 @@ def _verification_history() -> dict[str, int]:
 # green row). Entries matching no rule are pure queries.py logic — their
 # fn source + oracle SQL is the complete hash input.
 _DEP_RULES: "list[tuple[tuple[str, ...], list[str]]]" = [
-    (("ann_graph", "graph_"), ["operators/graph.py", "kernels.py"]),
+    (
+        ("ann_graph", "graph_"),
+        ["operators/graph.py", "operators/scheduling.py", "kernels.py"],
+    ),
     (
         ("maxsim",),
         ["operators/maxsim.py", "operators/ivf.py", "kernels.py"],
@@ -4442,11 +4503,18 @@ _DEP_RULES: "list[tuple[tuple[str, ...], list[str]]]" = [
         ("sparse_knn", "hash_embed", "rag_chunk", "bm25"),
         ["pipeline/sparse.py", "pipeline/text.py"],
     ),
-    (("semdedup",), ["pipeline/semdedup.py", "operators/kmeans.py"]),
+    (
+        ("semdedup",),
+        [
+            "pipeline/semdedup.py", "operators/kmeans.py",
+            "operators/scheduling.py",
+        ],
+    ),
     (
         ("quality_score",),
         ["pipeline/quality_model.py", "pipeline/sparse.py", "pipeline/text.py"],
     ),
+    (("perplexity",), ["pipeline/ngram_lm.py", "pipeline/text.py"]),
     (
         ("curate",),
         ["pipeline/curate.py", "pipeline/dedup.py", "pipeline/text.py"],
@@ -4503,13 +4571,14 @@ def _effective_history(entries: "dict[str, Q]") -> "dict[str, tuple[int, bool]]"
 
     ``demoted`` is True when the entry's content hash differs from the
     snapshot taken for its last green round — its green evidence no longer
-    describes the current code, so it re-enters the gate ahead of
-    same-round peers. Demotion is a WITHIN-round tiebreak, not a jump to
-    the front of the queue: genuinely staler rounds still gate first, so
-    the driver's bounded prefix keeps the ≤2-round union-coverage
-    invariant even when a broad module edit demotes many fresh entries at
-    once (spillover demoted entries stay demoted and lead the next
-    round)."""
+    describes the current code, so it re-enters the gate ahead of ALL
+    hash-clean entries (r09 policy: a hash-clean green row describes the
+    current code bit-for-bit regardless of age — its evidence does not
+    expire — while a demoted entry has no valid evidence at all, so
+    validity outranks recency). Within each class, staler rounds still
+    gate first; a broad module edit that demotes more entries than the
+    prefix holds spills the remainder to the next round, where they keep
+    leading (demotion is sticky until regated)."""
     hist = _verification_history()
     snaps = _load_hash_snapshots()
     out: dict[str, tuple[int, bool]] = {}
@@ -4528,22 +4597,25 @@ def _effective_history(entries: "dict[str, Q]") -> "dict[str, tuple[int, bool]]"
 def catalog() -> dict[str, Q]:
     # ORDER MATTERS: the driver's correctness gate runs a bounded prefix of
     # this dict (50 entries in r02/r03), so entries are ordered by
-    # verification STALENESS: never-verified first, then oldest green row
-    # first, hash-demoted entries ahead of clean peers within a round
-    # (ties broken by canonical position below). This is self-balancing
-    # rotation — whatever the gate prefix misses this round has the
-    # stalest evidence next round and sorts to the front, so no entry's
-    # newest green row is ever more than ~2 rounds old.
+    # evidence VALIDITY then staleness: never-verified first, then
+    # hash-demoted entries (their green row predates the current code —
+    # no valid evidence) oldest round first, then hash-clean entries
+    # (their green row still describes the current code bit-for-bit)
+    # oldest round first; ties broken by canonical position below. This
+    # is self-balancing rotation with the invariant: every entry always
+    # has a driver row that is either hash-valid for the CURRENT code or
+    # at most one gate away from being re-earned (spillover demotions
+    # stay demoted and lead the next round).
     entries = _catalog_canonical()
     hist = _effective_history(entries)
-    ordered = sorted(
-        enumerate(entries.items()),
-        key=lambda t: (
-            hist.get(t[1][0], (-1, False))[0],
-            not hist.get(t[1][0], (-1, False))[1],
-            t[0],
-        ),
-    )
+
+    def _key(t):
+        pos, (name, _q) = t
+        r, demoted = hist.get(name, (-1, False))
+        cls = 0 if r < 0 else (1 if demoted else 2)
+        return (cls, r, pos)
+
+    ordered = sorted(enumerate(entries.items()), key=_key)
     return {name: q for _, (name, q) in ordered}
 
 
@@ -4639,6 +4711,7 @@ def _catalog_canonical() -> dict[str, Q]:
         # SQL-reproducible configurations for the driver's oracle gate
         "semdedup": Q(_semdedup_fn, _SEMDEDUP_SQL),
         "quality_score": Q(_quality_score_fn, _QUALITY_SCORE_SQL),
+        "perplexity_score": Q(_perplexity_score_fn, _PERPLEXITY_SCORE_SQL),
         "multimodal_image": Q(_multimodal_image_fn, _MULTIMODAL_IMAGE_SQL),
         "multimodal_audio": Q(_multimodal_audio_fn, _MULTIMODAL_AUDIO_SQL),
         "multimodal_video": Q(_multimodal_video_fn, _MULTIMODAL_VIDEO_SQL),
@@ -4648,7 +4721,6 @@ def _catalog_canonical() -> dict[str, Q]:
         # --- temporal / streaming-twin operators ---
         "asof_join": Q(_asof_join_fn, _ASOF_JOIN_SQL, headline=True),
         "range_join_count": Q(_range_join_fn, _RANGE_JOIN_SQL),
-        "events_hourly": Q(_events_hourly_fn, _EVENTS_HOURLY_SQL),
         "events_rollup": Q(_events_rollup_fn, _EVENTS_ROLLUP_SQL),
         "events_json": Q(_events_json_fn, _EVENTS_JSON_SQL),
         "sessionize": Q(_sessionize_fn, _SESSIONIZE_SQL, headline=True),
