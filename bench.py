@@ -164,6 +164,53 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # curate is ~22% of the headline wall and a composition of six
+    # stages — a flat number would mask which stage regressed (r08
+    # verdict #5). Time cumulative configurations and report the DIFFS
+    # as per-stage wall shares in BENCH_DETAIL.curate_stages.
+    curate_stages: dict[str, float] = {}
+    try:
+        from vectorchord_spark.pipeline.curate import CurateConfig, curate
+
+        def _curate_cfg(exact: bool, near: bool) -> "CurateConfig":
+            return CurateConfig(
+                min_words=10,
+                langs=("en", "de", "fr"),
+                max_top_2gram_frac=0.2,
+                max_dup_3gram_frac=0.5,
+                min_quality=0.2,
+                exact_dedup=exact,
+                near_dedup=near,
+            )
+
+        def _time_curate(cfg: "CurateConfig") -> float:
+            from pyspark.sql import functions as _F
+
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                r = curate(docs, cfg)
+                r.kept.select(_F.col(cfg.id_col)).unionAll(
+                    r.audit.select(_F.col("id").alias(cfg.id_col))
+                ).count()
+                runs.append(time.perf_counter() - t0)
+            runs.sort()
+            return runs[len(runs) // 2]
+
+        t_rows = _time_curate(_curate_cfg(False, False))
+        t_exact = _time_curate(_curate_cfg(True, False))
+        t_full = _time_curate(_curate_cfg(True, True))
+        curate_stages = {
+            "row_filters_s": round(t_rows, 3),
+            "exact_dedup_s": round(max(t_exact - t_rows, 0.0), 3),
+            "near_dedup_s": round(max(t_full - t_exact, 0.0), 3),
+            "full_s": round(t_full, 3),
+        }
+        print(f"# curate stage shares: {curate_stages}", file=sys.stderr)
+    except Exception as e:  # stage decomposition is diagnostic-only
+        print(f"# curate stage shares skipped: {e}", file=sys.stderr)
+
     # index-build throughput on synthetic clustered data (the regime of the
     # reference's 100M-rows-in-20-min claim, README.md:37-39 → ~83k rows/s;
     # tracked per round so the vs-baseline ratio is visible). 250k x 64d by
@@ -182,6 +229,7 @@ def main() -> None:
     detail = {
         "queries_spread": spread,
         "cold_queries": cold,
+        "curate_stages": curate_stages,
         "n_warm": n_warm,
         "sf": sf,
     }
@@ -194,6 +242,7 @@ def main() -> None:
         "build_rows": build_rows,
         "build_secs": build["secs"],
         "build_rows_per_s": build["rows_per_s"],
+        "build_canary": build.get("canary_rotate_rows_per_s"),
         "sf": sf,
     }
     out.update(_vs_prev_ratios(timings, sf))
@@ -279,6 +328,30 @@ def _bench_build(spark, n_rows: int, dim: int = 64) -> dict:
         .persist()
     )
     df.count()  # materialize so the timed section is the build alone
+
+    def _canary() -> int:
+        """Single-thread rotate rows/s — the docs/SCALE.md window-quality
+        canary. The shared host's CPU allocation swings 1.5-4x between
+        minutes; a throttled in-bench build number (r08: 76.7k vs the
+        same round's 1M-point 103k+) is only interpretable next to this
+        reading (clean windows: ~65-76k at 768d, ~450k+ at 64d)."""
+        from vectorchord_spark import kernels as K
+
+        prev = K.set_blas_threads(1)
+        cm = np.random.default_rng(0).standard_normal((20000, dim)).astype(
+            np.float32
+        )
+        best = min(
+            (lambda t0: (K.rotate(cm), time.perf_counter() - t0)[1])(
+                time.perf_counter()
+            )
+            for _ in range(3)
+        )
+        if prev is not None and prev > 1:
+            K.set_blas_threads(prev)
+        return int(20000 / best)
+
+    canary_before = _canary()
     path = tempfile.mkdtemp(prefix="vc_bench_build_") + "/idx"
     n_lists = max(16, int(n_rows**0.5))
     t0 = time.perf_counter()
@@ -288,13 +361,19 @@ def _bench_build(spark, n_rows: int, dim: int = 64) -> dict:
                    sampling_factor=64),
     )
     secs = time.perf_counter() - t0
+    canary_after = _canary()
     df.unpersist()
     print(
         f"# build: {n_rows} rows x {dim}d, lists=[{n_lists}] in {secs:.1f}s "
-        f"({n_rows / secs:,.0f} rows/s)",
+        f"({n_rows / secs:,.0f} rows/s) canary {canary_before}/{canary_after} "
+        f"rotate-rows/s",
         file=sys.stderr,
     )
-    return {"secs": round(secs, 3), "rows_per_s": round(n_rows / secs, 1)}
+    return {
+        "secs": round(secs, 3),
+        "rows_per_s": round(n_rows / secs, 1),
+        "canary_rotate_rows_per_s": [canary_before, canary_after],
+    }
 
 
 if __name__ == "__main__":

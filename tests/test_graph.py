@@ -172,10 +172,11 @@ def test_graph_shard_routing(spark, vec_df):
         got = [r.id for r in res.collect()]
         recall = len(set(got) & set(exact)) / 10.0
         assert recall >= 0.9, f"routed recall {recall}"
-        # IO assertion: both graph scans (traversal + rescore) are pruned
-        # on `shard` (filter strings split on commas, so count mentions)
+        # IO assertion: the single graph scan (the shard task emits
+        # fold-exact distances, so there is no second rescore scan since
+        # r09) is partition-pruned on `shard`
         parts = P.partition_filters(res)
-        assert sum("shard" in p for p in parts) >= 2, parts
+        assert sum("shard" in p for p in parts) >= 1, parts
 
 
 def test_graph_quantized_traversal_payload(spark, vec_df):
@@ -250,7 +251,10 @@ def test_graph_insert_delete_compact(spark, vec_df):
         # edges from connectivity repair may exceed m by a handful)
         import pandas as pd
 
-        deg = pd.read_parquet(idx.graph_path)["neighbors"].map(len)
+        # neighbors are packed int32 bytes (4 bytes per edge)
+        deg = pd.read_parquet(idx.graph_path)["neighbors"].map(
+            lambda b: len(b) // 4
+        )
         assert deg.max() <= 24 + 8
         assert deg.mean() <= 24
 

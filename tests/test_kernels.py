@@ -31,11 +31,21 @@ def test_rotate_roundtrip_and_norm(d):
 
 
 def test_rotate_batch_matches_single():
+    """Batch and single-row rotation agree to float32 round-off, and each
+    call shape is exactly deterministic. Bit-equality ACROSS batch sizes
+    is not asserted: the FHT's 32-wide GEMM blocks go through BLAS, and
+    BLAS may legally pick different FMA microkernels for different m
+    (observed on this host: m=5 vs m=1 differ by ≤1 ulp). Codes built
+    from rotations are distance ESTIMATES, so ulp-level m-dependence is
+    harmless; what correctness needs is per-shape determinism."""
     rng = np.random.default_rng(0)
     mat = rng.normal(size=(5, 37)).astype(np.float32)
     rot = K.rotate(mat)
+    np.testing.assert_array_equal(rot, K.rotate(mat))  # deterministic
     for i in range(5):
-        np.testing.assert_array_equal(rot[i], K.rotate(mat[i]))
+        single = K.rotate(mat[i])
+        np.testing.assert_array_equal(single, K.rotate(mat[i]))
+        np.testing.assert_allclose(rot[i], single, rtol=1e-5, atol=1e-6)
 
 
 def test_bit_code_metadata():

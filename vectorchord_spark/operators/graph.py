@@ -65,12 +65,69 @@ from vectorchord_spark.operators.scheduling import (
     spark_int_hash as _spark_int_hash,
 )
 
+# Packed-binary vertex payload (r09): `vec` is the row's raw
+# little-endian f32 bytes and `neighbors` the raw little-endian int32
+# edge list — the same fixed-stride binary layout as the IVF
+# CODES_SCHEMA (operators/ivf.py:57-66), which measured ~1.67x faster
+# through Arrow/parquet than list<float> columns. The reference
+# likewise stores vertices as packed quantized payloads, not float
+# lists (/root/reference/crates/vchordg/src/insert.rs:34-120).
 GRAPH_SCHEMA = (
     "shard int, id long, row_no int, medoid_row int, is_primary boolean, "
-    "neighbors array<int>, "
-    "vec array<float>, dis_u_2 float, factor_cnt float, factor_ip float, "
+    "neighbors binary, "
+    "vec binary, dis_u_2 float, factor_cnt float, factor_ip float, "
     "factor_err float, ext_dis_u_2 float, ext_nol float, code binary"
 )
+
+
+def _f32_matrix(col, dim: int) -> np.ndarray:
+    """(n, dim) f32 matrix from a pandas column of packed little-endian
+    f32 row bytes (one join + one frombuffer — no per-row array
+    conversion)."""
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, dim), np.float32)
+    return np.frombuffer(b"".join(col), "<f4").reshape(n, dim)
+
+
+def _f32_row_bytes(mat: np.ndarray) -> list:
+    """Per-row packed f32 bytes of a (n, dim) matrix (the GRAPH_SCHEMA
+    ``vec`` payload)."""
+    buf = np.ascontiguousarray(mat, "<f4").tobytes()
+    stride = mat.shape[1] * 4 if mat.ndim == 2 else 0
+    return [buf[i * stride : (i + 1) * stride] for i in range(len(mat))]
+
+
+def _adj_from_bin(col) -> "list[list[int]]":
+    """Adjacency lists from a pandas column of packed little-endian
+    int32 edge bytes."""
+    return [np.frombuffer(b, "<i4").tolist() for b in col]
+
+
+def _adj_to_bin(adj) -> list:
+    """Packed int32 edge bytes per adjacency list (order-preserving)."""
+    return [np.asarray(a, np.int32).tobytes() for a in adj]
+
+
+def _output_dist_leftfold(metric: str, v64: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Output-surface distances with STRICT left-fold accumulation —
+    bit-identical to the JVM column fold the former rescore join used
+    (functions/distances.py: aggregate over zip_with starting at 0.0)
+    and to the DuckDB oracles' left-chained SQL. ``cumsum`` is
+    sequential by definition, so ((0+a0)+a1)+... is reproduced exactly;
+    every element op (f32→f64 widening, subtract, square, sqrt) is the
+    same IEEE double op both engines execute. Emitting these from the
+    shard task makes the search answer-identical to the former
+    rescore-join plan while removing its second graph scan."""
+    if len(v64) == 0:
+        return np.zeros(0, np.float64)
+    if metric == "l2":
+        d = v64 - q
+        return np.sqrt((d * d).cumsum(axis=1)[:, -1])
+    s = (v64 * q).cumsum(axis=1)[:, -1]
+    if metric == "dot":
+        return -s
+    return 1.0 - s  # cos: stored vectors are normalized; 1 + (-dot)
 
 #: columns needed by traversal: quantized code columns for frontier
 #: scoring + ``vec`` for the reference's exact-rescore-on-pop (the
@@ -877,7 +934,7 @@ def _make_assign_fn(bc_cents, metric: str, repl: int, eps: float):
             else:
                 thresh = (1.0 + eps) ** 2 * np.maximum(d_min, 0.0)
             ids = pdf["id"].to_numpy(np.int64)
-            vecs = list(mat)
+            vecs = _f32_row_bytes(mat)
             out_id, out_vec, out_shard, out_prim = [], [], [], []
             for r in range(repl):
                 s = order[:, r]
@@ -1082,7 +1139,7 @@ class VamanaIndex(QuerySampling):
 
         assigned = src.mapInPandas(
             _make_assign_fn(bc_cents, metric, repl, eps),
-            "id long, vec array<float>, shard int, is_primary boolean",
+            "id long, vec binary, shard int, is_primary boolean",
         )
 
         # --- deterministic subsharding of oversized clusters: k-means
@@ -1146,7 +1203,7 @@ class VamanaIndex(QuerySampling):
             _w0 = _t.perf_counter()
             o = VamanaOptions(**{**opts_d, "n_shards": n_shards})
             shard = int(pdf["shard"].iloc[0])
-            vecs = np.stack([np.asarray(v, np.float32) for v in pdf["vec"]])
+            vecs = _f32_matrix(pdf["vec"], dim)
             _w1 = _t.perf_counter()
             rng = np.random.default_rng(seed + shard)
             adj, medoid = _build_graph(vecs, o, rng)
@@ -1159,8 +1216,10 @@ class VamanaIndex(QuerySampling):
                     "row_no": np.arange(n, dtype=np.int32),
                     "medoid_row": np.full(n, medoid, np.int32),
                     "is_primary": pdf["is_primary"].to_numpy(bool),
-                    "neighbors": [np.asarray(a, np.int32) for a in adj],
-                    "vec": list(vecs),
+                    "neighbors": _adj_to_bin(adj),
+                    # input vec bytes pass through unchanged (already
+                    # the packed f32 payload)
+                    "vec": pdf["vec"].to_numpy(),
                     **_vertex_codes(vecs, bits),
                 }
             )
@@ -1340,6 +1399,7 @@ class VamanaIndex(QuerySampling):
         }
         metric = meta["metric"]
         bits = int(meta.get("bits", 1))
+        dim = int(meta["dim"])
         # NULL vectors are skipped (reference null.fail / issue_427 contract)
         src = df.where(F.col(vec_col).isNotNull()).select(
             F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
@@ -1352,7 +1412,7 @@ class VamanaIndex(QuerySampling):
         repl = min(int(meta["replication"]), n_clusters)
         assigned = src.mapInPandas(
             _make_assign_fn(bc_cents, metric, repl, float(meta["closure_epsilon"])),
-            "id long, vec array<float>, shard int, is_primary boolean",
+            "id long, vec binary, shard int, is_primary boolean",
         )
         subs = meta.get("cluster_subshards")
         if subs and any(int(n) > 1 for _, n in subs):
@@ -1392,7 +1452,7 @@ class VamanaIndex(QuerySampling):
             F.lit(-1).cast("int").alias("row_no"),
             F.lit(-1).cast("int").alias("medoid_row"),
             "is_primary",
-            F.lit(None).cast("array<int>").alias("neighbors"),
+            F.lit(None).cast("binary").alias("neighbors"),
             "vec",
             *[
                 F.lit(None).cast("float").alias(c)
@@ -1411,7 +1471,7 @@ class VamanaIndex(QuerySampling):
             olds = grp[~grp["_new"]].sort_values("row_no")
             news = grp[grp["_new"]].sort_values("id")
             new_vecs = (
-                np.stack([np.asarray(v, np.float32) for v in news["vec"]])
+                _f32_matrix(news["vec"], dim)
                 if len(news)
                 else np.zeros((0, 1), np.float32)
             )
@@ -1427,14 +1487,14 @@ class VamanaIndex(QuerySampling):
                         "row_no": np.arange(n, dtype=np.int32),
                         "medoid_row": np.full(n, medoid, np.int32),
                         "is_primary": news["is_primary"].to_numpy(bool),
-                        "neighbors": [np.asarray(a, np.int32) for a in adj],
-                        "vec": list(new_vecs),
+                        "neighbors": _adj_to_bin(adj),
+                        "vec": news["vec"].to_numpy(),
                         **_vertex_codes(new_vecs, bits),
                     }
                 )
-            old_vecs = np.stack([np.asarray(v, np.float32) for v in olds["vec"]])
+            old_vecs = _f32_matrix(olds["vec"], dim)
             v64 = np.concatenate([old_vecs, new_vecs]).astype(np.float64)
-            adj = [list(np.asarray(a, np.int64)) for a in olds["neighbors"]]
+            adj = [np.frombuffer(b, "<i4").tolist() for b in olds["neighbors"]]
             medoid = int(olds["medoid_row"].iloc[0])
             internal = "l2" if o.metric == "l2" else "dot"
             alphas = o.alpha if internal == "l2" else [1.0]
@@ -1477,8 +1537,8 @@ class VamanaIndex(QuerySampling):
                             news["is_primary"].to_numpy(bool),
                         ]
                     ),
-                    "neighbors": [np.asarray(a, np.int32) for a in adj],
-                    "vec": list(all_vecs),
+                    "neighbors": _adj_to_bin(adj),
+                    "vec": _f32_row_bytes(all_vecs),
                     **_vertex_codes(all_vecs, bits),
                 }
             )
@@ -1527,12 +1587,13 @@ class VamanaIndex(QuerySampling):
                 )
             }
             bits = int(self.meta.get("bits", 1))
+            dim = int(self.meta["dim"])
 
             def rebuild_shard(pdf: pd.DataFrame) -> pd.DataFrame:
                 o = VamanaOptions(**opts_d)
                 shard = int(pdf["shard"].iloc[0])
                 pdf = pdf.sort_values("id")
-                vecs = np.stack([np.asarray(v, np.float32) for v in pdf["vec"]])
+                vecs = _f32_matrix(pdf["vec"], dim)
                 rng = np.random.default_rng(o.seed + shard)
                 adj, medoid = _build_graph(vecs, o, rng)
                 n = len(vecs)
@@ -1543,8 +1604,8 @@ class VamanaIndex(QuerySampling):
                         "row_no": np.arange(n, dtype=np.int32),
                         "medoid_row": np.full(n, medoid, np.int32),
                         "is_primary": pdf["is_primary"].to_numpy(bool),
-                        "neighbors": [np.asarray(a, np.int32) for a in adj],
-                        "vec": list(vecs),
+                        "neighbors": _adj_to_bin(adj),
+                        "vec": pdf["vec"].to_numpy(),
                         **_vertex_codes(vecs, bits),
                     }
                 )
@@ -1633,12 +1694,14 @@ class VamanaIndex(QuerySampling):
     def _graph_base(self) -> DataFrame:
         """The graph table as one ANALYZED lazy DataFrame, cached per graph
         version (same rationale as IvfIndex._codes_base: spark.read.parquet
-        pays a driver→JVM file listing per call, and every search builds
-        two graph scans — traverse + rescore — so uncached reads added
-        ~0.2-0.4s of plan-construction wall per serving call). DML bumps
+        pays a driver→JVM file listing per call, so uncached reads added
+        ~0.2-0.4s of plan-construction wall per serving call; since r09
+        a search builds ONE graph scan — the shard task emits fold-exact
+        distances, so the former rescore scan is gone). DML bumps
         graph_version (insert/compact) or is invalidated explicitly
         (delete appends tombstones without a version bump, but tombstones
-        join in _rescore_src, not here — still keyed for safety)."""
+        anti-join the search RESULT, not this scan — still keyed for
+        safety)."""
         key = self.meta.get("graph_version", 0)
         cached = getattr(self, "_graph_base_cache", None)
         if cached is not None and cached[0] == key:
@@ -1667,23 +1730,6 @@ class VamanaIndex(QuerySampling):
         if len(shards) < self.meta["n_shards"]:
             df = df.where(F.col("shard").isin(shards))
         return df.select(*cols)
-
-    def _rescore_src(self, shards: list[int]) -> DataFrame:
-        # replicas carry the same (id, vec), so the rescore join may see an
-        # id twice; the caller dedupes on (id, dist) — identical rows —
-        # after computing distances (cheap: candidate sets are tiny).
-        # Tombstoned ids stay in the graph as traversal waypoints (the
-        # reference nulls the payload but keeps the vertex until vacuum,
-        # crates/vchordg analogue of bulkdelete) — they are filtered from
-        # the RESULT here, not from the traversal.
-        df = self._graph_base()
-        if len(shards) < self.meta["n_shards"]:
-            df = df.where(F.col("shard").isin(shards))
-        df = df.select("id", "vec")
-        tomb = self._tombstones_df()
-        if tomb is not None:
-            df = df.join(F.broadcast(tomb), "id", "left_anti")
-        return df
 
     def search(
         self,
@@ -1731,36 +1777,39 @@ class VamanaIndex(QuerySampling):
             # a shard split across input partitions when a file exceeds
             # maxPartitionBytes, corrupting positional row_no indexing)
             grp = grp.sort_values("row_no")
-            adj = [list(np.asarray(a, np.int64)) for a in grp["neighbors"]]
+            adj = _adj_from_bin(grp["neighbors"])
             medoid = int(grp["medoid_row"].iloc[0])
             est_fn = _make_dist_fn(metric, bits, grp, dim, q_rot)
-            v64 = np.stack([np.asarray(v, np.float64) for v in grp["vec"]])
+            v64 = _f32_matrix(grp["vec"], dim).astype(np.float64)
             qx = np.asarray(q_exact, np.float64)
             exact_fn = lambda idx: _dists(internal, v64[idx], qx)  # noqa: E731
             best = _beam_search(est_fn, adj, medoid, ef, exact_fn)
             ids = grp["id"].to_numpy(np.int64)
-            return pd.DataFrame({"id": ids[[u for _, u in best]]})
+            sel = np.asarray([u for _, u in best], np.int64)
+            # output distances are computed here with the JVM-fold-exact
+            # accumulation (the candidates' exact vectors are already in
+            # memory), replacing the former rescore join and its second
+            # graph scan
+            return pd.DataFrame(
+                {
+                    "id": ids[sel],
+                    "dist": _output_dist_leftfold(metric, v64[sel], qx),
+                }
+            )
 
         cand = (
             self._traverse_src(shards)
             .groupBy("shard")
-            .applyInPandas(shard_search, "id long")
+            .applyInPandas(shard_search, "id long, dist double")
         )
-        qv = D.vec_lit([float(x) for x in q_exact])
-        if metric == "l2":
-            dist = D.l2("vec", qv)
-        elif metric == "dot":
-            dist = D.ip("vec", qv)
-        else:
-            dist = F.lit(1.0) + D.ip("vec", qv)
-        return (
-            self._rescore_src(shards)
-            .join(F.broadcast(cand.distinct()), "id")
-            .select("id", dist.alias("dist"))
-            .distinct()  # replica rows are exact duplicates
-            .orderBy("dist", "id")
-            .limit(int(k))
-        )
+        # tombstoned ids are filtered from the RESULT, not the traversal
+        # (the reference keeps the vertex as a waypoint until vacuum);
+        # replica candidates are exact-duplicate (id, dist) rows —
+        # identical bytes in, identical fold out — so distinct dedupes
+        tomb = self._tombstones_df()
+        if tomb is not None:
+            cand = cand.join(F.broadcast(tomb), "id", "left_anti")
+        return cand.distinct().orderBy("dist", "id").limit(int(k))
 
     def search_batch(
         self,
@@ -1809,45 +1858,43 @@ class VamanaIndex(QuerySampling):
         def shard_search(grp: pd.DataFrame) -> pd.DataFrame:
             grp = grp.sort_values("row_no")
             shard = int(grp["shard"].iloc[0])
-            adj = [list(np.asarray(a, np.int64)) for a in grp["neighbors"]]
+            adj = _adj_from_bin(grp["neighbors"])
             medoid = int(grp["medoid_row"].iloc[0])
             ids = grp["id"].to_numpy(np.int64)
-            v64 = np.stack([np.asarray(v, np.float64) for v in grp["vec"]])
-            out_qid, out_id = [], []
+            v64 = _f32_matrix(grp["vec"], dim).astype(np.float64)
+            out_qid, out_id, out_dist = [], [], []
             for qi in sq.get(shard, []):
                 est_fn = _make_dist_fn(metric, bits, grp, dim, Q_rot[qi])
                 qx = Qe[qi]
                 exact_fn = lambda idx: _dists(internal, v64[idx], qx)  # noqa: B023,E731
                 best = _beam_search(est_fn, adj, medoid, ef, exact_fn)
-                out_qid.append(np.full(len(best), qi, np.int32))
-                out_id.append(ids[[u for _, u in best]])
+                sel = np.asarray([u for _, u in best], np.int64)
+                out_qid.append(np.full(len(sel), qi, np.int32))
+                out_id.append(ids[sel])
+                out_dist.append(_output_dist_leftfold(metric, v64[sel], qx))
             if not out_qid:
-                return pd.DataFrame({"qid": [], "id": []}).astype(
-                    {"qid": np.int32, "id": np.int64}
+                return pd.DataFrame({"qid": [], "id": [], "dist": []}).astype(
+                    {"qid": np.int32, "id": np.int64, "dist": np.float64}
                 )
             return pd.DataFrame(
-                {"qid": np.concatenate(out_qid), "id": np.concatenate(out_id)}
+                {
+                    "qid": np.concatenate(out_qid),
+                    "id": np.concatenate(out_id),
+                    "dist": np.concatenate(out_dist),
+                }
             )
 
         cand = (
             self._traverse_src(shards)
             .groupBy("shard")
-            .applyInPandas(shard_search, "qid int, id long")
+            .applyInPandas(shard_search, "qid int, id long, dist double")
         )
-        q_arr = F.array(*[D.vec_lit([float(x) for x in Qe[qi]]) for qi in range(nq)])
-        qv = F.element_at(q_arr, F.col("qid") + 1)
-        if metric == "l2":
-            dist = D.l2("vec", qv)
-        elif metric == "dot":
-            dist = D.ip("vec", qv)
-        else:
-            dist = F.lit(1.0) + D.ip("vec", qv)
+        tomb = self._tombstones_df()
+        if tomb is not None:
+            cand = cand.join(F.broadcast(tomb), "id", "left_anti")
         w = Window.partitionBy("qid").orderBy("dist", "id")
         return (
-            self._rescore_src(shards)
-            .join(F.broadcast(cand.distinct()), "id")
-            .select("qid", "id", dist.alias("dist"))
-            .distinct()  # replica rows are exact duplicates
+            cand.distinct()  # replica rows are exact duplicates
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .orderBy("qid", "rank")
