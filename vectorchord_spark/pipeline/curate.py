@@ -236,6 +236,11 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
         survivors = ranked.where(F.col(idc) == F.col("_keep_id")).drop(
             "_keep_id"
         )
+        if cfg.near_dedup:
+            # stage 6 consumes this frame three times (LSH pairs, the
+            # quality ranking, the final anti-join) — without a persist
+            # each consumer re-runs the md5 window shuffle above
+            survivors = survivors.persist()
 
     # ---- stage 6: near dedup (LSH pairs -> components -> keep best) ----
     if cfg.near_dedup:
