@@ -63,6 +63,10 @@ CODES_SCHEMA = (
 )
 SCORE_SCHEMA = "id long, cluster_id int, lb double, rough double"
 
+#: Parquet row-group target for the codes table — the probed scan's
+#: pruning granularity (see _write_codes). Env override for A/B runs.
+_CODES_BLOCK_BYTES = int(os.environ.get("VC_CODES_BLOCK_BYTES", 8 << 20))
+
 
 def _binary_fp_matrix(rb, col_name: str, dim: int, fp_dtype: str) -> "np.ndarray":
     """(n, dim) float64 matrix from an Arrow record batch's binary column
@@ -895,6 +899,17 @@ class IvfIndex(QuerySampling):
             # A/B at 1M x 768d on tmpfs measured encode 34.5s vs 25.5s —
             # snappy's CPU is cheaper than the extra bytes even on a
             # 2+ GB/s destination, and cheaper still on real disks
+            #
+            # row-group size: the pruning granularity of the probed scan.
+            # With the parquet default (128 MB) a 10M x 64d build packs
+            # each 44 MB output file into ONE row group, so the pushed
+            # ``cluster_id IN`` min-max pruning cannot skip anything and
+            # a 64-probe search read ~the whole 2.8 GB codes table
+            # (measured r09: 3.5-16s/query). 8 MB row groups restore
+            # cluster-run-granularity pruning (a probed cluster touches
+            # ~1 row group) at negligible full-scan/footer cost; indexes
+            # smaller than one block are unaffected.
+            .option("parquet.block.size", _CODES_BLOCK_BYTES)
             .parquet(self.codes_path)
         )
 
