@@ -243,6 +243,7 @@ def main() -> None:
         "build_secs": build["secs"],
         "build_rows_per_s": build["rows_per_s"],
         "build_canary": build.get("canary_rotate_rows_per_s"),
+        "parallel_scale_24t": build.get("parallel_scale_24t"),
         "sf": sf,
     }
     out.update(_vs_prev_ratios(timings, sf))
@@ -351,7 +352,37 @@ def _bench_build(spark, n_rows: int, dim: int = 64) -> dict:
             K.set_blas_threads(prev)
         return int(20000 / best)
 
+    def _parallel_scale(c1: int) -> float:
+        """24-thread aggregate rotate rate over the single-thread rate —
+        the parallel-capacity canary (clean host ≈ 18-22x; r09 measured
+        0.3x during a sustained hypervisor throttle that the
+        single-thread canary read as 'clean'). Interpret every wall in
+        this JSON against this number."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from vectorchord_spark import kernels as K
+
+        prev = K.set_blas_threads(1)
+        cm = np.random.default_rng(0).standard_normal((20000, dim)).astype(
+            np.float32
+        )
+
+        def work(_):
+            t0 = time.perf_counter()
+            n = 0
+            while time.perf_counter() - t0 < 1.0:
+                K.rotate(cm)
+                n += 20000
+            return n / (time.perf_counter() - t0)
+
+        with ThreadPoolExecutor(24) as ex:
+            agg = sum(ex.map(work, range(24)))
+        if prev is not None and prev > 1:
+            K.set_blas_threads(prev)
+        return round(agg / max(c1, 1), 1)
+
     canary_before = _canary()
+    parallel_scale = _parallel_scale(canary_before)
     path = tempfile.mkdtemp(prefix="vc_bench_build_") + "/idx"
     n_lists = max(16, int(n_rows**0.5))
     t0 = time.perf_counter()
@@ -373,6 +404,7 @@ def _bench_build(spark, n_rows: int, dim: int = 64) -> dict:
         "secs": round(secs, 3),
         "rows_per_s": round(n_rows / secs, 1),
         "canary_rotate_rows_per_s": [canary_before, canary_after],
+        "parallel_scale_24t": parallel_scale,
     }
 
 
