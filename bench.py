@@ -91,11 +91,31 @@ def main() -> None:
             )
         return score_lm(docs, lm)
 
+    _dsir_cache = {}
+
+    def _dsir_bench(spark, sf_dir):
+        from vectorchord_spark.pipeline.dsir import fit_dsir, resample_dsir
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        model = _dsir_cache.get(sf_dir)
+        if model is None:
+            # model fit once (like the LM/index builds); the per-round
+            # timing tracks the JVM score+resample pass
+            model = _dsir_cache[sf_dir] = fit_dsir(
+                docs.where("doc_id % 10 = 0"),
+                docs.where("doc_id % 10 <> 0"),
+                dim=1 << 16,
+            )
+        return resample_dsir(
+            docs, model, frac=0.25, temperature=1.0, seed=11
+        )
+
     headline |= {
         "semdedup": SimpleNamespace(fn=_semdedup_bench),
         "quality_learned": SimpleNamespace(fn=_quality_learned_bench),
         "curate": SimpleNamespace(fn=_curate_bench),
         "perplexity_lm": SimpleNamespace(fn=_perplexity_lm_bench),
+        "dsir_resample": SimpleNamespace(fn=_dsir_bench),
     }
     # SPARK_GRAFT_BENCH_LAST: comma-separated entry names moved to the END
     # of the run order. Default knn_batch_ivf: an alternating first/last A/B
