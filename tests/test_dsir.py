@@ -30,7 +30,7 @@ def _py_features(text: str, dim: int, bigrams: bool = True) -> dict:
 
 
 def _py_logw(text: str, model: dict) -> float:
-    lw = np.rint(model["lw"] * DS._LW_SCALE).astype(np.int64)
+    lw = DS._quantize_lw(model["lw"])
     feats = _py_features(text, model["dim"], model["bigrams"])
     return sum(c * int(lw[b]) for b, c in feats.items()) / DS._LW_SCALE
 

@@ -48,6 +48,15 @@ from vectorchord_spark.pipeline.quality_model import quality_features
 _LW_SCALE = 1_000_000
 
 
+def _quantize_lw(lw: np.ndarray) -> np.ndarray:
+    """int64 milli-nat weights, rounded HALF AWAY FROM ZERO — the SQL
+    ``round()`` rule, so an oracle recomputing the weights from the same
+    integer counts lands on identical int64s (np.rint's half-to-even
+    would differ exactly at .5 boundaries)."""
+    x = lw * _LW_SCALE
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
 def fit_dsir(
     target_df: DataFrame,
     raw_df: DataFrame,
@@ -107,7 +116,7 @@ def score_dsir(
     one groupBy; ``logw`` = int-exact milli-nat sum rescaled to f64.
     """
     spark = df.sparkSession
-    lw_q = np.rint(model["lw"] * _LW_SCALE).astype(np.int64)
+    lw_q = _quantize_lw(model["lw"])
     wtab = F.broadcast(
         spark.createDataFrame(
             [(int(b), int(w)) for b, w in enumerate(lw_q) if w != 0],

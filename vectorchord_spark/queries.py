@@ -1622,17 +1622,13 @@ ORDER BY ida, idb
 """
 
 
-def _dedup_groups_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup *clusters*: connected components over the near-dup pair graph
-    (iterative DataFrame min-label propagation; the oracle re-derives the
-    same components with a recursive transitive-closure CTE)."""
-    from vectorchord_spark.pipeline.dedup import connected_components
-
-    pairs = _dedup_ngram_fn(spark, sf_dir).select("ida", "idb")
-    return connected_components(pairs).orderBy("id")
-
-
-def _dedup_groups_sql() -> str:
+# r09 fold: the former `dedup_groups` entry merged into
+# `dedup_keep_best` — keep_best already computes the components (its
+# first stage IS dedup_groups), so one entry now emits EVERY node's
+# (component, keeper, is_dup) row: the full clusters output plus the
+# survivor choice. Freed the catalog slot for `dsir_select` (the
+# 100-entry gate budget).
+def _dedup_groups_sql_inner() -> str:
     return f"""
 WITH RECURSIVE base AS ({_DEDUP_NGRAM_SQL.replace("ORDER BY ida, idb", "")}),
 edges AS (
@@ -1646,15 +1642,19 @@ reach(id, r) AS (
   UNION
   SELECT x.id, e.b FROM reach x JOIN edges e ON e.a = x.r
 )
-SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id
+SELECT id, min(r) AS component FROM reach GROUP BY id
 """
 
 
 def _dedup_keep_best_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus dedup flow (what a user actually runs):
-    near-dup pairs → connected components → keep the highest-quality doc
-    per duplicate cluster, emit the removal list (doc, its cluster, the
-    keeper that shadows it). Composes three already-hash-gated pieces
+    near-dup pairs → connected components (iterative DataFrame min-label
+    propagation; the oracle re-derives them with a recursive
+    transitive-closure CTE) → keep the highest-quality doc per duplicate
+    cluster. Emits EVERY clustered node's row (doc, its cluster, the
+    cluster's keeper, dup flag) — the cluster assignment surface (the
+    former `dedup_groups` entry, folded here r09) and the survivor
+    choice in one result. Composes three already-hash-gated pieces
     (ngram pairs, components, bit-exact quality score), so the float
     ranking in the keeper window matches the oracle exactly."""
     from pyspark.sql import Window
@@ -1678,17 +1678,20 @@ def _dedup_keep_best_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("kcomp"), F.col("id").alias("keeper_id")
     )
     return (
-        ranked.where(F.col("rn") > 1)
-        .join(keepers, F.col("component") == F.col("kcomp"))
-        .select(F.col("id").alias("doc_id"), "component", "keeper_id")
+        ranked.join(keepers, F.col("component") == F.col("kcomp"))
+        .select(
+            F.col("id").alias("doc_id"),
+            "component",
+            "keeper_id",
+            (F.col("rn") > 1).cast("int").alias("is_dup"),
+        )
         .orderBy("doc_id")
     )
 
 
 def _dedup_keep_best_sql() -> str:
-    groups = _dedup_groups_sql().replace("ORDER BY id", "")
     return f"""
-WITH comp AS ({groups}),
+WITH comp AS ({_dedup_groups_sql_inner()}),
 q AS (
   SELECT doc_id AS id,
          (least(len(string_split(text, ' '))::DOUBLE / 100.0, 1.0)
@@ -1700,10 +1703,10 @@ ranked AS (
          row_number() OVER (PARTITION BY c.component
                             ORDER BY q.quality DESC, c.id) AS rn
   FROM comp c JOIN q ON q.id = c.id)
-SELECT r.id AS doc_id, r.component, k.id AS keeper_id
+SELECT r.id AS doc_id, r.component, k.id AS keeper_id,
+       (CASE WHEN r.rn > 1 THEN 1 ELSE 0 END) AS is_dup
 FROM ranked r
 JOIN ranked k ON k.component = r.component AND k.rn = 1
-WHERE r.rn > 1
 ORDER BY doc_id
 """
 
@@ -3863,6 +3866,98 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def _dsir_select_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): fit
+    target (even-decade doc_ids) vs raw hashed-n-gram models at the
+    SQL-reproducible dim=1024, importance-score every document (exact
+    int64 milli-nat accumulation over md5-hashed unigram+bigram counts —
+    the quality_score hashing family), and Gumbel-top-100 resample with
+    deterministic md5-seeded keys. Output is all-integer (doc_id,
+    n_terms, milli), so the gate pins BOTH the weight model and the
+    resampling identity; the oracle replays fit+score+resample in SQL."""
+    from vectorchord_spark.pipeline.dsir import (
+        _LW_SCALE,
+        fit_dsir,
+        resample_dsir,
+        score_dsir,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    model = fit_dsir(
+        docs.where(F.col("doc_id") % 10 == 0),
+        docs.where(F.col("doc_id") % 10 != 0),
+        dim=1024,
+        bigrams=True,
+        alpha=1.0,
+    )
+    picked = resample_dsir(docs, model, n=100, temperature=1.0, seed=7)
+    scored = score_dsir(docs, model)
+    return (
+        picked.select("doc_id")
+        .join(scored, "doc_id")
+        .select(
+            "doc_id",
+            "n_terms",
+            # logw = milli/1e6; (m/1e6)*1e6 can land 1 ulp below the
+            # integer, so ROUND (not cast-truncate) recovers the int64
+            F.round(F.col("logw") * float(_LW_SCALE)).cast("bigint").alias(
+                "milli"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DSIR_SELECT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, (doc_id % 10 = 0) AS is_target, unnest(tk) AS w FROM (
+    SELECT doc_id,
+           list_concat(
+             string_split(text, ' '),
+             CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+               list_transform(generate_series(1, len(string_split(text,' '))-1),
+                 i -> string_split(text,' ')[i] || '_' || string_split(text,' ')[i+1])
+             ELSE [] END
+           ) AS tk
+    FROM documents)
+),
+h AS (
+  SELECT doc_id, is_target,
+         (('0x' || substr(md5('hb|' || w), 1, 6))::BIGINT % 1024) AS bucket
+  FROM toks
+),
+tcnt AS (SELECT bucket, count(*)::BIGINT AS c FROM h WHERE is_target GROUP BY 1),
+rcnt AS (SELECT bucket, count(*)::BIGINT AS c FROM h WHERE NOT is_target GROUP BY 1),
+ttot AS (SELECT count(*)::BIGINT AS t FROM h WHERE is_target),
+rtot AS (SELECT count(*)::BIGINT AS t FROM h WHERE NOT is_target),
+lw AS (
+  SELECT g.b AS bucket,
+         round((ln(coalesce(tc.c, 0) + 1.0) - ln((SELECT t FROM ttot) + 1024.0)
+              - ln(coalesce(rc.c, 0) + 1.0) + ln((SELECT t FROM rtot) + 1024.0))
+               * 1000000.0)::BIGINT AS w
+  FROM (SELECT unnest(generate_series(0, 1023)) AS b) g
+  LEFT JOIN tcnt tc ON tc.bucket = g.b
+  LEFT JOIN rcnt rc ON rc.bucket = g.b
+),
+scored AS (
+  SELECT h.doc_id, count(*)::BIGINT AS n_terms, sum(lw.w)::BIGINT AS milli
+  FROM h JOIN lw ON lw.bucket = h.bucket
+  GROUP BY h.doc_id
+),
+keyed AS (
+  SELECT doc_id, n_terms, milli,
+         milli::DOUBLE / 1000000.0
+         - ln(-ln((('0x' || substr(md5(doc_id::VARCHAR || '|7'), 1, 12))::BIGINT + 1.0)
+                  / (power(16, 12) + 2.0))) AS key
+  FROM scored
+),
+sel AS (
+  SELECT doc_id, n_terms, milli FROM keyed ORDER BY key DESC, doc_id LIMIT 100
+)
+SELECT doc_id, n_terms, milli FROM sel ORDER BY doc_id
+"""
+
+
 def _multimodal_image_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end image pipeline through the REAL decode branch
     (`strict=True`): synthesize a solid-color PNG per document (pixel
@@ -4516,6 +4611,13 @@ _DEP_RULES: "list[tuple[tuple[str, ...], list[str]]]" = [
     ),
     (("perplexity",), ["pipeline/ngram_lm.py", "pipeline/text.py"]),
     (
+        ("dsir",),
+        [
+            "pipeline/dsir.py", "pipeline/quality_model.py",
+            "pipeline/sparse.py", "pipeline/text.py",
+        ],
+    ),
+    (
         ("curate",),
         ["pipeline/curate.py", "pipeline/dedup.py", "pipeline/text.py"],
     ),
@@ -4657,7 +4759,6 @@ def _catalog_canonical() -> dict[str, Q]:
         ),
         "streaming_knn_serve": Q(_streaming_knn_serve_fn, _knn_batch_sql()),
         "embed_neardup_lsh": Q(_embed_neardup_lsh_fn, _embed_neardup_lsh_sql(), headline=True),
-        "dedup_groups": Q(_dedup_groups_fn, _dedup_groups_sql()),
         "dedup_keep_best": Q(_dedup_keep_best_fn, _dedup_keep_best_sql()),
         # --- vector/ANN operator surface (§2) ---
         "knn_l2": Q(_knn_fn("l2"), _knn_sql("l2"), headline=True),
@@ -4712,6 +4813,7 @@ def _catalog_canonical() -> dict[str, Q]:
         "semdedup": Q(_semdedup_fn, _SEMDEDUP_SQL),
         "quality_score": Q(_quality_score_fn, _QUALITY_SCORE_SQL),
         "perplexity_score": Q(_perplexity_score_fn, _PERPLEXITY_SCORE_SQL),
+        "dsir_select": Q(_dsir_select_fn, _DSIR_SELECT_SQL),
         "multimodal_image": Q(_multimodal_image_fn, _MULTIMODAL_IMAGE_SQL),
         "multimodal_audio": Q(_multimodal_audio_fn, _MULTIMODAL_AUDIO_SQL),
         "multimodal_video": Q(_multimodal_video_fn, _MULTIMODAL_VIDEO_SQL),
