@@ -267,6 +267,18 @@ def main() -> None:
         "sf": sf,
     }
     out.update(_vs_prev_ratios(timings, sf))
+    # a throttled window must never silently become the round's committed
+    # number (r09: a 0.3x-parallel session shipped a 1.04 "flat" ratio that
+    # a clean window later measured at 0.927). Clean hosts read ~18-22x;
+    # below 5x every wall/ratio in this JSON is window-bound, so say so in
+    # the headline itself.
+    pscale = build.get("parallel_scale_24t")
+    if pscale is not None and pscale < 5:
+        out["window_throttled"] = True
+        out["window_note"] = (
+            f"parallel_scale_24t={pscale} (<5; clean~18-22): walls and "
+            "common_vs_prev_ratio are throttle-bound, not code-bound"
+        )
     line = json.dumps(out)
     if len(line) > 1800:  # hard backstop: never lose the parse again
         out.pop("queries", None)

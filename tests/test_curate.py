@@ -180,3 +180,47 @@ def test_row_filter_stages_are_one_jvm_pass(spark, docs):
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
                    "FlatMapGroupsInPandas"):
         assert marker not in plan, marker
+
+
+def test_second_curate_releases_previous_cache(spark, docs):
+    """Bounded cache: a new curate() call unpersists the previous call's
+    survivor frames; the registry never grows past one call's worth."""
+    from vectorchord_spark.pipeline import curate as CU
+
+    r1 = curate(docs, CurateConfig(min_words=5))
+    first = list(CU._PERSISTED)
+    assert first and all(f.storageLevel.useMemory for f in first)
+    n1 = r1.kept.count()
+    # distinct config — an identical plan would re-enter the CacheManager
+    # under the same key and mask the release
+    r2 = curate(docs, CurateConfig(min_words=6))
+    assert all(not f.storageLevel.useMemory for f in first)
+    assert len(CU._PERSISTED) <= 2  # at most the latest call's two frames
+    # the evicted result still evaluates correctly via recompute
+    assert r1.kept.count() == n1
+
+
+def test_dsir_selection_stage(spark, docs):
+    """Optional stage 8: DSIR keeps the n most target-like survivors,
+    drops land in audit as stage='dsir', and kept ∪ audit still
+    partitions the input exactly."""
+    from vectorchord_spark.pipeline.dsir import fit_dsir
+
+    model = fit_dsir(
+        docs.where(F.col("doc_id") % 10 == 0),
+        docs.where(F.col("doc_id") % 10 != 0),
+        dim=1 << 10,
+    )
+    cfg = CurateConfig(min_words=5, near_dedup=False, dsir_model=model,
+                       dsir_n=25, dsir_seed=3)
+    res = curate(docs, cfg)
+    kept_ids = {r[0] for r in res.kept.select("doc_id").collect()}
+    assert len(kept_ids) == 25
+    audit = res.audit.collect()
+    dsir_rows = [r for r in audit if r["stage"] == "dsir"]
+    assert dsir_rows and all(r["detail"] is not None for r in dsir_rows)
+    all_ids = {r[0] for r in docs.select("doc_id").collect()}
+    audit_ids = {r["id"] for r in audit}
+    assert kept_ids | audit_ids == all_ids
+    assert not (kept_ids & audit_ids)
+    assert sorted(res.kept.columns) == sorted(docs.columns)

@@ -112,7 +112,35 @@ def test_resample_frac_threshold_path(spark, corpora):
     picked = DS.resample_dsir(r_df, model, frac=0.25, temperature=0.5, seed=7)
     cnt = picked.count()
     assert 10 <= cnt <= 30  # ≈ 20 of 80, to approxQuantile precision
+    # the frac path keeps at most ONE scored frame cached across calls
+    assert len(DS._PERSISTED) <= 1
     with pytest.raises(ValueError, match="exactly one"):
         DS.resample_dsir(r_df, model)
     with pytest.raises(ValueError, match="exactly one"):
         DS.resample_dsir(r_df, model, n=5, frac=0.5)
+
+
+def test_resample_carries_score_columns(spark, corpora):
+    """The selected rows arrive with (n_terms, logw) attached, so a
+    consumer never needs a second score_dsir pass over the corpus."""
+    t_df, r_df, _t, r_rows = corpora
+    model = DS.fit_dsir(t_df, r_df, dim=1 << 10)
+    picked = DS.resample_dsir(r_df, model, n=5, seed=1)
+    assert {"doc_id", "text", "n_terms", "logw", "_dsir_key"} <= set(
+        picked.columns
+    )
+    for row in picked.collect():
+        assert row["logw"] == pytest.approx(
+            _py_logw(r_rows[row["doc_id"]], model), abs=1e-9
+        )
+
+
+def test_resample_frac_empty_input(spark, corpora):
+    """approxQuantile returns [] on an empty frame; the frac path must
+    yield an empty selection, not IndexError."""
+    t_df, r_df, _t, _r = corpora
+    model = DS.fit_dsir(t_df, r_df, dim=1 << 10)
+    empty = r_df.where(F.lit(False))
+    out = DS.resample_dsir(empty, model, frac=0.5, seed=2)
+    assert out.count() == 0
+    assert {"doc_id", "n_terms", "logw"} <= set(out.columns)

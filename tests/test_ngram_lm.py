@@ -228,3 +228,22 @@ def test_score_shuffle_join_fallback_parity(spark, ref_corpus):
         assert "BroadcastHashJoin" in hinted
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_train_releases_previous_lm_cache(spark, ref_corpus):
+    """Bounded cache: training a second LM unpersists the first's count
+    tables (long-lived sessions must not accumulate cached partitions);
+    the first LM still scores correctly via recompute."""
+    # distinct corpora — identical plans would re-enter the CacheManager
+    # under the same key and mask the release
+    lm1 = LM.train_ngram_lm(ref_corpus.where(F.col("doc_id") % 2 == 0),
+                            order=2, min_count=2)
+    assert all(t.storageLevel.useMemory for t in lm1.counts)
+    lm2 = LM.train_ngram_lm(ref_corpus.where(F.col("doc_id") % 2 == 1),
+                            order=2, min_count=2)
+    assert all(not t.storageLevel.useMemory for t in lm1.counts)
+    assert all(t.storageLevel.useMemory for t in lm2.counts)
+    # the evicted LM still works (recompute path)
+    got = LM.score_lm(ref_corpus.limit(5), lm1).collect()
+    assert len(got) == 5 and all(r["bits_per_token"] > 0 for r in got)
+    lm2.unpersist()

@@ -14,6 +14,11 @@ first so the expensive dedup shuffles see the smallest corpus):
 6. **near_dup**    — MinHash-LSH pairs → connected components → keep the
                      highest-quality doc per duplicate cluster
 7. **contaminated**— n-gram-overlap decontamination vs a benchmark frame
+8. **dsir** (optional, off by default) — DSIR importance selection
+   (`pipeline/dsir.py`) keeping the n/frac most target-like survivors;
+   last because selection applies to the CLEANED corpus (filter, then
+   select — the paper's order), and off by default because it is a
+   corpus-level selector, not a per-row quality judgment
 
 Every dropped row lands in the **audit** frame as (id, stage, detail) —
 the provenance real curation runs must keep (what was removed and why).
@@ -68,6 +73,18 @@ class CurateConfig:
     benchmark: DataFrame | None = None
     decontaminate_n: int = 3
     decontaminate_min_overlap: int = 1
+    # stage 8 (optional, OFF by default): DSIR target-distribution
+    # selection (pipeline/dsir.py) over the surviving corpus. Off by
+    # default because selection is a corpus-level act (keep the n/frac
+    # most target-like docs), not a per-row quality judgment like stages
+    # 1-7 — enabling it changes the output size by fiat, not by content.
+    # When on, it runs LAST so the importance weights are fit/applied on
+    # the cleaned corpus (the paper's own order: filter, then select).
+    dsir_model: dict | None = None
+    dsir_n: int | None = None
+    dsir_frac: float | None = None
+    dsir_temperature: float = 1.0
+    dsir_seed: int = 0
 
 
 @dataclass
@@ -92,9 +109,18 @@ class CurateResult:
         return self._stats
 
 
+#: bounded cache registry: only the latest curate() call keeps its
+#: survivor frames persisted — a new call releases the previous call's
+#: (its kept/audit frames stay correct, they just recompute if re-read),
+#: so long-lived sessions don't accumulate cached partitions run over run
+_PERSISTED: "list[DataFrame]" = []
+
+
 def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
     cfg = config or CurateConfig()
     idc, txt = cfg.id_col, cfg.text_col
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
 
     from vectorchord_spark.pipeline.text import (
         detect_language,
@@ -215,6 +241,7 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
         survivors = survivors.join(bad.select(idc), idc, "left_anti")
 
     survivors = survivors.persist()
+    _PERSISTED.append(survivors)
 
     # ---- stage 5: exact dedup (keep min id per content hash) ----
     if cfg.exact_dedup:
@@ -241,6 +268,7 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
             # quality ranking, the final anti-join) — without a persist
             # each consumer re-runs the md5 window shuffle above
             survivors = survivors.persist()
+            _PERSISTED.append(survivors)
 
     # ---- stage 6: near dedup (LSH pairs -> components -> keep best) ----
     if cfg.near_dedup:
@@ -306,6 +334,30 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
             )
         )
         survivors = survivors.join(hits.select(idc), idc, "left_anti")
+
+    # ---- stage 8 (optional): DSIR importance selection ----
+    if cfg.dsir_model is not None:
+        from vectorchord_spark.pipeline.dsir import resample_dsir
+
+        flagged = resample_dsir(
+            survivors, cfg.dsir_model,
+            n=cfg.dsir_n, frac=cfg.dsir_frac,
+            temperature=cfg.dsir_temperature, seed=cfg.dsir_seed,
+            text_col=txt, id_col=idc, return_all=True,
+        )
+        dropped = flagged.where(~F.col("_dsir_selected"))
+        audits.append(
+            dropped.select(
+                F.col(idc).alias("id"),
+                F.lit("dsir").alias("stage"),
+                F.coalesce(
+                    F.round("logw", 4).cast("string"), F.lit("unscored")
+                ).alias("detail"),
+            )
+        )
+        survivors = flagged.where(F.col("_dsir_selected")).drop(
+            "n_terms", "logw", "_dsir_key", "_dsir_selected"
+        )
 
     audit = audits[0]
     for a in audits[1:]:

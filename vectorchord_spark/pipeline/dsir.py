@@ -47,6 +47,11 @@ from vectorchord_spark.pipeline.quality_model import quality_features
 #: any meaningful weight difference
 _LW_SCALE = 1_000_000
 
+#: bounded cache registry for resample_dsir's frac path — holds at most
+#: the latest persisted scored frame so long-lived sessions (gate rounds,
+#: bench loops) don't accumulate cached partitions call over call
+_PERSISTED: "list[DataFrame]" = []
+
 
 def _quantize_lw(lw: np.ndarray) -> np.ndarray:
     """int64 milli-nat weights, rounded HALF AWAY FROM ZERO — the SQL
@@ -153,6 +158,7 @@ def resample_dsir(
     seed: int = 0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    return_all: bool = False,
 ) -> DataFrame:
     """Importance-resample without replacement via Gumbel-top-k.
 
@@ -163,8 +169,20 @@ def resample_dsir(
     instead computes a key threshold with one ``approxQuantile`` pass
     and filters — no global sort, the 100 TB path (the returned count is
     then approximate to quantile precision, per the paper's own
-    tolerance). Returns the selected rows of ``df`` with ``logw`` and
-    the sampling key attached.
+    tolerance; an empty input yields an empty selection rather than an
+    error). Returns the selected rows of ``df`` with ``n_terms``,
+    ``logw`` and the sampling key attached.
+
+    ``return_all=True`` instead returns EVERY row of ``df`` with a
+    boolean ``_dsir_selected`` flag (plus the score columns, null for
+    rows the scorer never saw, e.g. token-less docs) — the shape an
+    auditing pipeline (curate stage) needs to record why each row was
+    dropped without a second scoring pass.
+
+    The ``frac`` path persists the scored frame between the quantile
+    action and the filter; at most ONE such frame stays cached per
+    session (a new call releases the previous call's — the prior result
+    stays correct, it just recomputes if re-read).
     """
     if (n is None) == (frac is None):
         raise ValueError("pass exactly one of n / frac")
@@ -182,14 +200,47 @@ def resample_dsir(
     keyed = scored.withColumn(
         "_dsir_key", F.col("logw") / F.lit(float(temperature)) + gumbel
     )
+    sel_flag = None
     if n is not None:
         picked = keyed.orderBy(F.desc("_dsir_key"), id_col).limit(int(n))
+        if return_all:
+            sel_flag = keyed.join(
+                picked.select(id_col).withColumn("_dsir_selected",
+                                                 F.lit(True)),
+                id_col, "left",
+            ).withColumn(
+                "_dsir_selected",
+                F.coalesce(F.col("_dsir_selected"), F.lit(False)),
+            )
     else:
         # the quantile action and the final filter both consume the
-        # scored frame — persist so the feature groupBy runs once
+        # scored frame — persist so the feature groupBy runs once; keep
+        # at most one outstanding cached frame across calls
+        while _PERSISTED:
+            _PERSISTED.pop().unpersist()
         keyed = keyed.persist()
-        thr = keyed.approxQuantile("_dsir_key", [1.0 - float(frac)], 1e-4)[0]
-        picked = keyed.where(F.col("_dsir_key") >= thr)
+        qs = keyed.approxQuantile("_dsir_key", [1.0 - float(frac)], 1e-4)
+        if not qs:  # approxQuantile returns [] on an all-null/empty frame
+            keyed.unpersist()
+            picked = keyed.where(F.lit(False))
+            cond = F.lit(False)
+        else:
+            _PERSISTED.append(keyed)
+            cond = F.col("_dsir_key") >= qs[0]
+            picked = keyed.where(cond)
+        if return_all:
+            sel_flag = keyed.withColumn("_dsir_selected", cond)
+    if return_all:
+        # LEFT join: a row the scorer never produced (token-less doc →
+        # no posting rows) still comes back, flagged unselected
+        return df.join(
+            sel_flag.select(id_col, "n_terms", "logw", "_dsir_key",
+                            "_dsir_selected"),
+            id_col, "left",
+        ).withColumn(
+            "_dsir_selected",
+            F.coalesce(F.col("_dsir_selected"), F.lit(False)),
+        )
     return df.join(
-        picked.select(id_col, "logw", "_dsir_key"), id_col
+        picked.select(id_col, "n_terms", "logw", "_dsir_key"), id_col
     )

@@ -50,6 +50,12 @@ _ALPHA = 0.4
 #: running text, not sentence ends)
 _BOS = "\x02s\x02"
 
+#: bounded cache registry: at most the most recently trained LM keeps
+#: its count tables persisted, so long-lived sessions (gate rounds,
+#: bench loops) don't accumulate cached partitions train over train. An
+#: earlier LM stays usable — its tables just recompute when read.
+_PERSISTED_LM: "list[NgramLM]" = []
+
 
 @dataclass
 class NgramLM:
@@ -101,6 +107,8 @@ def train_ngram_lm(
     fall through to the floor score in score_lm)."""
     if order < 1:
         raise ValueError(f"order must be >= 1, got {order}")
+    while _PERSISTED_LM:  # bounded cache: release the previous LM's tables
+        _PERSISTED_LM.pop().unpersist()
     w = _padded_words(text_col)
     base = df.select(w.alias("_w"), F.size(w).alias("_n"))
     counts: list[DataFrame] = []
@@ -136,6 +144,7 @@ def train_ngram_lm(
     lm = NgramLM(order=order, counts=counts, total_unigrams=int(total),
                  min_count=min_count)
     lm.sizes = [int(t.count()) for t in counts]
+    _PERSISTED_LM.append(lm)
     return lm
 
 

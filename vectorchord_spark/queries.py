@@ -3879,7 +3879,6 @@ def _dsir_select_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         _LW_SCALE,
         fit_dsir,
         resample_dsir,
-        score_dsir,
     )
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
@@ -3890,12 +3889,11 @@ def _dsir_select_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigrams=True,
         alpha=1.0,
     )
+    # resample_dsir carries (n_terms, logw) with every selected row, so
+    # the hashed-feature scan + broadcast weight join run exactly once
     picked = resample_dsir(docs, model, n=100, temperature=1.0, seed=7)
-    scored = score_dsir(docs, model)
     return (
-        picked.select("doc_id")
-        .join(scored, "doc_id")
-        .select(
+        picked.select(
             "doc_id",
             "n_terms",
             # logw = milli/1e6; (m/1e6)*1e6 can land 1 ulp below the
