@@ -20,6 +20,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
@@ -32,8 +33,16 @@ def main() -> None:
     if not names:
         sys.exit("usage: profile_query.py <entry> [entry...]")
 
+    from window_probe import probe  # same dir; sys.path set below
+
     spark = get_spark(app_name="vc-query-profile")
     spark.sparkContext.setLogLevel("ERROR")
+    p = probe()
+    print(
+        f"window: solo={p['solo_rotate_rows_per_s']:,} "
+        f"parallel_scale_24t={p['parallel_scale_24t']} (clean ~18-22)",
+        flush=True,
+    )
     cat = catalog()
     serving = serving_overrides()
     unknown = [x for x in names if x not in cat]
@@ -56,6 +65,12 @@ def main() -> None:
             + f"  min={min(times):.3f} median={statistics.median(times):.3f}",
             flush=True,
         )
+    p = probe()
+    print(
+        f"window(end): solo={p['solo_rotate_rows_per_s']:,} "
+        f"parallel_scale_24t={p['parallel_scale_24t']}",
+        flush=True,
+    )
     spark.stop()
 
 

@@ -39,11 +39,32 @@ def _cleanup_tmpdir(path: str) -> None:
         atexit.register(shutil.rmtree, root, ignore_errors=True)
 
 
+def _window() -> str:
+    """One-line window-quality stamp (solo canary + 24-thread parallel
+    scale — tools/window_probe.py). Printed before AND after every
+    experiment so each SCALE.md number carries the canary it ran under
+    (r09: a solo canary alone cannot certify a window)."""
+    import os as _os
+
+    sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from window_probe import probe
+
+    p = probe()
+    return (
+        f"window: solo={p['solo_rotate_rows_per_s']:,} rotate-rows/s, "
+        f"parallel_scale_24t={p['parallel_scale_24t']} (clean ~18-22)"
+    )
+
+
 def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_rows = int(pos[0]) if pos else 1_000_000
     dim = 64
     n_lists = max(16, int(np.sqrt(n_rows)))
+    print("start " + _window())
+    import atexit
+
+    atexit.register(lambda: print("end   " + _window()))
 
     from pyspark.sql import functions as F
 
