@@ -79,6 +79,7 @@ def main() -> None:
 
     root = tempfile.mkdtemp(prefix="vc_graph_audit_")
     gpath = root + "/gidx"
+    print(f"index path: {gpath}", flush=True)
     t0 = time.perf_counter()
     gidx = VamanaIndex.build(spark, df, "id", "vec", gpath)
     build_s = time.perf_counter() - t0
@@ -154,14 +155,18 @@ def main() -> None:
     print(f"routed search latency (5 warm): median {lat[2]:.2f}s "
           f"min {lat[0]:.2f}s max {lat[-1]:.2f}s", flush=True)
 
-    hits = 0
-    for q in queries:
-        got = {r.id for r in
-               gidx.search(q, k=10, probe_shards=probes).collect()}
-        exact = {r.id for r in knn_exact(df, "id", "vec", q, k=10).collect()}
-        hits += len(got & exact)
-    print(f"recall@10 over {len(queries)} queries at probes={probes}: "
-          f"{hits / (10.0 * len(queries)):.3f}", flush=True)
+    exacts = [
+        {r.id for r in knn_exact(df, "id", "vec", q, k=10).collect()}
+        for q in queries
+    ]
+    for pr in sorted({probes, probes * 2}):
+        hits = 0
+        for q, exact in zip(queries, exacts):
+            got = {r.id for r in
+                   gidx.search(q, k=10, probe_shards=pr).collect()}
+            hits += len(got & exact)
+        print(f"recall@10 over {len(queries)} queries at probes={pr}: "
+              f"{hits / (10.0 * len(queries)):.3f}", flush=True)
 
     pe = probe()
     print(f"end window: solo={pe['solo_rotate_rows_per_s']:,} "

@@ -212,9 +212,10 @@ def main() -> None:
         # ef is the knob that must grow with SHARD size (deeper in-shard
         # beams), probes with SHARD COUNT; measured at 1M rows / 84 shards:
         # ef=64 caps at 0.835 while ef=256 reaches 1.000 at the same 3
-        # probes. ef=None is the AUTO default (max probed shard rows /
-        # 100, floored at 64) — the configuration a user gets without
-        # tuning, which must land ≥ 0.95 here.
+        # probes. ef=None is the AUTO default (ceil(max probed shard rows
+        # / 50), floored at 64 — the 10M audit moved the divisor from 100
+        # to 50) — the configuration a user gets without tuning, which
+        # must land ≥ 0.95 here.
         for probes, ef in ((3, 64), (6, 64), (3, 256), (3, None)):
             hits = 0
             for gq, ex in zip(queries, exact):

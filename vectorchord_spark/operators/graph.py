@@ -1652,16 +1652,23 @@ class VamanaIndex(QuerySampling):
         The reference's fixed ``ef_search=64`` default assumes one global
         graph; under cluster sharding the beam explores each probed shard
         independently, and a fixed 64 caps recall at 0.835 on the 1M-row
-        scale point (docs/SCALE.md) where shards hold ~24k vertices. The
-        builder's measured guidance is ef ≳ shard_rows/100 (ef=256
-        restores recall 1.000 there), so the default is computed from the
-        LARGEST probed shard, floored at the reference's 64. Explicitly
-        passed ``ef_search`` values are never overridden."""
+        scale point (docs/SCALE.md) where shards hold ~24k vertices.
+        Measured guidance across two scale points: at 1M, ef=256 ≈
+        rows/94 restores recall 1.000; at 10M (~19k-row shards, 10× the
+        candidate density, so the 1-bit traversal estimates discriminate
+        less between near-identical candidates) rows/100 = 191 lands
+        0.905 while rows/50 = 384 restores ≥0.95 with a ~1.3× in-shard
+        cost (docs/SCALE.md r10). The default therefore uses
+        ceil(rows/50) of the LARGEST probed shard, floored at the
+        reference's 64 — recall-first, since an explicitly passed
+        ``ef_search`` (never overridden) is the latency-first path and
+        `tools/tune_probes.py --graph` finds the cheapest setting for a
+        recall target from recorded queries."""
         rows = self.meta.get("shard_rows")
         if rows is None:  # index built before shard_rows existed
             rows = self._record_shard_rows()
         mx = max((int(rows.get(str(s), 0)) for s in shards), default=0)
-        return max(self._EF_SEARCH_FLOOR, int(k), -(-mx // 100))
+        return max(self._EF_SEARCH_FLOOR, int(k), -(-mx // 50))
 
     def _expand_shards(self, clusters: list[int]) -> list[int]:
         """Cluster ids → physical shard ids (a cluster subsharded at
