@@ -224,3 +224,24 @@ def test_dsir_selection_stage(spark, docs):
     assert kept_ids | audit_ids == all_ids
     assert not (kept_ids & audit_ids)
     assert sorted(res.kept.columns) == sorted(docs.columns)
+
+
+def test_dsir_frac_stage_partitions_input(spark, docs):
+    """Stage 8 with the frac (quantile-threshold) path also keeps the
+    kept ∪ audit partition exact — including rows the scorer never saw."""
+    from vectorchord_spark.pipeline.dsir import fit_dsir
+
+    model = fit_dsir(
+        docs.where(F.col("doc_id") % 10 == 0),
+        docs.where(F.col("doc_id") % 10 != 0),
+        dim=1 << 10,
+    )
+    res = curate(docs, CurateConfig(min_words=5, near_dedup=False,
+                                    dsir_model=model, dsir_frac=0.3,
+                                    dsir_seed=5))
+    kept_ids = {r[0] for r in res.kept.select("doc_id").collect()}
+    audit_ids = {r["id"] for r in res.audit.collect()}
+    all_ids = {r[0] for r in docs.select("doc_id").collect()}
+    assert kept_ids | audit_ids == all_ids
+    assert not (kept_ids & audit_ids)
+    assert 0 < len(kept_ids) < len(all_ids)
