@@ -3,7 +3,12 @@ default one-call pipeline with planted failures for every stage (short
 docs, repetitive docs, exact + near duplicates), reporting total rows/s
 and per-stage drop shares from the audit frame.
 
-Usage: ROWS=1000000 python tools/profile_curate.py
+FULL=1 additionally turns EVERY optional stage on — a learned quality
+model (trained on a labeled sample), a CCNet perplexity LM (trained on
+the clean slice), and DSIR final selection (target = a planted
+head-vocabulary slice) — the complete 8-stage composition end-to-end.
+
+Usage: ROWS=1000000 [FULL=1] python tools/profile_curate.py
 """
 
 from __future__ import annotations
@@ -76,6 +81,33 @@ def main() -> None:
 
     cfg = CurateConfig(min_words=10, max_top_2gram_frac=0.2,
                        max_dup_3gram_frac=0.5, min_quality=None)
+    if os.environ.get("FULL") == "1":
+        from pyspark.sql import functions as F
+
+        from vectorchord_spark.pipeline.dsir import fit_dsir
+        from vectorchord_spark.pipeline.ngram_lm import train_ngram_lm
+        from vectorchord_spark.pipeline.quality_model import (
+            train_quality_classifier,
+        )
+
+        t0 = time.perf_counter()
+        normal = docs.where(F.col("doc_id") % 20 > 3)
+        labeled = docs.limit(40_000).withColumn(
+            "label", (F.col("doc_id") % 20 > 3).cast("int")
+        )
+        qm = train_quality_classifier(labeled, "label", dim=1 << 16,
+                                      sample_cap=20_000, epochs=3)
+        lm = train_ngram_lm(normal.limit(100_000), order=2, min_count=2)
+        dm = fit_dsir(normal.where(F.col("doc_id") % 40 == 5),
+                      normal, dim=1 << 14)
+        print(f"FULL prep (quality model + LM + DSIR fit): "
+              f"{time.perf_counter() - t0:.1f}s")
+        cfg = CurateConfig(
+            min_words=10, max_top_2gram_frac=0.2, max_dup_3gram_frac=0.5,
+            min_quality=None, quality_model=qm, min_logit=-20.0,
+            ngram_lm=lm, max_bits_per_token=20.0,
+            dsir_model=dm, dsir_frac=0.5,
+        )
     t0 = time.perf_counter()
     res = curate(docs, cfg)
     kept = res.kept.count()
