@@ -195,7 +195,8 @@ def test_second_curate_releases_previous_cache(spark, docs):
     # under the same key and mask the release
     r2 = curate(docs, CurateConfig(min_words=6))
     assert all(not f.storageLevel.useMemory for f in first)
-    assert len(CU._PERSISTED) <= 2  # at most the latest call's two frames
+    # the registry holds only the LATEST call's frames (no accumulation)
+    assert len(CU._PERSISTED) == len(first)
     # the evicted result still evaluates correctly via recompute
     assert r1.kept.count() == n1
 

@@ -193,12 +193,28 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
     flagged = docs.withColumn("_stage", fail_stage).withColumn(
         "_detail", fail_detail
     )
+    def _pin(frame: DataFrame) -> DataFrame:
+        """Persist a NARROW per-stage drop frame: every one is consumed
+        twice — the kept path's anti-join AND the audit union — and for
+        the score-backed stages (learned quality, perplexity, DSIR,
+        near-dup pairs) recomputing it means re-running the whole score
+        pass over the stage's input. Measured at 1M docs with all stages
+        on: reading kept then audit cost 277.7s + 257.1s before this —
+        the audit consumer re-ran ~the entire pipeline. Registered in
+        the bounded `_PERSISTED` registry like the survivor frames."""
+        frame = frame.persist()
+        _PERSISTED.append(frame)
+        return frame
+
     audits = [
-        flagged.where(F.col("_stage").isNotNull()).select(
+        # pinned: re-reading the audit otherwise re-runs the full
+        # row-filter projection (incl. the repetition_stats self-join)
+        # over the raw corpus on every audit action
+        _pin(flagged.where(F.col("_stage").isNotNull()).select(
             F.col(idc).alias("id"),
             F.col("_stage").alias("stage"),
             F.col("_detail").alias("detail"),
-        )
+        ))
     ]
     survivors = flagged.where(F.col("_stage").isNull()).drop(
         "_stage", "_detail", *rep_cols
@@ -211,7 +227,8 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
         scores = score_quality(
             survivors, cfg.quality_model, text_col=txt, id_col=idc
         )
-        bad = scores.where(F.col("logit") < cfg.min_logit)
+        bad = _pin(scores.where(F.col("logit") < cfg.min_logit)
+                   .select(idc, "logit"))
         audits.append(
             bad.select(
                 F.col(idc).alias("id"),
@@ -230,7 +247,8 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
         from vectorchord_spark.pipeline.ngram_lm import score_lm
 
         bits = score_lm(survivors, cfg.ngram_lm, text_col=txt, id_col=idc)
-        bad = bits.where(F.col("bits_per_token") > cfg.max_bits_per_token)
+        bad = _pin(bits.where(F.col("bits_per_token") > cfg.max_bits_per_token)
+                   .select(idc, "bits_per_token"))
         audits.append(
             bad.select(
                 F.col(idc).alias("id"),
@@ -252,13 +270,13 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
         )
         dropped = ranked.where(F.col(idc) != F.col("_keep_id"))
         audits.append(
-            dropped.select(
+            _pin(dropped.select(
                 F.col(idc).alias("id"),
                 F.lit("exact_dup").alias("stage"),
                 F.concat(
                     F.lit("keeper="), F.col("_keep_id").cast("string")
                 ).alias("detail"),
-            )
+            ))
         )
         survivors = ranked.where(F.col(idc) == F.col("_keep_id")).drop(
             "_keep_id"
@@ -298,7 +316,7 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
         keepers = ranked.where(F.col("_rn") == 1).select(
             F.col("component").alias("_kc"), F.col("id").alias("_kid")
         )
-        losers = (
+        losers = _pin(
             ranked.where(F.col("_rn") > 1)
             .join(keepers, F.col("component") == F.col("_kc"))
             .select(
@@ -318,14 +336,14 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
     if cfg.benchmark is not None:
         from vectorchord_spark.pipeline.dedup import contamination
 
-        hits = contamination(
+        hits = _pin(contamination(
             survivors,
             cfg.benchmark,
             idc,
             txt,
             cfg.decontaminate_n,
             cfg.decontaminate_min_overlap,
-        )
+        ))
         audits.append(
             hits.select(
                 F.col(idc).alias("id"),
@@ -345,9 +363,12 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
             temperature=cfg.dsir_temperature, seed=cfg.dsir_seed,
             text_col=txt, id_col=idc, return_all=True,
         )
-        dropped = flagged.where(~F.col("_dsir_selected"))
+        # pin only the narrow (id, logw, flag) projection: the scoring
+        # pass runs once, and BOTH consumers (kept's semi-join, the
+        # audit's drop rows) read the cached selection
+        sel = _pin(flagged.select(idc, "logw", "_dsir_selected"))
         audits.append(
-            dropped.select(
+            sel.where(~F.col("_dsir_selected")).select(
                 F.col(idc).alias("id"),
                 F.lit("dsir").alias("stage"),
                 F.coalesce(
@@ -355,8 +376,8 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
                 ).alias("detail"),
             )
         )
-        survivors = flagged.where(F.col("_dsir_selected")).drop(
-            "n_terms", "logw", "_dsir_key", "_dsir_selected"
+        survivors = survivors.join(
+            sel.where(F.col("_dsir_selected")).select(idc), idc, "left_semi"
         )
 
     audit = audits[0]
