@@ -193,6 +193,7 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
     flagged = docs.withColumn("_stage", fail_stage).withColumn(
         "_detail", fail_detail
     )
+
     def _pin(frame: DataFrame) -> DataFrame:
         """Persist a NARROW per-stage drop frame: every one is consumed
         twice — the kept path's anti-join AND the audit union — and for
