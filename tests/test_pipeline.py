@@ -1118,3 +1118,97 @@ def test_normalize_text(spark):
         ).alias("n")
     ).first()
     assert raw.n == "Hello, World! It is 2024."  # only whitespace collapsed
+
+
+# ---------------------------------------------------------------------------
+# LSH band-bucket cap (capped_band_pairs): the 100 TB skew guard
+# ---------------------------------------------------------------------------
+
+
+def test_capped_minhash_planted_megabucket_linear(spark, caplog):
+    """A planted near-dup clique far over the bucket cap must emit a
+    LINEAR spanning star (m-1 pairs), not the quadratic clique, must log
+    the over-cap warning (no silent caps), and must keep the whole clique
+    one connected component."""
+    import logging
+
+    n = 1000
+    rows = [(i, "the same boilerplate page content repeated verbatim") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with caplog.at_level(logging.WARNING, logger="vectorchord_spark.pipeline.dedup"):
+        pairs = dedup.minhash_lsh_pairs(df, max_bucket=64).collect()
+    assert len(pairs) == n - 1  # star to the bucket-min, once per pair
+    assert all(r.ida == 0 and r.idb > 0 for r in pairs)
+    assert any(
+        "over max_bucket=64" in rec.getMessage() for rec in caplog.records
+    )
+    comp = dedup.connected_components(
+        spark.createDataFrame([(r.ida, r.idb) for r in pairs], "ida long, idb long")
+    )
+    assert comp.select("component").distinct().count() == 1
+    assert comp.count() == n
+
+
+def test_capped_minhash_identical_below_cap(docs):
+    """With no bucket over the cap, capped output == uncapped output
+    (the cap is pure skew protection, not a semantics change)."""
+    capped = {
+        (r.ida, r.idb) for r in dedup.minhash_lsh_pairs(docs, max_bucket=64).collect()
+    }
+    uncapped = {
+        (r.ida, r.idb)
+        for r in dedup.minhash_lsh_pairs(docs, max_bucket=None).collect()
+    }
+    assert capped == uncapped
+
+
+def test_capped_embedding_lsh_planted_megabucket(spark, caplog):
+    """500 identical embeddings collide in every LSH table; the cap emits
+    the star, and exact-cosine verification keeps every star edge
+    (sim = 1.0), so the component survives intact."""
+    import logging
+
+    n = 500
+    vec = [float(x) for x in np.linspace(0.1, 1.0, 16)]
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(n)], "vec_id long, embedding array<float>"
+    )
+    with caplog.at_level(logging.WARNING, logger="vectorchord_spark.pipeline.dedup"):
+        got = dedup.embedding_lsh_pairs(
+            df, dim=16, n_planes=4, n_tables=2, threshold=0.99, max_bucket=32
+        ).collect()
+    assert len(got) == n - 1
+    assert all(r.ida == 0 and abs(r.sim - 1.0) < 1e-9 for r in got)
+    assert any(
+        "embedding_lsh_pairs" in rec.getMessage() for rec in caplog.records
+    )
+
+
+def test_capped_band_pairs_mixed_buckets(spark):
+    """Buckets at or under the cap keep full-clique emission while an
+    over-cap bucket in the SAME frame is starred: exact expected pair set."""
+    from vectorchord_spark.pipeline.dedup import capped_band_pairs
+
+    # bucket A: 3 members (<= cap 3) -> 3 clique pairs; bucket B: 5 members
+    # (> cap) -> 4 star pairs to min id 10
+    rows = [(i, 0, "a") for i in (1, 2, 3)] + [(i, 0, "b") for i in (10, 11, 12, 13, 14)]
+    df = spark.createDataFrame(rows, "_id long, band int, key string")
+    got = {
+        (r.ida, r.idb)
+        for r in capped_band_pairs(df, ["band", "key"], "_id", 3).collect()
+    }
+    want = {(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (10, 13), (10, 14)}
+    assert got == want
+
+
+def test_paragraph_neardup_pairs_capped_boilerplate(spark):
+    """Boilerplate paragraphs shared by many docs (the canonical mega-
+    bucket) emit linearly under the cap; pair splitting still works."""
+    boiler = " ".join(f"w{i}" for i in range(8))
+    rows = [(d, boiler) for d in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from vectorchord_spark.pipeline.dedup import paragraph_neardup_pairs
+
+    got = paragraph_neardup_pairs(df, para_words=8, max_bucket=16).collect()
+    assert len(got) == 199
+    assert all(r.para_a == 0 and r.para_b == 0 for r in got)

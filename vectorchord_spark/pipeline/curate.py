@@ -68,6 +68,9 @@ class CurateConfig:
     near_dedup: bool = True
     minhash_hashes: int = 8
     minhash_band_rows: int = 2
+    # per-(band, key) bucket cap for the LSH candidate join (spanning-star
+    # emission over the cap — dedup.capped_band_pairs); None = uncapped
+    minhash_max_bucket: int | None = 64
     shingle_n: int = 3
     # stage 7: decontamination
     benchmark: DataFrame | None = None
@@ -303,6 +306,7 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
             n=cfg.shingle_n,
             num_hashes=cfg.minhash_hashes,
             band_rows=cfg.minhash_band_rows,
+            max_bucket=cfg.minhash_max_bucket,
         )
         comp = connected_components(pairs)
         q = survivors.select(

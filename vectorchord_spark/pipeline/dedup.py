@@ -20,11 +20,118 @@ a few rounds).
 
 from __future__ import annotations
 
+import logging
+import threading
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vectorchord_spark.pipeline.text import words
+
+_log = logging.getLogger(__name__)
+
+#: bounded cache registry for the banded frames of capped LSH joins —
+#: only the LATEST capped-pairs call keeps its banded frame persisted
+#: (results stay correct on recompute; this only bounds cache growth in
+#: long sessions). Guarded by a lock: concurrent callers on one driver
+#: evict each other's cache (correct, just slower) without racing the
+#: list mutation itself.
+_PERSISTED_BANDS: "list[DataFrame]" = []
+_BANDS_LOCK = threading.Lock()
+
+
+def capped_band_pairs(
+    banded: DataFrame,
+    key_cols: list[str],
+    id_col: str = "_id",
+    max_bucket: int | None = 64,
+    op_name: str = "capped_band_pairs",
+) -> DataFrame:
+    """Candidate pairs from an LSH-banded frame, with a per-bucket size cap.
+
+    ``banded`` holds one row per (document, band key): ``id_col`` plus
+    ``key_cols``. Buckets (distinct ``key_cols`` values) of at most
+    ``max_bucket`` rows emit the full within-bucket pair clique (the exact
+    LSH candidate semantics). Buckets OVER the cap emit a spanning STAR to
+    the bucket's min id instead — m−1 pairs instead of m(m−1)/2.
+
+    Why: a self-join on band keys emits O(m²) pairs for an m-row bucket
+    BEFORE any dedup/verify step can help. Exactly the corpora dedup
+    exists for (templated boilerplate, near-identical pages) produce
+    mega-buckets; at 100 TB one 10⁶-row band key is ~5·10¹¹ pairs out of
+    a single join partition — AQE skew handling bounds partition memory,
+    not output cardinality. An over-cap bucket is by construction a
+    near-duplicate clique, so the star preserves the connected component
+    that dedup group assembly (``connected_components`` →
+    ``dedup_keep_best``) consumes; what it loses is only the redundant
+    within-clique edges. Callers that verify candidates afterwards
+    (Jaccard / cosine) should note a star edge that fails verification can
+    split a component that a clique edge would have held together — for
+    such buckets the members are near-identical by construction, so in
+    practice the hub verifies against its spokes.
+
+    Per the no-silent-caps rule, when any bucket exceeds the cap a WARNING
+    is logged with the over-cap bucket count, the largest bucket, and the
+    number of pairs elided. Computing that requires materializing the
+    bucket statistics eagerly (one job over the narrow banded rows); the
+    banded frame is persisted so signatures are computed once across the
+    stats job and the pair join, registered in a bounded latest-call-only
+    cache registry. ``max_bucket=None`` restores the fully-lazy uncapped
+    self-join.
+    """
+    if max_bucket is None:
+        a = banded.select(F.col(id_col).alias("ida"), *key_cols)
+        b = banded.select(F.col(id_col).alias("idb"), *key_cols)
+        return (
+            a.join(b, key_cols)
+            .where(F.col("ida") < F.col("idb"))
+            .select("ida", "idb")
+            .distinct()
+        )
+    banded = banded.select(F.col(id_col).alias("_bid"), *key_cols).persist()
+    with _BANDS_LOCK:
+        while _PERSISTED_BANDS:
+            _PERSISTED_BANDS.pop().unpersist()
+        _PERSISTED_BANDS.append(banded)
+    stats = banded.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("_bsz"), F.min("_bid").alias("_bmin")
+    )
+    over = stats.where(F.col("_bsz") > max_bucket).agg(
+        F.count(F.lit(1)).alias("n_over"),
+        F.max("_bsz").alias("largest"),
+        # pairs elided per over-cap bucket: full clique minus the star
+        F.sum(
+            (F.col("_bsz") * (F.col("_bsz") - 1)) / 2 - (F.col("_bsz") - 1)
+        ).alias("elided"),
+    ).first()
+    if over["n_over"]:
+        _log.warning(
+            "%s: %d band buckets over max_bucket=%d (largest=%d); "
+            "emitted spanning stars instead of cliques, eliding %d "
+            "within-clique candidate pairs (connectivity preserved)",
+            op_name,
+            over["n_over"],
+            max_bucket,
+            over["largest"],
+            int(over["elided"]),
+        )
+    tagged = banded.join(stats, key_cols)
+    small = tagged.where(F.col("_bsz") <= max_bucket)
+    a = small.select(F.col("_bid").alias("ida"), *key_cols)
+    b = small.select(F.col("_bid").alias("idb"), *key_cols)
+    full = (
+        a.join(b, key_cols)
+        .where(F.col("ida") < F.col("idb"))
+        .select("ida", "idb")
+    )
+    # star branch: _bmin is the bucket min, so _bmin < _bid always holds
+    # and the (ida < idb) pair orientation is free
+    star = (
+        tagged.where((F.col("_bsz") > max_bucket) & (F.col("_bid") != F.col("_bmin")))
+        .select(F.col("_bmin").alias("ida"), F.col("_bid").alias("idb"))
+    )
+    return full.unionAll(star).distinct()
 
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str = "doc_id") -> DataFrame:
@@ -199,10 +306,15 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hashes: int = 8,
     band_rows: int = 2,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """LSH candidate pairs: band the signatures, pair docs sharing any band
     key. Verification (exact Jaccard) is the caller's choice — compose with
-    :func:`jaccard_similarity_join` semantics via a join on the pair."""
+    :func:`jaccard_similarity_join` semantics via a join on the pair.
+
+    ``max_bucket`` (default ON) caps the per-(band, key) bucket size: see
+    :func:`capped_band_pairs` for the star-emission semantics and the
+    over-cap logging contract. Pass ``None`` for the uncapped self-join."""
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     n_bands = num_hashes // band_rows
     band_cols = []
@@ -214,13 +326,8 @@ def minhash_lsh_pairs(
     banded = sig.select(
         F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("bk")
     ).select("_id", "bk.band", "bk.key")
-    a = banded.select(F.col("_id").alias("ida"), "band", "key")
-    b = banded.select(F.col("_id").alias("idb"), "band", "key")
-    return (
-        a.join(b, ["band", "key"])
-        .where(F.col("ida") < F.col("idb"))
-        .select("ida", "idb")
-        .distinct()
+    return capped_band_pairs(
+        banded, ["band", "key"], "_id", max_bucket, "minhash_lsh_pairs"
     )
 
 
@@ -331,6 +438,7 @@ def embedding_lsh_pairs(
     n_tables: int = 4,
     seed: int = 42,
     threshold: float = 0.8,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """Embedding near-dup pairs via sign-random-projection LSH.
 
@@ -340,6 +448,13 @@ def embedding_lsh_pairs(
     bucket keys (no all-pairs), and verification is two shuffle joins of
     the narrow (ida, idb) candidate pairs against the vector table — no
     driver collect, no full-table broadcast anywhere.
+
+    ``max_bucket`` (default ON) caps the per-(table, bucket) size: see
+    :func:`capped_band_pairs` for the star-emission semantics and the
+    over-cap logging contract. Over-cap star candidates still pass the
+    exact-cosine verify below, so a false-positive bucket collision can
+    never emit a wrong pair — only miss redundant within-clique edges.
+    Pass ``None`` for the uncapped self-join.
     """
     from typing import Iterator
 
@@ -383,13 +498,8 @@ def embedding_lsh_pairs(
     banded = df.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)).mapInPandas(
         band, "_id long, t int, bucket long"
     )
-    a = banded.select(F.col("_id").alias("ida"), "t", "bucket")
-    b = banded.select(F.col("_id").alias("idb"), "t", "bucket")
-    cand = (
-        a.join(b, ["t", "bucket"])
-        .where(F.col("ida") < F.col("idb"))
-        .select("ida", "idb")
-        .distinct()
+    cand = capped_band_pairs(
+        banded, ["t", "bucket"], "_id", max_bucket, "embedding_lsh_pairs"
     )
     # exact-cosine verify: two shuffle joins of the narrow candidate pairs
     # against the vector table. LSH keeps |cand| ≪ |table|², so both joins
@@ -680,6 +790,7 @@ def paragraph_neardup_pairs(
     n: int = 3,
     num_hashes: int = 8,
     band_rows: int = 2,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """Paragraph-level NEAR-dup candidate pairs: :func:`paragraph_dedup`'s
     splitter composed with the banded MinHash+LSH join, at (id, para_no)
@@ -691,7 +802,9 @@ def paragraph_neardup_pairs(
 
     100 TB shape: identical to minhash_lsh_pairs — banding turns all-pairs
     into a groupBy on band keys; paragraph granularity only multiplies the
-    row count by paragraphs-per-doc, it adds no new shuffle."""
+    row count by paragraphs-per-doc, it adds no new shuffle. Boilerplate
+    paragraphs are the canonical mega-bucket case, so the per-bucket
+    ``max_bucket`` cap (see :func:`capped_band_pairs`) matters here most."""
     from vectorchord_spark.pipeline.text import chunk_documents
 
     paras = chunk_documents(
@@ -708,7 +821,7 @@ def paragraph_neardup_pairs(
     )
     pairs = minhash_lsh_pairs(
         paras, id_col="_pid", text_col="_ptext", n=n,
-        num_hashes=num_hashes, band_rows=band_rows,
+        num_hashes=num_hashes, band_rows=band_rows, max_bucket=max_bucket,
     )
 
     def split(col: str, out_id: str, out_no: str):

@@ -47,6 +47,10 @@ NEARDUP_COS = 0.40
 JACCARD_THRESHOLD = 0.8
 MINHASH_HASHES = 8
 MINHASH_BAND_ROWS = 2
+#: per-(band, key) bucket-size cap for the LSH candidate joins — buckets
+#: over this emit a spanning star to the bucket-min id instead of the full
+#: clique (pipeline.dedup.capped_band_pairs). Mirrored in the oracle SQL.
+LSH_MAX_BUCKET = 64
 
 LANG_WORDS = {
     "de": ["data", "value", "window", "stream", "group"],
@@ -1363,13 +1367,13 @@ def _minhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.select(F.col("doc_id").alias("ida"), "band", "key")
-    b = banded.select(F.col("doc_id").alias("idb"), "band", "key")
-    cand = (
-        a.join(b, ["band", "key"])
-        .where(F.col("ida") < F.col("idb"))
-        .select("ida", "idb")
-        .distinct()
+    # the library's capped candidate join (star emission over
+    # LSH_MAX_BUCKET-row buckets + over-cap logging) — the gate exercises
+    # the exact skew-cap code path curate()/minhash_lsh_pairs run
+    from vectorchord_spark.pipeline.dedup import capped_band_pairs
+
+    cand = capped_band_pairs(
+        banded, ["band", "key"], "doc_id", LSH_MAX_BUCKET, "dedup_minhash_lsh"
     )
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     common = (
@@ -1417,9 +1421,22 @@ WITH sh AS ({_SHINGLES_SQL}),
 ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
 sig AS (SELECT doc_id, {mh_cols} FROM ex GROUP BY doc_id),
 banded AS ({bands}),
+bstats AS (
+  SELECT band, key, count(*) AS bsz, min(doc_id) AS bmin
+  FROM banded GROUP BY band, key
+),
 cand AS (
-  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  SELECT DISTINCT ida, idb FROM (
+    SELECT a.doc_id AS ida, b.doc_id AS idb
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    JOIN bstats s ON s.band = a.band AND s.key = a.key
+    WHERE s.bsz <= {LSH_MAX_BUCKET}
+    UNION ALL
+    SELECT s.bmin AS ida, x.doc_id AS idb
+    FROM banded x JOIN bstats s ON s.band = x.band AND s.key = x.key
+    WHERE s.bsz > {LSH_MAX_BUCKET} AND x.doc_id <> s.bmin
+  )
 ),
 sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
 withsets AS (
@@ -1735,6 +1752,7 @@ def _embed_neardup_lsh_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_tables=_LSH_TABLES,
             seed=_LSH_SEED,
             threshold=NEARDUP_COS,
+            max_bucket=LSH_MAX_BUCKET,
         )
         .orderBy("ida", "idb")
     )
@@ -1753,9 +1771,28 @@ def _embed_neardup_lsh_sql() -> str:
     banded = " UNION ALL ".join(bucket_exprs)
     return f"""
 WITH banded AS ({banded}),
+bstats AS (
+  SELECT t, bucket, count(*) AS bsz, min(vec_id) AS bmin
+  FROM banded GROUP BY t, bucket
+),
+candids AS (
+  SELECT DISTINCT ida, idb FROM (
+    SELECT a.vec_id AS ida, b.vec_id AS idb
+    FROM banded a
+    JOIN banded b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    JOIN bstats s ON s.t = a.t AND s.bucket = a.bucket
+    WHERE s.bsz <= {LSH_MAX_BUCKET}
+    UNION ALL
+    SELECT s.bmin AS ida, x.vec_id AS idb
+    FROM banded x JOIN bstats s ON s.t = x.t AND s.bucket = x.bucket
+    WHERE s.bsz > {LSH_MAX_BUCKET} AND x.vec_id <> s.bmin
+  )
+),
 cand AS (
-  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb, a.embedding AS va, b.embedding AS vb
-  FROM banded a JOIN banded b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT c.ida, c.idb, ea.embedding AS va, eb.embedding AS vb
+  FROM candids c
+  JOIN embeddings ea ON ea.vec_id = c.ida
+  JOIN embeddings eb ON eb.vec_id = c.idb
 )
 SELECT ida, idb,
        {_pair_dot_chain("va", "vb")}
