@@ -351,3 +351,69 @@ def test_streaming_neardup_pairs_stateful(spark):
 
         nodes = {1, 2, 7, 9}
         assert comps(got, nodes) == comps(batch_pairs, nodes)
+
+
+def test_streaming_neardup_state_ttl_plateaus(spark):
+    """Bounded-state contract: with state_ttl_seconds set (continuous
+    trigger), band keys idle past the TTL are evicted, so state size
+    tracks the ACTIVE window's distinct keys instead of growing with
+    every key ever seen. Two disjoint-content waves separated by > TTL:
+    state must peak at wave-1's 40 keys, then plateau at wave-2's 24
+    (wave-1 evicted) rather than the cumulative 64. Also: TTL with
+    available_now=True must be rejected (the backfill would never
+    terminate)."""
+    import time
+
+    from vectorchord_spark.streaming import streaming_neardup_pairs
+
+    def wave(tag, ids):
+        return [(i, f"wave {tag} doc {i} unique words " + " ".join(
+            f"{tag}t{i}w{j}" for j in range(8))) for i in ids]
+
+    with pytest.raises(ValueError, match="available_now"):
+        streaming_neardup_pairs(
+            spark, "/tmp/x", "/tmp/y", "/tmp/z",
+            state_ttl_seconds=1.0, available_now=True,
+        )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/in"
+        os.makedirs(src)
+        n_bands = 4  # 8 hashes / 2 rows
+        ttl = 6.0
+
+        def state_total(q):
+            for pr in reversed(q.recentProgress):
+                if pr["stateOperators"]:
+                    return pr["stateOperators"][0]["numRowsTotal"]
+            return None
+
+        def wait_for(q, want, deadline_s=90):
+            t0 = time.time()
+            while time.time() - t0 < deadline_s:
+                if state_total(q) == want:
+                    return True
+                time.sleep(0.5)
+            return False
+
+        spark.createDataFrame(
+            wave("a", range(10)), "doc_id long, text string"
+        ).write.mode("append").parquet(src)
+        q = streaming_neardup_pairs(
+            spark, src, f"{tmp}/ckpt", f"{tmp}/out",
+            state_ttl_seconds=ttl, available_now=False,
+        )
+        try:
+            # 10 unique docs x 4 bands = 40 distinct band keys
+            assert wait_for(q, 10 * n_bands), state_total(q)
+            time.sleep(ttl + 2)  # let wave-a go idle past the TTL
+            spark.createDataFrame(
+                wave("b", range(100, 106)), "doc_id long, text string"
+            ).write.mode("append").parquet(src)
+            # plateau: wave-a's 40 keys evicted, only wave-b's 24 remain
+            assert wait_for(q, 6 * n_bands), state_total(q)
+        finally:
+            q.stop()
+        # offline confirmation from the committed checkpoint itself
+        st = spark.read.format("statestore").load(f"{tmp}/ckpt")
+        assert st.count() <= 6 * n_bands

@@ -321,6 +321,7 @@ def streaming_neardup_pairs(
     num_hashes: int = 8,
     band_rows: int = 2,
     available_now: bool = True,
+    state_ttl_seconds: float | None = None,
 ) -> StreamingQuery:
     """Streaming near-duplicate detection: the online twin of the batch
     ``minhash_lsh_pairs`` catalog op. As documents land, each one's banded
@@ -335,11 +336,35 @@ def streaming_neardup_pairs(
     assembly consumes), while the star keeps per-key state O(1) — the
     property that lets the stream run forever. A pair colliding in several
     bands is emitted once per band (at-least-once; ``distinct`` downstream
-    if exact-once pairs matter). State is one long per distinct band key
-    (no timeout — for continuous ingest, bound it by periodically
-    compacting with the batch op, like streaming_dedup's no-watermark
-    mode)."""
+    if exact-once pairs matter). State is one long per distinct band key.
+
+    **Bounded state for continuous ingest** (``state_ttl_seconds``): with
+    the default ``None`` the state grows with the number of DISTINCT band
+    keys ever seen — fine for bounded backfills, unbounded for a forever
+    stream. Setting a TTL switches to a processing-time timeout: a band
+    key idle for the TTL is EVICTED at the next micro-batch, so state size
+    tracks the distinct keys of the active window only. The trade is
+    bounded staleness: a duplicate arriving more than the TTL after its
+    band key was last seen starts a NEW canonical hub, so cross-TTL pairs
+    are missed — exactly the contract of windowed streaming dedup. Size
+    the TTL to the dedup horizon you need, and run the batch op
+    periodically for full-corpus compaction (the lambda shape).
+
+    TTL requires ``available_now=False``: processing-time timeouts make
+    the engine keep scheduling (empty) micro-batches to fire evictions,
+    so an availableNow backfill would never terminate (measured: 40+
+    empty batches after the data was exhausted). Backfills have bounded
+    input — they don't need a TTL in the first place."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if state_ttl_seconds is not None and available_now:
+        raise ValueError(
+            "state_ttl_seconds requires available_now=False (continuous "
+            "trigger): processing-time timeouts keep scheduling batches, so "
+            "an availableNow backfill never terminates. Bounded backfills "
+            "don't need a TTL; for continuous ingest pass "
+            "available_now=False."
+        )
 
     stream = spark.readStream.schema(schema).parquet(source_path)
     banded = stream.select(
@@ -351,10 +376,18 @@ def streaming_neardup_pairs(
 
     out_schema = "ida long, idb long, band int"
     state_schema = "first long"
+    ttl_ms = None if state_ttl_seconds is None else max(1, int(state_ttl_seconds * 1000))
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd  # noqa: PLC0415
 
+        empty = pd.DataFrame(columns=["ida", "idb", "band"])
+        if state.hasTimedOut:
+            # TTL eviction: drop the canonical-doc state for this idle
+            # band key; the next collision on it starts a new hub
+            state.remove()
+            yield empty
+            return
         band, _k = key
         ids: list[int] = []
         for pdf in pdfs:
@@ -365,13 +398,17 @@ def streaming_neardup_pairs(
             # must carry the declared output columns: the Arrow
             # serializer selects (ida, idb, band) by name and a
             # zero-column frame would raise at runtime.
-            yield pd.DataFrame(columns=["ida", "idb", "band"])
+            yield empty
             return
         if state.exists:
             (first,) = state.get
         else:
             first = ids[0]
             state.update((first,))
+        if ttl_ms is not None:
+            # re-arm on every batch that touches the key: TTL measures
+            # idleness, not age
+            state.setTimeoutDuration(ttl_ms)
         rows = [
             {"ida": min(first, i), "idb": max(first, i), "band": int(band)}
             for i in ids
@@ -384,7 +421,11 @@ def streaming_neardup_pairs(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     writer = (
         pairs.writeStream.outputMode("append")
