@@ -273,10 +273,20 @@ def main() -> None:
     # below 5x every wall/ratio in this JSON is window-bound, so say so in
     # the headline itself.
     pscale = build.get("parallel_scale_24t")
-    if pscale is not None and pscale < 5:
+    # the <5 heuristic assumes the ~24-core reference host (clean reads
+    # 18-22x there); on a small clean machine the 24-thread aggregate
+    # scale naturally reads near cpu_count, so scale the gate to the
+    # host: throttled = below ~40% of the parallelism this host could
+    # deliver. cpu_count is recorded so the stamp stays interpretable
+    # off the reference box.
+    ncpu = os.cpu_count() or 1
+    out["host_cpus"] = ncpu
+    threshold = 0.4 * min(24, ncpu)
+    if pscale is not None and pscale < threshold:
         out["window_throttled"] = True
         out["window_note"] = (
-            f"parallel_scale_24t={pscale} (<5; clean~18-22): walls and "
+            f"parallel_scale_24t={pscale} (<{threshold:.1f}=0.4*min(24,"
+            f"cpus={ncpu}); clean~0.8-0.9*min(24,cpus)): walls and "
             "common_vs_prev_ratio are throttle-bound, not code-bound"
         )
     line = json.dumps(out)

@@ -115,15 +115,21 @@ class CurateResult:
 #: bounded cache registry: only the latest curate() call keeps its
 #: survivor frames persisted — a new call releases the previous call's
 #: (its kept/audit frames stay correct, they just recompute if re-read),
-#: so long-lived sessions don't accumulate cached partitions run over run
+#: so long-lived sessions don't accumulate cached partitions run over run.
+#: The lock guards the list mutation only: two CONCURRENT curate() calls on
+#: one driver still evict each other's pins mid-build (results stay
+#: correct via recompute, caching degrades) — the registry assumes an
+#: effectively single-threaded driver workflow.
 _PERSISTED: "list[DataFrame]" = []
+_REG_LOCK = __import__("threading").Lock()
 
 
 def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
     cfg = config or CurateConfig()
     idc, txt = cfg.id_col, cfg.text_col
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+    with _REG_LOCK:
+        while _PERSISTED:
+            _PERSISTED.pop().unpersist()
 
     from vectorchord_spark.pipeline.text import (
         detect_language,
@@ -207,7 +213,8 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
         the audit consumer re-ran ~the entire pipeline. Registered in
         the bounded `_PERSISTED` registry like the survivor frames."""
         frame = frame.persist()
-        _PERSISTED.append(frame)
+        with _REG_LOCK:
+            _PERSISTED.append(frame)
         return frame
 
     audits = [
@@ -263,7 +270,8 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
         survivors = survivors.join(bad.select(idc), idc, "left_anti")
 
     survivors = survivors.persist()
-    _PERSISTED.append(survivors)
+    with _REG_LOCK:
+        _PERSISTED.append(survivors)
 
     # ---- stage 5: exact dedup (keep min id per content hash) ----
     if cfg.exact_dedup:
@@ -290,7 +298,8 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
             # quality ranking, the final anti-join) — without a persist
             # each consumer re-runs the md5 window shuffle above
             survivors = survivors.persist()
-            _PERSISTED.append(survivors)
+            with _REG_LOCK:
+                _PERSISTED.append(survivors)
 
     # ---- stage 6: near dedup (LSH pairs -> components -> keep best) ----
     if cfg.near_dedup:

@@ -47,10 +47,14 @@ from vectorchord_spark.pipeline.quality_model import quality_features
 #: any meaningful weight difference
 _LW_SCALE = 1_000_000
 
-#: bounded cache registry for resample_dsir's frac path — holds at most
-#: the latest persisted scored frame so long-lived sessions (gate rounds,
-#: bench loops) don't accumulate cached partitions call over call
+#: bounded cache registry for resample_dsir's persisted scored frames —
+#: holds at most the latest so long-lived sessions (gate rounds, bench
+#: loops) don't accumulate cached partitions call over call. The lock
+#: guards the list mutation; concurrent calls on one driver still evict
+#: each other's cache (results stay correct, caching degrades) — the
+#: registry assumes an effectively single-threaded driver workflow
 _PERSISTED: "list[DataFrame]" = []
+_REG_LOCK = __import__("threading").Lock()
 
 
 def _quantize_lw(lw: np.ndarray) -> np.ndarray:
@@ -202,6 +206,17 @@ def resample_dsir(
     )
     sel_flag = None
     if n is not None:
+        if return_all:
+            # keyed feeds BOTH the picked top-n subtree and the left side
+            # of the flag join below — without a persist one
+            # materialization runs the full score_dsir pass (posting-row
+            # explode + broadcast join + groupBy) twice; same reason the
+            # frac path persists
+            with _REG_LOCK:
+                while _PERSISTED:
+                    _PERSISTED.pop().unpersist()
+                keyed = keyed.persist()
+                _PERSISTED.append(keyed)
         picked = keyed.orderBy(F.desc("_dsir_key"), id_col).limit(int(n))
         if return_all:
             sel_flag = keyed.join(
@@ -216,16 +231,18 @@ def resample_dsir(
         # the quantile action and the final filter both consume the
         # scored frame — persist so the feature groupBy runs once; keep
         # at most one outstanding cached frame across calls
-        while _PERSISTED:
-            _PERSISTED.pop().unpersist()
-        keyed = keyed.persist()
+        with _REG_LOCK:
+            while _PERSISTED:
+                _PERSISTED.pop().unpersist()
+            keyed = keyed.persist()
         qs = keyed.approxQuantile("_dsir_key", [1.0 - float(frac)], 1e-4)
         if not qs:  # approxQuantile returns [] on an all-null/empty frame
             keyed.unpersist()
             picked = keyed.where(F.lit(False))
             cond = F.lit(False)
         else:
-            _PERSISTED.append(keyed)
+            with _REG_LOCK:
+                _PERSISTED.append(keyed)
             cond = F.col("_dsir_key") >= qs[0]
             picked = keyed.where(cond)
         if return_all:

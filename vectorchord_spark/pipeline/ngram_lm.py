@@ -54,7 +54,11 @@ _BOS = "\x02s\x02"
 #: its count tables persisted, so long-lived sessions (gate rounds,
 #: bench loops) don't accumulate cached partitions train over train. An
 #: earlier LM stays usable — its tables just recompute when read.
+#: lock guards the list mutation only; concurrent train calls evict each
+#: other's cached count tables (correct, just slower) — single-threaded
+#: driver workflow assumed
 _PERSISTED_LM: "list[NgramLM]" = []
+_REG_LOCK = __import__("threading").Lock()
 
 
 @dataclass
@@ -107,8 +111,9 @@ def train_ngram_lm(
     fall through to the floor score in score_lm)."""
     if order < 1:
         raise ValueError(f"order must be >= 1, got {order}")
-    while _PERSISTED_LM:  # bounded cache: release the previous LM's tables
-        _PERSISTED_LM.pop().unpersist()
+    with _REG_LOCK:  # bounded cache: release the previous LM's tables
+        while _PERSISTED_LM:
+            _PERSISTED_LM.pop().unpersist()
     w = _padded_words(text_col)
     base = df.select(w.alias("_w"), F.size(w).alias("_n"))
     counts: list[DataFrame] = []
@@ -144,7 +149,8 @@ def train_ngram_lm(
     lm = NgramLM(order=order, counts=counts, total_unigrams=int(total),
                  min_count=min_count)
     lm.sizes = [int(t.count()) for t in counts]
-    _PERSISTED_LM.append(lm)
+    with _REG_LOCK:
+        _PERSISTED_LM.append(lm)
     return lm
 
 
