@@ -69,6 +69,11 @@ def test_exact_dedup(spark):
 
 
 def test_simhash_near_pairs(spark):
+    # true 16-bit simhash hammings on these docs: (1,2)=1, (1,3)=7,
+    # (2,3)=6 — budget 4 admits exactly the near-dup pair. (The test
+    # formerly ran max_hamming=6 asserting (2,3) absent, which only held
+    # because the old band_bits=8 default was pigeonhole-INCOMPLETE and
+    # hid that genuine ≤6 pair.)
     rows = [
         (1, "the quick brown fox jumps over the lazy dog"),
         (2, "the quick brown fox jumps over the lazy cat"),
@@ -77,7 +82,7 @@ def test_simhash_near_pairs(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = {
         (r.ida, r.idb)
-        for r in dedup.simhash_near_pairs(df, max_hamming=6).collect()
+        for r in dedup.simhash_near_pairs(df, max_hamming=4).collect()
     }
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
@@ -1212,3 +1217,31 @@ def test_paragraph_neardup_pairs_capped_boilerplate(spark):
     got = paragraph_neardup_pairs(df, para_words=8, max_bucket=16).collect()
     assert len(got) == 199
     assert all(r.para_a == 0 and r.para_b == 0 for r in got)
+
+
+def test_hamming_banding_default_is_pigeonhole_complete(spark):
+    """The derived default band width must find a pair whose differences
+    SPREAD across the old 8-bit chunking (which missed it): hamming-3
+    pair differing in bits 2, 9, 12 — one diff in three of the four
+    4-bit chunks, two 8-bit chunks both dirty."""
+    a = 0b1010_0101_1100_0011
+    b = a ^ ((1 << 2) | (1 << 9) | (1 << 12))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, 0)], "doc_id long, h long"
+    )
+    got = {
+        (r.ida, r.idb, r.hamming)
+        for r in dedup.hamming_near_pairs(
+            df, "doc_id", "h", bits=16, max_hamming=3
+        ).collect()
+    }
+    assert (1, 2, 3) in got
+    # old default (band_bits=8, 2 chunks <= max_hamming): both chunks
+    # differ, the pair is invisible to candidate generation
+    old = {
+        (r.ida, r.idb)
+        for r in dedup.hamming_near_pairs(
+            df, "doc_id", "h", bits=16, max_hamming=3, band_bits=8
+        ).collect()
+    }
+    assert (1, 2) not in old

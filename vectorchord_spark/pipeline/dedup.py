@@ -363,13 +363,38 @@ def simhash(text: Column | str, bits: int = 16) -> Column:
     return F.element_at(F.transform(F.array(hashes), per_hashes), 1)
 
 
+def _hamming_band_bits(bits: int, max_hamming: int, band_bits: int | None) -> int:
+    """Resolve (and sanity-check) the chunk width for Hamming banding.
+
+    Completeness (EVERY pair within the budget is a candidate) requires
+    ``bits // band_bits > max_hamming`` chunks — pigeonhole: max_hamming
+    differences cannot touch all of max_hamming+1 chunks. The default is
+    derived to satisfy it (``bits // (max_hamming + 1)``); an explicit
+    width that violates it is accepted (cheaper, deliberately approximate
+    banding) but logged, because the old silent default (band_bits=8 with
+    bits=16, max_hamming=3 → 2 chunks ≤ 3) quietly broke the all-pairs
+    contract the docstring promised."""
+    if band_bits is None:
+        band_bits = max(1, bits // (max_hamming + 1))
+    if bits // band_bits <= max_hamming:
+        _log.warning(
+            "hamming banding with %d chunks of %d bits cannot guarantee "
+            "completeness at max_hamming=%d (needs > max_hamming chunks): "
+            "pairs whose differences touch every chunk are missed",
+            bits // band_bits,
+            band_bits,
+            max_hamming,
+        )
+    return band_bits
+
+
 def hamming_near_pairs(
     df: DataFrame,
     id_col: str,
     hash_col: str,
     bits: int,
     max_hamming: int = 3,
-    band_bits: int = 8,
+    band_bits: int | None = None,
 ) -> DataFrame:
     """All pairs whose integer ``hash_col`` values are within
     ``max_hamming`` bits (generic over ANY bit-fingerprint: SimHash text
@@ -378,7 +403,10 @@ def hamming_near_pairs(
     Scale path: band the hash into ``bits/band_bits`` chunks — any pair
     within the Hamming budget must agree on ≥ 1 chunk when
     ``bits/band_bits > max_hamming`` (pigeonhole), so candidate generation
-    is a groupBy on chunk values, not an all-pairs scan."""
+    is a groupBy on chunk values, not an all-pairs scan. ``band_bits``
+    defaults to the widest chunk satisfying that guarantee
+    (``bits // (max_hamming+1)``); see :func:`_hamming_band_bits`."""
+    band_bits = _hamming_band_bits(bits, max_hamming, band_bits)
     sigs = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("sh"))
     return _banded_hamming_pairs(sigs, bits, max_hamming, band_bits)
 
@@ -389,10 +417,11 @@ def simhash_near_pairs(
     text_col: str = "text",
     bits: int = 16,
     max_hamming: int = 3,
-    band_bits: int = 8,
+    band_bits: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming`` (the
     text-signature instance of :func:`hamming_near_pairs`)."""
+    band_bits = _hamming_band_bits(bits, max_hamming, band_bits)
     sigs = df.select(
         F.col(id_col).alias("_id"), simhash(text_col, bits).alias("sh")
     )
