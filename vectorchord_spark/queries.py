@@ -1663,6 +1663,148 @@ SELECT id, min(r) AS component FROM reach GROUP BY id
 """
 
 
+def _curate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call curation (pipeline/curate.py) through the hard oracle
+    gate: default config (length 10..1e6 → Gopher repetition 0.2/0.3 →
+    heuristic quality ≥ 0.3 → exact dedup → capped MinHash-LSH near-dedup
+    with keep-best-quality), emitting every input doc's ROUTING — its
+    audit stage, or 'kept'. kept ∪ audit partitions the input exactly, so
+    one row per doc and the oracle replays the whole stage cascade
+    (first-failing-stage-wins) in SQL. Detail strings are excluded: their
+    float formatting is engine-specific, the routing is not."""
+    from vectorchord_spark.pipeline.curate import CurateConfig, curate
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    res = curate(docs, CurateConfig())
+    return (
+        res.audit.select(F.col("id").alias("doc_id"), "stage")
+        .unionByName(res.kept.select("doc_id", F.lit("kept").alias("stage")))
+        .orderBy("doc_id", "stage")
+    )
+
+
+def _curate_sql() -> str:
+    mh_cols = ", ".join(
+        f"min(md5('{j}|' || s)) AS mh{j}" for j in range(MINHASH_HASHES)
+    )
+    n_bands = MINHASH_HASHES // MINHASH_BAND_ROWS
+    band_rows = []
+    for b in range(n_bands):
+        parts = " || ".join(
+            f"mh{b * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS key FROM sig")
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+WITH RECURSIVE
+wbase AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+g2 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                        i -> w[i] || ' ' || w[i+1])) AS g
+  FROM wbase WHERE len(w) >= 2
+),
+c2 AS (
+  SELECT doc_id, max(c) AS max2
+  FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1
+),
+g3 AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM wbase WHERE len(w) >= 3
+),
+c3 AS (
+  SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3
+  FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1
+),
+scored AS (
+  SELECT b.doc_id, b.text,
+         len(b.w)::BIGINT AS n_words,
+         2.0 * coalesce(c2.max2, 0)::DOUBLE / len(b.w)::DOUBLE AS top2,
+         least(3.0 * coalesce(c3.dup3, 0)::DOUBLE / len(b.w)::DOUBLE, 1.0)
+           AS dup3f,
+         (least(len(b.w)::DOUBLE / 100.0, 1.0)
+          + len(list_distinct(b.w))::DOUBLE / len(b.w)::DOUBLE) / 2.0 AS q
+  FROM wbase b
+  LEFT JOIN c2 ON b.doc_id = c2.doc_id
+  LEFT JOIN c3 ON b.doc_id = c3.doc_id
+),
+staged AS (
+  SELECT doc_id, text, q,
+    CASE
+      WHEN NOT coalesce(n_words >= 10 AND n_words <= 1000000, FALSE)
+        THEN 'length'
+      WHEN NOT coalesce(top2 <= 0.2 AND dup3f <= 0.3, FALSE)
+        THEN 'repetition'
+      WHEN NOT coalesce(q >= 0.3, FALSE) THEN 'quality'
+    END AS stage
+  FROM scored
+),
+surv4 AS (SELECT doc_id, text, q FROM staged WHERE stage IS NULL),
+exact AS (
+  SELECT doc_id, text, q,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+  FROM surv4
+),
+surv5 AS (SELECT doc_id, text, q FROM exact WHERE doc_id = keep_id),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3 THEN
+           list_distinct(list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         ELSE [text] END AS shingles
+  FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM surv5)
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sig AS (SELECT doc_id, {mh_cols} FROM ex GROUP BY doc_id),
+banded AS ({bands}),
+bstats AS (
+  SELECT band, key, count(*) AS bsz, min(doc_id) AS bmin
+  FROM banded GROUP BY band, key
+),
+cand AS (
+  SELECT DISTINCT ida, idb FROM (
+    SELECT a.doc_id AS ida, b.doc_id AS idb
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    JOIN bstats s ON s.band = a.band AND s.key = a.key
+    WHERE s.bsz <= {LSH_MAX_BUCKET}
+    UNION ALL
+    SELECT s.bmin AS ida, x.doc_id AS idb
+    FROM banded x JOIN bstats s ON s.band = x.band AND s.key = x.key
+    WHERE s.bsz > {LSH_MAX_BUCKET} AND x.doc_id <> s.bmin
+  )
+),
+cedges AS (
+  SELECT ida AS a, idb AS b FROM cand
+  UNION
+  SELECT idb AS a, ida AS b FROM cand
+),
+cnodes AS (SELECT DISTINCT a AS id FROM cedges),
+reach(id, r) AS (
+  SELECT id, id FROM cnodes
+  UNION
+  SELECT x.id, e.b FROM reach x JOIN cedges e ON e.a = x.r
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+ranked AS (
+  SELECT c.id, c.component,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY s.q DESC, c.id) AS rn
+  FROM comp c JOIN surv5 s ON s.doc_id = c.id
+),
+neardup AS (SELECT id FROM ranked WHERE rn > 1)
+SELECT doc_id, stage FROM staged WHERE stage IS NOT NULL
+UNION ALL
+SELECT doc_id, 'exact_dup' AS stage FROM exact WHERE doc_id <> keep_id
+UNION ALL
+SELECT id AS doc_id, 'near_dup' AS stage FROM neardup
+UNION ALL
+SELECT doc_id, 'kept' AS stage FROM surv5
+WHERE doc_id NOT IN (SELECT id FROM neardup)
+ORDER BY doc_id, stage
+"""
+
+
 def _dedup_keep_best_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus dedup flow (what a user actually runs):
     near-dup pairs → connected components (iterative DataFrame min-label
@@ -4795,6 +4937,10 @@ def _catalog_canonical() -> dict[str, Q]:
         "streaming_knn_serve": Q(_streaming_knn_serve_fn, _knn_batch_sql()),
         "embed_neardup_lsh": Q(_embed_neardup_lsh_fn, _embed_neardup_lsh_sql(), headline=True),
         "dedup_keep_best": Q(_dedup_keep_best_fn, _dedup_keep_best_sql()),
+        # r11: one-call curation through the hard gate (was bench-only);
+        # the full stage cascade incl. capped LSH near-dedup replayed in
+        # SQL. Not headline: bench.py times curate separately.
+        "curate": Q(_curate_fn, _curate_sql()),
         # --- vector/ANN operator surface (§2) ---
         "knn_l2": Q(_knn_fn("l2"), _knn_sql("l2"), headline=True),
         "knn_ip": Q(_knn_fn("dot"), _knn_sql("dot"), headline=True),
