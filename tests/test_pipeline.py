@@ -1245,3 +1245,66 @@ def test_hamming_banding_default_is_pigeonhole_complete(spark):
         ).collect()
     }
     assert (1, 2) not in old
+
+
+def test_hamming_sorted_neighborhood_megabucket(spark, caplog):
+    """Over-cap (chunk, value) buckets switch to Manku-style sorted-
+    neighborhood candidates: a planted group of 300 IDENTICAL hashes
+    (every bucket over a cap of 64) must stay chain-connected (sorted
+    adjacency pairs all verify at hamming 0), a planted hamming-2
+    neighbor of the group must be found (adjacent in remaining-bits
+    order), a far hash must not pair, and the candidate count must be
+    linear (~n*W per chunk), not quadratic."""
+    import logging
+
+    n = 300
+    base = 0b0101_1010_0011_1100
+    rows = [(i, base) for i in range(n)]
+    rows.append((n, base ^ 0b11))          # hamming 2: must be found
+    rows.append((n + 1, ~base & 0xFFFF))   # hamming 16: never pairs
+    df = spark.createDataFrame(rows, "doc_id long, h long")
+    with caplog.at_level(logging.WARNING, logger="vectorchord_spark.pipeline.dedup"):
+        got = dedup.hamming_near_pairs(
+            df, "doc_id", "h", bits=16, max_hamming=3,
+            max_bucket=64, neighbor_window=8,
+        ).collect()
+    assert any("sorted-neighborhood" in rec.getMessage() for rec in caplog.records)
+    pairs = {(r.ida, r.idb) for r in got}
+    assert all(r.hamming <= 3 for r in got)
+    assert not any(n + 1 in p for p in pairs)
+    assert any(n in p for p in pairs)  # the hamming-2 neighbor is found
+    # linear output: W=8 neighbors x 4 chunks x (n+1) rows is the ceiling,
+    # far below the ~45k pairs the exact clique would emit
+    assert len(pairs) < (n + 1) * 8 * 4
+    # chain connectivity: the identical group must form ONE component
+    comp = dedup.connected_components(
+        spark.createDataFrame(list(pairs), "ida long, idb long")
+    )
+    roots = {
+        r.component
+        for r in comp.collect()
+        if r.id < n or r.id == n
+    }
+    assert len(roots) == 1
+
+
+def test_hamming_small_buckets_stay_exact(spark):
+    """Below the cap the banded path is the exact all-pairs answer."""
+    rng = np.random.default_rng(7)
+    hashes = rng.integers(0, 1 << 16, size=60).tolist()
+    df = spark.createDataFrame(
+        [(i, int(h)) for i, h in enumerate(hashes)], "doc_id long, h long"
+    )
+    got = {
+        (r.ida, r.idb)
+        for r in dedup.hamming_near_pairs(
+            df, "doc_id", "h", bits=16, max_hamming=3, max_bucket=4096
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i in range(60)
+        for j in range(i + 1, 60)
+        if bin(hashes[i] ^ hashes[j]).count("1") <= 3
+    }
+    assert got == want

@@ -395,6 +395,8 @@ def hamming_near_pairs(
     bits: int,
     max_hamming: int = 3,
     band_bits: int | None = None,
+    max_bucket: int | None = 4096,
+    neighbor_window: int = 16,
 ) -> DataFrame:
     """All pairs whose integer ``hash_col`` values are within
     ``max_hamming`` bits (generic over ANY bit-fingerprint: SimHash text
@@ -405,10 +407,15 @@ def hamming_near_pairs(
     ``bits/band_bits > max_hamming`` (pigeonhole), so candidate generation
     is a groupBy on chunk values, not an all-pairs scan. ``band_bits``
     defaults to the widest chunk satisfying that guarantee
-    (``bits // (max_hamming+1)``); see :func:`_hamming_band_bits`."""
+    (``bits // (max_hamming+1)``); see :func:`_hamming_band_bits`.
+    ``max_bucket``/``neighbor_window`` bound the per-bucket self-join
+    (Manku-style sorted neighborhood over the cap; see
+    :func:`_banded_hamming_pairs`)."""
     band_bits = _hamming_band_bits(bits, max_hamming, band_bits)
     sigs = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("sh"))
-    return _banded_hamming_pairs(sigs, bits, max_hamming, band_bits)
+    return _banded_hamming_pairs(
+        sigs, bits, max_hamming, band_bits, max_bucket, neighbor_window
+    )
 
 
 def simhash_near_pairs(
@@ -418,6 +425,8 @@ def simhash_near_pairs(
     bits: int = 16,
     max_hamming: int = 3,
     band_bits: int | None = None,
+    max_bucket: int | None = 4096,
+    neighbor_window: int = 16,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming`` (the
     text-signature instance of :func:`hamming_near_pairs`)."""
@@ -425,12 +434,37 @@ def simhash_near_pairs(
     sigs = df.select(
         F.col(id_col).alias("_id"), simhash(text_col, bits).alias("sh")
     )
-    return _banded_hamming_pairs(sigs, bits, max_hamming, band_bits)
+    return _banded_hamming_pairs(
+        sigs, bits, max_hamming, band_bits, max_bucket, neighbor_window
+    )
 
 
 def _banded_hamming_pairs(
-    sigs: DataFrame, bits: int, max_hamming: int, band_bits: int
+    sigs: DataFrame,
+    bits: int,
+    max_hamming: int,
+    band_bits: int,
+    max_bucket: int | None = 4096,
+    neighbor_window: int = 16,
 ) -> DataFrame:
+    """Candidate generation + exact-Hamming verify over chunk bands.
+
+    Buckets (chunk, value) of at most ``max_bucket`` rows emit the exact
+    within-bucket clique. Over-cap buckets CANNOT use the LSH star trick
+    (a Hamming bucket's members agree on one chunk, they are not a
+    near-dup clique), so they take the sorted-neighborhood path of Manku
+    et al., WWW 2007 ("Detecting Near-Duplicates for Web Crawling"):
+    sort the bucket by the hash's REMAINING bits (the agreed chunk
+    compacted out, so near hashes sort near) and pair each member with
+    its next ``neighbor_window`` neighbors — O(m·W) candidates instead of
+    O(m²). Every candidate still passes the exact ``hamming ≤ budget``
+    verify, so over-cap buckets can only MISS pairs (those > W apart in
+    every agreeing chunk's sort order), never emit wrong ones; the
+    multiple chunk tables act as Manku's multiple permutations. Identical
+    hashes are always adjacent in the sort, so exact-duplicate groups
+    stay chain-connected for component grouping. Over-cap buckets are
+    logged (no silent caps); ``max_bucket=None`` is the fully-exact
+    self-join."""
     n_chunks = bits // band_bits
     chunk_cols = [
         F.struct(
@@ -444,14 +478,109 @@ def _banded_hamming_pairs(
     banded = sigs.select(
         "_id", "sh", F.explode(F.array(*chunk_cols)).alias("ck")
     ).select("_id", "sh", "ck.chunk", "ck.v")
-    a = banded.select(F.col("_id").alias("ida"), F.col("sh").alias("sha"), "chunk", "v")
-    b = banded.select(F.col("_id").alias("idb"), F.col("sh").alias("shb"), "chunk", "v")
-    cand = (
+    if max_bucket is None:
+        a = banded.select(F.col("_id").alias("ida"), F.col("sh").alias("sha"), "chunk", "v")
+        b = banded.select(F.col("_id").alias("idb"), F.col("sh").alias("shb"), "chunk", "v")
+        cand = (
+            a.join(b, ["chunk", "v"])
+            .where(F.col("ida") < F.col("idb"))
+            .select("ida", "idb", "sha", "shb")
+            .distinct()
+        )
+        ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+        return cand.select(
+            "ida", "idb", ham.cast("int").alias("hamming")
+        ).where(F.col("hamming") <= max_hamming)
+    from pyspark.sql import Window
+
+    banded = banded.persist()
+    with _BANDS_LOCK:
+        while _PERSISTED_BANDS:
+            _PERSISTED_BANDS.pop().unpersist()
+        _PERSISTED_BANDS.append(banded)
+    stats = banded.groupBy("chunk", "v").agg(F.count(F.lit(1)).alias("_bsz"))
+    over = stats.where(F.col("_bsz") > max_bucket).agg(
+        F.count(F.lit(1)).alias("n_over"), F.max("_bsz").alias("largest")
+    ).first()
+    if over["n_over"]:
+        _log.warning(
+            "hamming banding: %d (chunk, value) buckets over max_bucket=%d "
+            "(largest=%d); using sorted-neighborhood candidates (window=%d) "
+            "there — pairs farther apart in every agreeing chunk's sort "
+            "order are missed",
+            over["n_over"],
+            max_bucket,
+            over["largest"],
+            neighbor_window,
+        )
+    tagged = banded.join(stats, ["chunk", "v"])
+    small = tagged.where(F.col("_bsz") <= max_bucket)
+    a = small.select(F.col("_id").alias("ida"), F.col("sh").alias("sha"), "chunk", "v")
+    b = small.select(F.col("_id").alias("idb"), F.col("sh").alias("shb"), "chunk", "v")
+    exact_cand = (
         a.join(b, ["chunk", "v"])
         .where(F.col("ida") < F.col("idb"))
         .select("ida", "idb", "sha", "shb")
-        .distinct()
     )
+    # over-cap: compact the agreed chunk out of the hash so the sort key
+    # is exactly the bits that can still differ (low-order differences
+    # land adjacent), then take each row's next-W neighbors in one window
+    # pass — no join, O(m·W) output from an m-row bucket
+    big = tagged.where(F.col("_bsz") > max_bucket)
+    # per-chunk CASE with literal shift amounts (shiftright needs int
+    # literals; also a 64-bit shift would wrap to 0 in the JVM, so the
+    # top chunk's upper part is pinned to 0 explicitly). sh is SIGNED —
+    # arithmetic shifts keep a consistent per-bucket ordering; a pair
+    # split by the sign boundary is one more documented miss mode that
+    # the exact verify cannot turn into a false positive.
+    rem = None
+    for c in range(n_chunks):
+        hi_shift = (c + 1) * band_bits
+        lo_mask = (1 << (c * band_bits)) - 1
+        if hi_shift >= bits and bits >= 64:
+            rem_c = F.col("sh").bitwiseAND(F.lit(lo_mask))
+        else:
+            rem_c = F.shiftleft(
+                F.shiftright(F.col("sh"), hi_shift), c * band_bits
+            ).bitwiseOR(F.col("sh").bitwiseAND(F.lit(lo_mask)))
+        rem = (
+            F.when(F.col("chunk") == c, rem_c)
+            if rem is None
+            else rem.when(F.col("chunk") == c, rem_c)
+        )
+    w = Window.partitionBy("chunk", "v").orderBy("_rem", "_id")
+    big = big.withColumn("_rem", rem)
+    # window expressions must be top-level projections (nesting them in
+    # struct/array constructors is rejected by the analyzer): materialize
+    # each lead as its own column, then assemble the neighbor array
+    lead_cols = {}
+    for i in range(1, int(neighbor_window) + 1):
+        lead_cols[f"_nid{i}"] = F.lead("_id", i).over(w)
+        lead_cols[f"_nsh{i}"] = F.lead("sh", i).over(w)
+    big = big.withColumns(lead_cols)
+    nbrs = F.array(
+        *[
+            F.struct(
+                F.col(f"_nid{i}").alias("nid"), F.col(f"_nsh{i}").alias("nsh")
+            )
+            for i in range(1, int(neighbor_window) + 1)
+        ]
+    )
+    win_cand = (
+        big.select("_id", "sh", F.explode(nbrs).alias("nb"))
+        .where(F.col("nb.nid").isNotNull())
+        .select(
+            F.least(F.col("_id"), F.col("nb.nid")).alias("ida"),
+            F.greatest(F.col("_id"), F.col("nb.nid")).alias("idb"),
+            F.when(F.col("_id") < F.col("nb.nid"), F.col("sh"))
+            .otherwise(F.col("nb.nsh"))
+            .alias("sha"),
+            F.when(F.col("_id") < F.col("nb.nid"), F.col("nb.nsh"))
+            .otherwise(F.col("sh"))
+            .alias("shb"),
+        )
+    )
+    cand = exact_cand.unionAll(win_cand).distinct()
     ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
     return cand.select(
         "ida", "idb", ham.cast("int").alias("hamming")
