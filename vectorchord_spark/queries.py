@@ -1663,6 +1663,90 @@ SELECT id, min(r) AS component FROM reach GROUP BY id
 """
 
 
+def _dedup_paragraph_neardup_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level NEAR-dup candidate pairs (pipeline.dedup.
+    paragraph_neardup_pairs): non-overlapping 32-word windows → capped
+    MinHash-LSH banding at (doc, paragraph) granularity — the sub-document
+    twin of dedup_minhash_lsh. The oracle replays the window chunking,
+    the md5 minhash family, and the bucket-cap star semantics on the
+    composite string ids."""
+    from vectorchord_spark.pipeline.dedup import paragraph_neardup_pairs
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return paragraph_neardup_pairs(
+        docs, para_words=32, n=3,
+        num_hashes=MINHASH_HASHES, band_rows=MINHASH_BAND_ROWS,
+        max_bucket=LSH_MAX_BUCKET,
+    ).orderBy("ida", "para_a", "idb", "para_b")
+
+
+def _dedup_paragraph_neardup_sql() -> str:
+    mh_cols = ", ".join(
+        f"min(md5('{j}|' || s)) AS mh{j}" for j in range(MINHASH_HASHES)
+    )
+    n_bands = MINHASH_HASHES // MINHASH_BAND_ROWS
+    band_rows = []
+    for b in range(n_bands):
+        parts = " || ".join(
+            f"mh{b * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS)
+        )
+        band_rows.append(f"SELECT pid, {b} AS band, md5({parts}) AS key FROM sig")
+    bands = " UNION ALL ".join(band_rows)
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+paras AS (
+  SELECT doc_id::VARCHAR || '#' || chunk_no::VARCHAR AS pid,
+         array_to_string(
+           list_slice(w, chunk_no * 32 + 1, least(chunk_no * 32 + 32, n)),
+           ' ') AS ptext
+  FROM (
+    SELECT doc_id, w, n,
+           unnest(range(0, 1 + CAST(ceil(greatest(n - 32, 0) / 32.0) AS BIGINT)))
+             AS chunk_no
+    FROM base
+  )
+),
+sh AS (
+  SELECT pid,
+         CASE WHEN len(pw) >= 3 THEN
+           list_distinct(list_transform(range(1, len(pw) - 1),
+                         i -> pw[i] || ' ' || pw[i+1] || ' ' || pw[i+2]))
+         ELSE [ptext] END AS shingles
+  FROM (SELECT pid, ptext, string_split(ptext, ' ') AS pw FROM paras)
+),
+ex AS (SELECT pid, unnest(shingles) AS s FROM sh),
+sig AS (SELECT pid, {mh_cols} FROM ex GROUP BY pid),
+banded AS ({bands}),
+bstats AS (
+  SELECT band, key, count(*) AS bsz, min(pid) AS bmin
+  FROM banded GROUP BY band, key
+),
+cand AS (
+  SELECT DISTINCT ida, idb FROM (
+    SELECT a.pid AS ida, b.pid AS idb
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.key = b.key AND a.pid < b.pid
+    JOIN bstats s ON s.band = a.band AND s.key = a.key
+    WHERE s.bsz <= {LSH_MAX_BUCKET}
+    UNION ALL
+    SELECT s.bmin AS ida, x.pid AS idb
+    FROM banded x JOIN bstats s ON s.band = x.band AND s.key = x.key
+    WHERE s.bsz > {LSH_MAX_BUCKET} AND x.pid <> s.bmin
+  )
+)
+SELECT split_part(ida, '#', 1) AS ida,
+       split_part(ida, '#', 2)::INT AS para_a,
+       split_part(idb, '#', 1) AS idb,
+       split_part(idb, '#', 2)::INT AS para_b
+FROM cand
+ORDER BY ida, para_a, idb, para_b
+"""
+
+
 def _curate_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-call curation (pipeline/curate.py) through the hard oracle
     gate: default config (length 10..1e6 → Gopher repetition 0.2/0.3 →
@@ -4754,6 +4838,9 @@ _DEP_RULES: "list[tuple[tuple[str, ...], list[str]]]" = [
         ("dedup", "simhash", "embed_neardup", "decontaminate"),
         ["pipeline/dedup.py"],
     ),
+    # the paragraph family chunks via pipeline/text.py (latent gap fixed
+    # r11: a text.py edit must demote these entries' evidence too)
+    (("dedup_paragraph",), ["pipeline/text.py"]),
     (
         ("multimodal", "image_ahash", "audio_fingerprint"),
         ["pipeline/multimodal.py", "pipeline/dedup.py"],
@@ -4983,6 +5070,10 @@ def _catalog_canonical() -> dict[str, Q]:
         "chunk_documents": Q(_chunk_documents_fn, _CHUNK_DOCUMENTS_SQL),
         "pack_sequences": Q(_pack_sequences_fn, _PACK_SEQUENCES_SQL),
         "dedup_paragraph": Q(_dedup_paragraph_fn, _DEDUP_PARAGRAPH_SQL),
+        # r11: the sub-document near-dup twin, through the hard gate
+        "dedup_paragraph_neardup": Q(
+            _dedup_paragraph_neardup_fn, _dedup_paragraph_neardup_sql()
+        ),
         "hash_embed": Q(_hash_embed_fn, _HASH_EMBED_SQL),
         "sparse_knn": Q(_sparse_knn_fn, _SPARSE_KNN_SQL),
         "rag_chunk_retrieval": Q(_rag_chunk_retrieval_fn, _RAG_CHUNK_RETRIEVAL_SQL),
