@@ -1308,3 +1308,32 @@ def test_hamming_small_buckets_stay_exact(spark):
         if bin(hashes[i] ^ hashes[j]).count("1") <= 3
     }
     assert got == want
+
+
+def test_jaccard_max_doc_freq_stop_shingle_cap(spark):
+    """The stop-shingle cap (max_doc_freq) must drop ultra-common shingles
+    from the inverted index: a boilerplate 3-gram shared by every doc
+    stops generating candidate pairs, while a genuine near-dup pair (high
+    overlap on RARE shingles) survives with its jaccard intact."""
+    boiler = "copyright footer text"
+    rows = [
+        (i, f"unique{i}a unique{i}b unique{i}c unique{i}d " + boiler)
+        for i in range(50)
+    ]
+    # genuine near-dups: share 9 of ~10 distinct shingles
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.jaccard_similarity_join(
+        df, threshold=0.5, max_doc_freq=10
+    ).collect()
+    pairs = {(r.ida, r.idb) for r in capped}
+    assert (100, 101) in pairs
+    # boilerplate-only co-occurrence never reaches candidate generation:
+    # no pair among the 50 templated docs (their only shared shingles are
+    # the boilerplate ones, df=50 > 10)
+    assert not any(a < 100 and b < 100 for a, b in pairs)
+    # and uncapped DOES generate (then reject) them - the cap is what
+    # keeps the candidate set linear
+    uncapped_cand = dedup.jaccard_similarity_join(df, threshold=0.0).count()
+    assert uncapped_cand > len(capped)
