@@ -31,6 +31,10 @@ Requires root + cgroup v1 cpu controller (this container has it).
 
 Usage:
   RUNS=6 python tools/drifter_quota_ab.py
+  QUOTAS="uncapped,0.75" python tools/drifter_quota_ab.py q1_pricing sessionize
+  (positional args replace the default drifter+calibration entry list —
+  any catalog entry name works, so future rounds can quota-test whatever
+  query is under suspicion)
 """
 
 from __future__ import annotations
@@ -96,6 +100,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n = int(os.environ.get("RUNS", "6"))
+    argv_names = [a for a in sys.argv[1:] if not a.startswith("-")]
     os.makedirs(CG, exist_ok=True)
 
     spark = get_spark(app_name="vc-drifter-quota-ab")
@@ -111,7 +116,7 @@ def main() -> None:
     serving = serving_overrides()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    names = DRIFTERS + CALIBRATION
+    names = argv_names or (DRIFTERS + CALIBRATION)
     fns = {nm: serving.get(nm, cat[nm].fn) for nm in names}
     for nm in names:  # cold runs, uncapped
         fns[nm](spark, sf_dir).count()
@@ -145,7 +150,7 @@ def main() -> None:
             c = statistics.median(cpus[(nm, rname)])
             print(
                 f"{nm:14s} {rname:>9s} {w:8.3f} {c:8.2f} {c / w:9.1f} "
-                f"{w / base:8.2f} {R08_WALL[nm]:6.3f}",
+                f"{w / base:8.2f} {R08_WALL.get(nm, float('nan')):6.3f}",
                 flush=True,
             )
     p = probe()
