@@ -1142,6 +1142,7 @@ def test_capped_minhash_planted_megabucket_linear(spark, caplog):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     with caplog.at_level(logging.WARNING, logger="vectorchord_spark.pipeline.dedup"):
         pairs = dedup.minhash_lsh_pairs(df, max_bucket=64).collect()
+        dedup.await_cap_telemetry()  # observe-based warning is async
     assert len(pairs) == n - 1  # star to the bucket-min, once per pair
     assert all(r.ida == 0 and r.idb > 0 for r in pairs)
     assert any(
@@ -1182,6 +1183,7 @@ def test_capped_embedding_lsh_planted_megabucket(spark, caplog):
         got = dedup.embedding_lsh_pairs(
             df, dim=16, n_planes=4, n_tables=2, threshold=0.99, max_bucket=32
         ).collect()
+        dedup.await_cap_telemetry()  # observe-based warning is async
     assert len(got) == n - 1
     assert all(r.ida == 0 and abs(r.sim - 1.0) < 1e-9 for r in got)
     assert any(
@@ -1268,6 +1270,7 @@ def test_hamming_sorted_neighborhood_megabucket(spark, caplog):
             df, "doc_id", "h", bits=16, max_hamming=3,
             max_bucket=64, neighbor_window=8,
         ).collect()
+        dedup.await_cap_telemetry()  # observe-based warning is async
     assert any("sorted-neighborhood" in rec.getMessage() for rec in caplog.records)
     pairs = {(r.ida, r.idb) for r in got}
     assert all(r.hamming <= 3 for r in got)

@@ -31,14 +31,56 @@ from vectorchord_spark.pipeline.text import words
 
 _log = logging.getLogger(__name__)
 
-#: bounded cache registry for the banded frames of capped LSH joins —
-#: only the LATEST capped-pairs call keeps its banded frame persisted
-#: (results stay correct on recompute; this only bounds cache growth in
-#: long sessions). Guarded by a lock: concurrent callers on one driver
-#: evict each other's cache (correct, just slower) without racing the
-#: list mutation itself.
-_PERSISTED_BANDS: "list[DataFrame]" = []
-_BANDS_LOCK = threading.Lock()
+#: outstanding over-cap telemetry watcher threads (see
+#: :func:`_watch_cap_telemetry`); bounded by pruning finished threads on
+#: every registration. Guarded by a lock against concurrent registration.
+_CAP_WATCHERS: "list[threading.Thread]" = []
+_WATCHERS_LOCK = threading.Lock()
+
+#: clique emission strategy cutover: buckets up to this size build their
+#: pair clique via a bounded collect_list + in-row pair explosion (zero
+#: joins; at 256 the per-bucket pair array tops out at C(256,2) = 32 640
+#: narrow structs ≈ 1 MB — safe for one aggregation row). Larger caps
+#: fall back to the bucket-key self-join, whose output is distributed.
+_CLIQUE_EXPLODE_MAX = 256
+
+
+def _watch_cap_telemetry(obs, log_fn) -> None:
+    """Deliver over-cap telemetry from a ``DataFrame.observe`` node without
+    an extra job: ``Observation.get`` blocks until the FIRST action on the
+    observed plan completes, so a daemon thread waits on it and logs then.
+    Construction stays fully lazy (the r11 eager ``.first()`` stats job —
+    a full blocking pass before any pair was produced — is gone). A plan
+    that is built but never materialized leaves its daemon thread parked
+    until session end — bounded by calls, reaped on process exit.
+    Tests synchronize with :func:`await_cap_telemetry`."""
+
+    def run() -> None:
+        try:
+            metrics = obs.get  # blocks until the observed plan runs
+        except Exception:  # session torn down before any action
+            return
+        log_fn(metrics)
+
+    t = threading.Thread(target=run, daemon=True, name="cap-telemetry")
+    t.start()
+    with _WATCHERS_LOCK:
+        _CAP_WATCHERS[:] = [w for w in _CAP_WATCHERS if w.is_alive()]
+        _CAP_WATCHERS.append(t)
+
+
+def await_cap_telemetry(timeout: float = 30.0) -> None:
+    """Wait (up to ``timeout`` seconds total) for over-cap warnings of
+    already-materialized capped joins to be logged. Call after an action
+    when log inspection must be deterministic (tests); never required for
+    correctness of the pair output."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout
+    with _WATCHERS_LOCK:
+        pending = list(_CAP_WATCHERS)
+    for t in pending:
+        t.join(max(0.0, deadline - _time.monotonic()))
 
 
 def capped_band_pairs(
@@ -73,12 +115,24 @@ def capped_band_pairs(
 
     Per the no-silent-caps rule, when any bucket exceeds the cap a WARNING
     is logged with the over-cap bucket count, the largest bucket, and the
-    number of pairs elided. Computing that requires materializing the
-    bucket statistics eagerly (one job over the narrow banded rows); the
-    banded frame is persisted so signatures are computed once across the
-    stats job and the pair join, registered in a bounded latest-call-only
-    cache registry. ``max_bucket=None`` restores the fully-lazy uncapped
-    self-join.
+    number of pairs elided — derived from a ``DataFrame.observe`` node on
+    the star branch (rows that only exist when a bucket is over cap), so
+    the telemetry costs ZERO extra jobs and construction stays fully lazy
+    (the warning lands when the first action on the returned frame
+    completes; tests synchronize via :func:`await_cap_telemetry`).
+    ``max_bucket=None`` is the uncapped self-join.
+
+    Plan shape (the r12 rewrite — the r11 version persisted the banded
+    frame, ran an eager stats job, and joined the stats back, which
+    measured 2.5x the uncapped wall at gate scale from pure bookkeeping):
+    one hash exchange on the bucket key feeds a window aggregate
+    (per-bucket size + min id, no stats join), cliques for small buckets
+    come from a bounded ``collect_list`` + in-row pair explosion on the
+    SAME partitioning (no shuffle, no self-join, arrays capped at
+    ``max_bucket`` ≤ 256 members), and the star branch is a projection of
+    the same windowed frame (the shared exchange is computed once and
+    reused). One extra shuffle total vs the uncapped path: the final
+    cross-band ``distinct``, which both paths pay.
     """
     if max_bucket is None:
         a = banded.select(F.col(id_col).alias("ida"), *key_cols)
@@ -89,48 +143,84 @@ def capped_band_pairs(
             .select("ida", "idb")
             .distinct()
         )
-    banded = banded.select(F.col(id_col).alias("_bid"), *key_cols).persist()
-    with _BANDS_LOCK:
-        while _PERSISTED_BANDS:
-            _PERSISTED_BANDS.pop().unpersist()
-        _PERSISTED_BANDS.append(banded)
-    stats = banded.groupBy(*key_cols).agg(
-        F.count(F.lit(1)).alias("_bsz"), F.min("_bid").alias("_bmin")
+    from pyspark.sql import Observation, Window
+
+    banded = banded.select(F.col(id_col).alias("_bid"), *key_cols)
+    w = Window.partitionBy(*key_cols)
+    tagged = banded.withColumn("_bsz", F.count(F.lit(1)).over(w)).withColumn(
+        "_bmin", F.min("_bid").over(w)
     )
-    over = stats.where(F.col("_bsz") > max_bucket).agg(
-        F.count(F.lit(1)).alias("n_over"),
-        F.max("_bsz").alias("largest"),
-        # pairs elided per over-cap bucket: full clique minus the star
-        F.sum(
-            (F.col("_bsz") * (F.col("_bsz") - 1)) / 2 - (F.col("_bsz") - 1)
-        ).alias("elided"),
-    ).first()
-    if over["n_over"]:
-        _log.warning(
-            "%s: %d band buckets over max_bucket=%d (largest=%d); "
-            "emitted spanning stars instead of cliques, eliding %d "
-            "within-clique candidate pairs (connectivity preserved)",
-            op_name,
-            over["n_over"],
-            max_bucket,
-            over["largest"],
-            int(over["elided"]),
+    small = tagged.where(
+        (F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket)
+    )
+    if max_bucket <= _CLIQUE_EXPLODE_MAX:
+        # bounded in-row clique: group the (≤ max_bucket)-member bucket
+        # into one sorted array — the groupBy keys equal the window
+        # partition keys, so this aggregates WITHOUT another exchange —
+        # and explode the i<j pair positions JVM-side
+        grouped = small.groupBy(*key_cols).agg(
+            F.sort_array(F.collect_list("_bid")).alias("_ids")
         )
-    tagged = banded.join(stats, key_cols)
-    small = tagged.where(F.col("_bsz") <= max_bucket)
-    a = small.select(F.col("_bid").alias("ida"), *key_cols)
-    b = small.select(F.col("_bid").alias("idb"), *key_cols)
-    full = (
-        a.join(b, key_cols)
-        .where(F.col("ida") < F.col("idb"))
-        .select("ida", "idb")
-    )
+        ids = F.col("_ids")
+        pair_arr = F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.size(ids) - 2),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.size(ids) - 1),
+                    lambda j: F.struct(
+                        F.get(ids, i).alias("ida"), F.get(ids, j).alias("idb")
+                    ),
+                ),
+            )
+        )
+        full = (
+            grouped.select(F.explode(pair_arr).alias("p"))
+            .select("p.ida", "p.idb")
+            # duplicate ids within a bucket sort adjacent → (x, x) pairs;
+            # strict < drops them (old self-join semantics)
+            .where(F.col("ida") < F.col("idb"))
+        )
+    else:
+        a = small.select(F.col("_bid").alias("ida"), *key_cols)
+        b = small.select(F.col("_bid").alias("idb"), *key_cols)
+        full = (
+            a.join(b, key_cols)
+            .where(F.col("ida") < F.col("idb"))
+            .select("ida", "idb")
+        )
     # star branch: _bmin is the bucket min, so _bmin < _bid always holds
-    # and the (ida < idb) pair orientation is free
-    star = (
-        tagged.where((F.col("_bsz") > max_bucket) & (F.col("_bid") != F.col("_bmin")))
-        .select(F.col("_bmin").alias("ida"), F.col("_bid").alias("idb"))
+    # and the (ida < idb) pair orientation is free. This branch appears
+    # exactly ONCE in the final plan, so the observe metrics count each
+    # over-cap bucket exactly once: each contributes (_bsz - 1) rows,
+    # hence sum(1/(_bsz-1)) = #buckets and sum(_bsz/2 - 1) = pairs elided
+    # (C(m,2) - (m-1) summed per bucket).
+    obs = Observation()
+    star_src = tagged.where(
+        (F.col("_bsz") > max_bucket) & (F.col("_bid") != F.col("_bmin"))
+    ).observe(
+        obs,
+        F.round(F.sum(F.lit(1.0) / (F.col("_bsz") - 1))).alias("n_over"),
+        F.max("_bsz").alias("largest"),
+        F.round(F.sum(F.col("_bsz") / 2.0 - 1)).alias("elided"),
     )
+    star = star_src.select(
+        F.col("_bmin").alias("ida"), F.col("_bid").alias("idb")
+    )
+
+    def _warn(m: dict) -> None:
+        if m.get("n_over"):
+            _log.warning(
+                "%s: %d band buckets over max_bucket=%d (largest=%d); "
+                "emitted spanning stars instead of cliques, eliding %d "
+                "within-clique candidate pairs (connectivity preserved)",
+                op_name,
+                int(m["n_over"]),
+                max_bucket,
+                int(m["largest"]),
+                int(m["elided"]),
+            )
+
+    _watch_cap_telemetry(obs, _warn)
     return full.unionAll(star).distinct()
 
 
@@ -398,9 +488,15 @@ def hamming_near_pairs(
     max_bucket: int | None = 4096,
     neighbor_window: int = 16,
 ) -> DataFrame:
-    """All pairs whose integer ``hash_col`` values are within
-    ``max_hamming`` bits (generic over ANY bit-fingerprint: SimHash text
-    signatures, image average-hashes, ...).
+    """Candidate-verified near-pairs whose integer ``hash_col`` values are
+    within ``max_hamming`` bits (generic over ANY bit-fingerprint: SimHash
+    text signatures, image average-hashes, ...). EXACT (all such pairs)
+    while every (chunk, value) bucket stays within ``max_bucket``;
+    over-cap mega-buckets switch to Manku sorted-neighborhood candidates,
+    which can MISS pairs > ``neighbor_window`` apart in every agreeing
+    chunk's sort order (never emit wrong ones — the Hamming verify is
+    exact). Pass ``max_bucket=None`` for the unconditionally exact
+    all-pairs contract.
 
     Scale path: band the hash into ``bits/band_bits`` chunks — any pair
     within the Hamming budget must agree on ≥ 1 chunk when
@@ -491,29 +587,13 @@ def _banded_hamming_pairs(
         return cand.select(
             "ida", "idb", ham.cast("int").alias("hamming")
         ).where(F.col("hamming") <= max_hamming)
-    from pyspark.sql import Window
+    from pyspark.sql import Observation, Window
 
-    banded = banded.persist()
-    with _BANDS_LOCK:
-        while _PERSISTED_BANDS:
-            _PERSISTED_BANDS.pop().unpersist()
-        _PERSISTED_BANDS.append(banded)
-    stats = banded.groupBy("chunk", "v").agg(F.count(F.lit(1)).alias("_bsz"))
-    over = stats.where(F.col("_bsz") > max_bucket).agg(
-        F.count(F.lit(1)).alias("n_over"), F.max("_bsz").alias("largest")
-    ).first()
-    if over["n_over"]:
-        _log.warning(
-            "hamming banding: %d (chunk, value) buckets over max_bucket=%d "
-            "(largest=%d); using sorted-neighborhood candidates (window=%d) "
-            "there — pairs farther apart in every agreeing chunk's sort "
-            "order are missed",
-            over["n_over"],
-            max_bucket,
-            over["largest"],
-            neighbor_window,
-        )
-    tagged = banded.join(stats, ["chunk", "v"])
+    # per-bucket size via a window aggregate over the SAME hash exchange
+    # every branch below reuses — no stats join, no persist, no eager
+    # telemetry job (the r12 lazy rewrite; see capped_band_pairs)
+    w0 = Window.partitionBy("chunk", "v")
+    tagged = banded.withColumn("_bsz", F.count(F.lit(1)).over(w0))
     small = tagged.where(F.col("_bsz") <= max_bucket)
     a = small.select(F.col("_id").alias("ida"), F.col("sh").alias("sha"), "chunk", "v")
     b = small.select(F.col("_id").alias("idb"), F.col("sh").alias("shb"), "chunk", "v")
@@ -525,8 +605,31 @@ def _banded_hamming_pairs(
     # over-cap: compact the agreed chunk out of the hash so the sort key
     # is exactly the bits that can still differ (low-order differences
     # land adjacent), then take each row's next-W neighbors in one window
-    # pass — no join, O(m·W) output from an m-row bucket
-    big = tagged.where(F.col("_bsz") > max_bucket)
+    # pass — no join, O(m·W) output from an m-row bucket. This branch
+    # appears exactly once in the final plan: the observe node counts
+    # each over-cap bucket once (m rows → sum(1/_bsz) = 1 per bucket) and
+    # logs when the first action completes (no extra telemetry job).
+    obs = Observation()
+    big = tagged.where(F.col("_bsz") > max_bucket).observe(
+        obs,
+        F.round(F.sum(F.lit(1.0) / F.col("_bsz"))).alias("n_over"),
+        F.max("_bsz").alias("largest"),
+    )
+
+    def _warn(m: dict) -> None:
+        if m.get("n_over"):
+            _log.warning(
+                "hamming banding: %d (chunk, value) buckets over "
+                "max_bucket=%d (largest=%d); using sorted-neighborhood "
+                "candidates (window=%d) there — pairs farther apart in "
+                "every agreeing chunk's sort order are missed",
+                int(m["n_over"]),
+                max_bucket,
+                int(m["largest"]),
+                neighbor_window,
+            )
+
+    _watch_cap_telemetry(obs, _warn)
     # per-chunk CASE with literal shift amounts (shiftright needs int
     # literals; also a 64-bit shift would wrap to 0 in the JVM, so the
     # top chunk's upper part is pinned to 0 explicitly). sh is SIGNED —
