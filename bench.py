@@ -282,6 +282,10 @@ def main() -> None:
     ncpu = os.cpu_count() or 1
     out["host_cpus"] = ncpu
     threshold = 0.4 * min(24, ncpu)
+    # record the gate value itself so cross-round tooling can compare
+    # runs stamped under different threshold rules (the r11->r12 gate
+    # moved from a flat <5 to 0.4*min(24,cpus))
+    out["throttle_threshold"] = round(threshold, 2)
     if pscale is not None and pscale < threshold:
         out["window_throttled"] = True
         out["window_note"] = (
