@@ -417,3 +417,75 @@ def test_streaming_neardup_state_ttl_plateaus(spark):
         # offline confirmation from the committed checkpoint itself
         st = spark.read.format("statestore").load(f"{tmp}/ckpt")
         assert st.count() <= 6 * n_bands
+
+
+def test_streaming_neardup_event_time_ttl(spark):
+    """Event-time TTL (r11 verdict #6): eviction keyed to the DATA's
+    timestamps via the watermark, not wall-clock idleness — so it is
+    replay-safe (composes with availableNow backfills, which terminate)
+    and a stalled-then-resumed stream keeps state a processing-time TTL
+    would have evicted. Five availableNow phases over one checkpoint:
+
+      1. canonical doc 1 at T0            -> state created
+      2. dup 7 at T0+30s (inside the 60s event-time TTL, though phases
+         are separated by arbitrary wall time) -> pair (1, 7) emitted
+      3. unrelated doc at T0+3h           -> watermark jumps past the
+         doc-1 keys' timeout (but eviction needs a later batch)
+      4. unrelated doc                    -> doc-1 keys EVICTED
+      5. dup 9 of doc 1 at T0+3h+2s       -> NO pair to 1 (new hub)
+    """
+    import datetime
+
+    from vectorchord_spark.streaming import streaming_neardup_pairs
+
+    d_main = "the quick brown fox jumps over the lazy dog again and again"
+
+    def other(tag):
+        return f"unrelated {tag} content " + " ".join(
+            f"{tag}w{j}" for j in range(8)
+        )
+
+    t0 = datetime.datetime(2026, 1, 1, 10, 0, 0)
+
+    def ts(sec):
+        return t0 + datetime.timedelta(seconds=sec)
+
+    schema = "doc_id long, text string, ts timestamp"
+    kw = dict(
+        schema=schema,
+        state_ttl_seconds=60.0,
+        event_time_col="ts",
+        watermark_delay="0 seconds",
+        available_now=True,  # allowed in event mode; must terminate
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/in"
+        os.makedirs(src)
+
+        def run_phase(rows):
+            spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+            from vectorchord_spark.streaming import streaming_neardup_pairs
+
+            q = streaming_neardup_pairs(
+                spark, src, f"{tmp}/ckpt", f"{tmp}/out", **kw
+            )
+            assert q.awaitTermination(120)
+
+        run_phase([(1, d_main, ts(0))])
+        run_phase([(7, d_main, ts(30))])            # inside event TTL
+        run_phase([(50, other("x"), ts(3 * 3600))])  # watermark jump
+        run_phase([(51, other("y"), ts(3 * 3600 + 1))])  # fires eviction
+        run_phase([(9, d_main, ts(3 * 3600 + 2))])   # past TTL: new hub
+
+        got = {
+            (r.ida, r.idb)
+            for r in spark.read.parquet(f"{tmp}/out").collect()
+        }
+        assert got == {(1, 7)}, got  # 9 never pairs with the evicted hub
+
+        # offline: doc-1/7's band keys are gone; only the post-eviction
+        # keys (doc 50, 51, 9 hubs) remain
+        st = spark.read.format("statestore").load(f"{tmp}/ckpt")
+        firsts = {r.value.groupState.first for r in st.collect()}
+        assert 1 not in firsts and 7 not in firsts
+        assert 9 in firsts

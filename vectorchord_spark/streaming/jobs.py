@@ -322,6 +322,8 @@ def streaming_neardup_pairs(
     band_rows: int = 2,
     available_now: bool = True,
     state_ttl_seconds: float | None = None,
+    event_time_col: str | None = None,
+    watermark_delay: str = "10 seconds",
 ) -> StreamingQuery:
     """Streaming near-duplicate detection: the online twin of the batch
     ``minhash_lsh_pairs`` catalog op. As documents land, each one's banded
@@ -350,14 +352,29 @@ def streaming_neardup_pairs(
     the TTL to the dedup horizon you need, and run the batch op
     periodically for full-corpus compaction (the lambda shape).
 
-    TTL requires ``available_now=False``: processing-time timeouts make
-    the engine keep scheduling (empty) micro-batches to fire evictions,
-    so an availableNow backfill would never terminate (measured: 40+
-    empty batches after the data was exhausted). Backfills have bounded
-    input — they don't need a TTL in the first place."""
+    **Event-time vs processing-time eviction**: the default TTL clock is
+    processing time (wall-clock idleness) — right for continuous ingest
+    where retention is an operational budget, but a stream that STALLS
+    and resumes evicts state an event-time reader would have kept, and
+    replaying old data re-ages it by arrival time, not by content time.
+    Passing ``event_time_col`` (a timestamp column in ``schema``, watermarked
+    by ``watermark_delay``) switches to an EVENT-time TTL: a band key is
+    evicted when the stream's watermark passes the key's last-seen event
+    time + TTL. That makes eviction a pure function of the DATA (replay-
+    safe, stall-safe, deterministic across reruns of the same input), and
+    it composes with ``available_now=True`` — event-time timeouts fire off
+    the watermark, which only advances with data, so backfills terminate.
+
+    Processing-time TTL requires ``available_now=False``: processing-time
+    timeouts make the engine keep scheduling (empty) micro-batches to
+    fire evictions, so an availableNow backfill would never terminate
+    (measured: 40+ empty batches after the data was exhausted). Backfills
+    have bounded input — they don't need a wall-clock TTL in the first
+    place."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    if state_ttl_seconds is not None and available_now:
+    event_mode = event_time_col is not None
+    if state_ttl_seconds is not None and available_now and not event_mode:
         raise ValueError(
             "state_ttl_seconds requires available_now=False (continuous "
             "trigger): processing-time timeouts keep scheduling batches, so "
@@ -367,12 +384,17 @@ def streaming_neardup_pairs(
         )
 
     stream = spark.readStream.schema(schema).parquet(source_path)
-    banded = stream.select(
+    if event_mode:
+        stream = stream.withWatermark(event_time_col, watermark_delay)
+    sel = [
         F.col(id_col).alias("_id"),
         F.posexplode(
             minhash_band_keys(F.col(text_col), n, num_hashes, band_rows)
         ).alias("band", "key"),
-    )
+    ]
+    if event_mode:
+        sel.append(F.col(event_time_col).alias("_ts"))
+    banded = stream.select(*sel)
 
     out_schema = "ida long, idb long, band int"
     state_schema = "first long"
@@ -390,9 +412,13 @@ def streaming_neardup_pairs(
             return
         band, _k = key
         ids: list[int] = []
+        ts_max = None
         for pdf in pdfs:
             pdf = pdf.dropna(subset=["_id"])
             ids.extend(int(v) for v in pdf["_id"].to_numpy())
+            if event_mode and len(pdf):
+                m = pdf["_ts"].max()
+                ts_max = m if ts_max is None else max(ts_max, m)
         ids.sort()
         if not ids:
             # must carry the declared output columns: the Arrow
@@ -408,7 +434,16 @@ def streaming_neardup_pairs(
         if ttl_ms is not None:
             # re-arm on every batch that touches the key: TTL measures
             # idleness, not age
-            state.setTimeoutDuration(ttl_ms)
+            if event_mode:
+                # evict when the WATERMARK passes last-seen event time +
+                # TTL (replay-safe); the engine requires the timeout
+                # timestamp to sit beyond the current watermark
+                evt_ms = int(pd.Timestamp(ts_max).value // 10**6)
+                state.setTimeoutTimestamp(
+                    max(evt_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+                )
+            else:
+                state.setTimeoutDuration(ttl_ms)
         rows = [
             {"ida": min(first, i), "idb": max(first, i), "band": int(band)}
             for i in ids
@@ -422,9 +457,13 @@ def streaming_neardup_pairs(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=(
-            GroupStateTimeout.ProcessingTimeTimeout
-            if ttl_ms is not None
-            else GroupStateTimeout.NoTimeout
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else (
+                GroupStateTimeout.EventTimeTimeout
+                if event_mode
+                else GroupStateTimeout.ProcessingTimeTimeout
+            )
         ),
     )
     writer = (
