@@ -76,8 +76,20 @@ def main() -> None:
     ) * 2.0
     bc_centers = spark.sparkContext.broadcast(centers)
 
-    # doc d's token t ~ N(center[(d*16+t) % 2000], 0.25) — deterministic
-    # per (doc, token) so queries can be planted near known docs
+    # Graded-family corpus: docs come in families of 16 (f = d // 16)
+    # whose token-t center is a hash of (f, t) — so a query near family
+    # f's centers has ~16 relevant docs with GRADED noise (0.05 + 0.45 *
+    # rank/16): the true top-10 is the family's 10 lowest-noise members,
+    # a well-separated ranking an ANN index must actually find. (A first
+    # version used cid = (d*16+t) % 2000, which gives 8,000 docs per
+    # query with IDENTICAL center sequences — the top-10 becomes a noise
+    # lottery that no bounded-candidate method, and no real corpus,
+    # exhibits.)
+    fam_size = 16
+
+    def _cid(fam: np.ndarray, tok: np.ndarray) -> np.ndarray:
+        return ((fam * 2654435761 + tok * 40503 + 12345) ^ (fam >> 3)) % n_centers
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         C = bc_centers.value
         for pdf in batches:
@@ -86,9 +98,12 @@ def main() -> None:
             rows_id = np.repeat(ids, n_tok) * (1 << 16) + np.tile(
                 np.arange(n_tok, dtype=np.int64), len(ids)
             )
-            cid = ((np.repeat(ids, n_tok) * n_tok)
-                   + np.tile(np.arange(n_tok), len(ids))) % n_centers
-            vecs = C[cid] + 0.25 * rng.standard_normal(
+            fam = np.repeat(ids // fam_size, n_tok)
+            tok = np.tile(np.arange(n_tok, dtype=np.int64), len(ids))
+            scale = (
+                0.05 + 0.45 * (np.repeat(ids % fam_size, n_tok) / fam_size)
+            )[:, None].astype(np.float32)
+            vecs = C[_cid(fam, tok)] + scale * rng.standard_normal(
                 (len(ids) * n_tok, dim)
             ).astype(np.float32)
             yield pd.DataFrame({"id": rows_id, "vec": list(vecs.astype(np.float32))})
@@ -119,11 +134,13 @@ def main() -> None:
 
     # ---- queries: 16 tokens near the token centers of a random doc ----
     qrng = np.random.default_rng(999)
-    qdocs = qrng.integers(0, n_docs, n_q)
+    qfams = qrng.integers(0, n_docs // fam_size, n_q)
     queries = []
-    for qd in qdocs:
-        cid = (qd * n_tok + np.arange(n_tok)) % n_centers
-        q = centers[cid] + 0.25 * qrng.standard_normal((n_tok, dim)).astype(
+    for qf in qfams:
+        cid = _cid(
+            np.full(n_tok, qf, np.int64), np.arange(n_tok, dtype=np.int64)
+        )
+        q = centers[cid] + 0.05 * qrng.standard_normal((n_tok, dim)).astype(
             np.float32
         )
         queries.append(np.asarray(q, np.float64))
