@@ -70,7 +70,12 @@ def main() -> None:
     spark = get_spark(app_name="vc-maxsim-scale")
     spark.sparkContext.setLogLevel("ERROR")
 
-    n_centers = 2000
+    # center diversity must SCALE with the corpus: at 2,000 centers a 1M-
+    # doc corpus put ~31 unrelated families on every (token, center), and
+    # their statistically-identical tokens crowd the per-token candidate
+    # lists — recall then measures an impossible problem, not the index.
+    # ~5 docs/center keeps inter-family crowding realistic at every size.
+    n_centers = int(min(200_000, max(2000, n_docs // 5)))
     centers = np.random.default_rng(77).standard_normal((n_centers, dim)).astype(
         np.float32
     ) * 2.0
