@@ -1206,6 +1206,37 @@ def test_capped_band_pairs_mixed_buckets(spark):
     }
     want = {(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (10, 13), (10, 14)}
     assert got == want
+    # the opt-in skew-parallel stats shape (groupBy+join-back instead of
+    # the window aggregate) must be pair-for-pair identical
+    got_sp = {
+        (r.ida, r.idb)
+        for r in capped_band_pairs(
+            df, ["band", "key"], "_id", 3, skew_parallel_stats=True
+        ).collect()
+    }
+    assert got_sp == want
+
+
+def test_hamming_skew_parallel_stats_identical(spark):
+    """hamming_near_pairs with skew_parallel_stats=True emits the same
+    exact pair set as the default window-stats shape."""
+    rng = np.random.default_rng(11)
+    hashes = rng.integers(0, 1 << 16, size=50).tolist()
+    df = spark.createDataFrame(
+        [(i, int(h)) for i, h in enumerate(hashes)], "doc_id long, h long"
+    )
+    kw = dict(bits=16, max_hamming=3, max_bucket=4096)
+    base = {
+        (r.ida, r.idb)
+        for r in dedup.hamming_near_pairs(df, "doc_id", "h", **kw).collect()
+    }
+    sp = {
+        (r.ida, r.idb)
+        for r in dedup.hamming_near_pairs(
+            df, "doc_id", "h", skew_parallel_stats=True, **kw
+        ).collect()
+    }
+    assert sp == base
 
 
 def test_paragraph_neardup_pairs_capped_boilerplate(spark):

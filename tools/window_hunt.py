@@ -45,28 +45,38 @@ def probe() -> dict:
 def run(cmd: list[str], env: dict | None = None, timeout: float = 3600) -> str:
     e = dict(os.environ)
     e.update(env or {})
-    r = subprocess.run(cmd, capture_output=True, text=True, env=e, timeout=timeout)
+    r = subprocess.run(
+        cmd, capture_output=True, text=True, env=e, timeout=timeout, cwd=ROOT
+    )
     return r.stdout[-8000:] + ("\n[stderr tail]\n" + r.stderr[-1500:] if r.returncode else "")
+
+
+def safe_probe() -> dict:
+    try:
+        return probe()
+    except Exception as e:  # a failed mid-probe must not abort the bank
+        return {"error": str(e)}
 
 
 def bank(p0: dict) -> None:
     py = sys.executable
+    tool = lambda name: os.path.join(ROOT, "tools", name)  # noqa: E731
     sections = [("pre-bank probe", json.dumps(p0))]
     sections.append((
         "768d IVF build (1M x 768d; bar >=40k rows/s)",
-        run([py, "tools/profile_build.py"], {"ROWS": "1000000", "DIM": "768"}),
+        run([py, tool("profile_build.py")], {"ROWS": "1000000", "DIM": "768"}),
     ))
-    sections.append(("mid probe", json.dumps(probe())))
+    sections.append(("mid probe", json.dumps(safe_probe())))
     sections.append((
         "graph 1M x 64d build (bar >=17k rows/s)",
-        run([py, "tools/profile_graph_serving.py", "1000000"]),
+        run([py, tool("profile_graph_serving.py"), "1000000"]),
     ))
-    sections.append(("mid probe 2", json.dumps(probe())))
+    sections.append(("mid probe 2", json.dumps(safe_probe())))
     sections.append((
         "SemDeDup f32 arm (1M x 768d, k=10240; banked f64 280.6s r08)",
-        run([py, "tools/profile_semdedup.py"], {"PRECISE": "0"}),
+        run([py, tool("profile_semdedup.py")], {"PRECISE": "0"}),
     ))
-    sections.append(("post-bank probe", json.dumps(probe())))
+    sections.append(("post-bank probe", json.dumps(safe_probe())))
     with open(BANK, "w") as f:
         f.write("# WINDOW_BANK r12 — certified-window banking runs\n\n")
         f.write(f"Gate: parallel_scale_24t >= {GATE} (clean host 18-22x).\n\n")

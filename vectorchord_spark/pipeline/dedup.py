@@ -79,7 +79,10 @@ def await_cap_telemetry(timeout: float = 30.0) -> None:
     deadline = _time.monotonic() + timeout
     with _WATCHERS_LOCK:
         pending = list(_CAP_WATCHERS)
-    for t in pending:
+    # newest first: the caller almost always awaits the warning of the
+    # action it JUST ran; a stale watcher whose plan was never
+    # materialized (parked forever) must not starve it of the deadline
+    for t in reversed(pending):
         t.join(max(0.0, deadline - _time.monotonic()))
 
 
@@ -89,6 +92,7 @@ def capped_band_pairs(
     id_col: str = "_id",
     max_bucket: int | None = 64,
     op_name: str = "capped_band_pairs",
+    skew_parallel_stats: bool = False,
 ) -> DataFrame:
     """Candidate pairs from an LSH-banded frame, with a per-bucket size cap.
 
@@ -123,16 +127,31 @@ def capped_band_pairs(
     ``max_bucket=None`` is the uncapped self-join.
 
     Plan shape (the r12 rewrite — the r11 version persisted the banded
-    frame, ran an eager stats job, and joined the stats back, which
-    measured 2.5x the uncapped wall at gate scale from pure bookkeeping):
-    one hash exchange on the bucket key feeds a window aggregate
-    (per-bucket size + min id, no stats join), cliques for small buckets
+    frame, ran an eager stats job at plan construction, and recomputed
+    the stats aggregate in the pair join, which measured 2.5x the
+    uncapped wall at gate scale from pure bookkeeping): one hash exchange
+    on the bucket key feeds a window aggregate for per-bucket size/min
+    (no stats join — A/B'd 1.7x cheaper end-to-end than the
+    groupBy+join-back shape at gate scale), cliques for small buckets
     come from a bounded ``collect_list`` + in-row pair explosion on the
     SAME partitioning (no shuffle, no self-join, arrays capped at
-    ``max_bucket`` ≤ 256 members), and the star branch is a projection of
-    the same windowed frame (the shared exchange is computed once and
-    reused). One extra shuffle total vs the uncapped path: the final
-    cross-band ``distinct``, which both paths pay.
+    ``max_bucket`` ≤ 256 members), and the star branch is a filter of the
+    same windowed frame over a ReusedExchange. Two shuffles total
+    (band-key + final cross-band distinct) — the same count the uncapped
+    self-join pays.
+
+    Skew bound of the window shape: a mega-bucket's rows land in ONE
+    WindowExec task as a spillable external sort of narrow (id, key)
+    rows — O(m log m) local work, measured fine at m = 500k (10M-doc
+    validation, docs/SCALE.md r12) and ~GB-scale spill at m = 10⁸ (a
+    bounded straggler, the same property the Manku sorted-neighborhood
+    over-cap branch of ``hamming_near_pairs`` has by construction —
+    unlike the O(m²) OUTPUT blowup the cap exists to prevent, which no
+    partitioning fixes). ``skew_parallel_stats=True`` switches the stats
+    computation to a partial-aggregating groupBy joined back (map-side
+    combine, AQE skew-join splits the hot probe side) for corpora whose
+    single hottest bucket is too large even to sort in one task — it
+    costs ~1.7x at skew-free gate scale, which is why it is opt-in.
     """
     if max_bucket is None:
         a = banded.select(F.col(id_col).alias("ida"), *key_cols)
@@ -146,10 +165,18 @@ def capped_band_pairs(
     from pyspark.sql import Observation, Window
 
     banded = banded.select(F.col(id_col).alias("_bid"), *key_cols)
-    w = Window.partitionBy(*key_cols)
-    tagged = banded.withColumn("_bsz", F.count(F.lit(1)).over(w)).withColumn(
-        "_bmin", F.min("_bid").over(w)
-    )
+    if skew_parallel_stats:
+        stats = banded.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).alias("_bsz"), F.min("_bid").alias("_bmin")
+        )
+        tagged = banded.join(stats, key_cols)
+    else:
+        w = Window.partitionBy(*key_cols)
+        tagged = banded.select(
+            "*",
+            F.count(F.lit(1)).over(w).alias("_bsz"),
+            F.min("_bid").over(w).alias("_bmin"),
+        )
     small = tagged.where(
         (F.col("_bsz") >= 2) & (F.col("_bsz") <= max_bucket)
     )
@@ -487,6 +514,7 @@ def hamming_near_pairs(
     band_bits: int | None = None,
     max_bucket: int | None = 4096,
     neighbor_window: int = 16,
+    skew_parallel_stats: bool = False,
 ) -> DataFrame:
     """Candidate-verified near-pairs whose integer ``hash_col`` values are
     within ``max_hamming`` bits (generic over ANY bit-fingerprint: SimHash
@@ -510,7 +538,8 @@ def hamming_near_pairs(
     band_bits = _hamming_band_bits(bits, max_hamming, band_bits)
     sigs = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("sh"))
     return _banded_hamming_pairs(
-        sigs, bits, max_hamming, band_bits, max_bucket, neighbor_window
+        sigs, bits, max_hamming, band_bits, max_bucket, neighbor_window,
+        skew_parallel_stats,
     )
 
 
@@ -523,6 +552,7 @@ def simhash_near_pairs(
     band_bits: int | None = None,
     max_bucket: int | None = 4096,
     neighbor_window: int = 16,
+    skew_parallel_stats: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming`` (the
     text-signature instance of :func:`hamming_near_pairs`)."""
@@ -531,7 +561,8 @@ def simhash_near_pairs(
         F.col(id_col).alias("_id"), simhash(text_col, bits).alias("sh")
     )
     return _banded_hamming_pairs(
-        sigs, bits, max_hamming, band_bits, max_bucket, neighbor_window
+        sigs, bits, max_hamming, band_bits, max_bucket, neighbor_window,
+        skew_parallel_stats,
     )
 
 
@@ -542,6 +573,7 @@ def _banded_hamming_pairs(
     band_bits: int,
     max_bucket: int | None = 4096,
     neighbor_window: int = 16,
+    skew_parallel_stats: bool = False,
 ) -> DataFrame:
     """Candidate generation + exact-Hamming verify over chunk bands.
 
@@ -589,11 +621,21 @@ def _banded_hamming_pairs(
         ).where(F.col("hamming") <= max_hamming)
     from pyspark.sql import Observation, Window
 
-    # per-bucket size via a window aggregate over the SAME hash exchange
-    # every branch below reuses — no stats join, no persist, no eager
-    # telemetry job (the r12 lazy rewrite; see capped_band_pairs)
-    w0 = Window.partitionBy("chunk", "v")
-    tagged = banded.withColumn("_bsz", F.count(F.lit(1)).over(w0))
+    # per-bucket size via a window aggregate over the hash exchange every
+    # branch reuses (the r12 lazy shape — no persist, no eager telemetry
+    # job); skew_parallel_stats opts into the groupBy+join-back shape for
+    # corpora whose hottest bucket cannot sort in one task — the
+    # tradeoffs are documented on capped_band_pairs
+    if skew_parallel_stats:
+        stats = banded.groupBy("chunk", "v").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        tagged = banded.join(stats, ["chunk", "v"])
+    else:
+        w0 = Window.partitionBy("chunk", "v")
+        tagged = banded.select(
+            "*", F.count(F.lit(1)).over(w0).alias("_bsz")
+        )
     small = tagged.where(F.col("_bsz") <= max_bucket)
     a = small.select(F.col("_id").alias("ida"), F.col("sh").alias("sha"), "chunk", "v")
     b = small.select(F.col("_id").alias("idb"), F.col("sh").alias("shb"), "chunk", "v")

@@ -359,8 +359,10 @@ def streaming_neardup_pairs(
     replaying old data re-ages it by arrival time, not by content time.
     Passing ``event_time_col`` (a timestamp column in ``schema``, watermarked
     by ``watermark_delay``) switches to an EVENT-time TTL: a band key is
-    evicted when the stream's watermark passes the key's last-seen event
-    time + TTL. That makes eviction a pure function of the DATA (replay-
+    evicted when the stream's watermark passes the key's MAX event time
+    ever seen + TTL (monotonic: a late out-of-order row can never pull an
+    already-promised deadline earlier). That makes eviction a pure
+    function of the DATA (replay-
     safe, stall-safe, deterministic across reruns of the same input), and
     it composes with ``available_now=True`` — event-time timeouts fire off
     the watermark, which only advances with data, so backfills terminate.
@@ -397,8 +399,18 @@ def streaming_neardup_pairs(
     banded = stream.select(*sel)
 
     out_schema = "ida long, idb long, band int"
-    state_schema = "first long"
+    # last_ms: running max event-time epoch ms seen by this key (0 when
+    # not in event mode) — the timeout must be re-armed from the MAX ever
+    # seen, not the current batch's max, or a late-but-valid out-of-order
+    # row would pull the eviction deadline EARLIER than already promised
+    state_schema = "first long, last_ms long"
     ttl_ms = None if state_ttl_seconds is None else max(1, int(state_ttl_seconds * 1000))
+    # applyInPandasWithState delivers timestamp columns tz-NAIVE in the
+    # session timezone, while GroupState timeouts are true UTC epoch ms —
+    # capture the session tz here (driver) so the worker can localize;
+    # interpreting local wall-clock as UTC shifts eviction by the UTC
+    # offset (and west of UTC collapses the TTL to ~0)
+    session_tz = spark.conf.get("spark.sql.session.timeZone")
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd  # noqa: PLC0415
@@ -418,7 +430,8 @@ def streaming_neardup_pairs(
             ids.extend(int(v) for v in pdf["_id"].to_numpy())
             if event_mode and len(pdf):
                 m = pdf["_ts"].max()
-                ts_max = m if ts_max is None else max(ts_max, m)
+                if not pd.isna(m):
+                    ts_max = m if ts_max is None else max(ts_max, m)
         ids.sort()
         if not ids:
             # must carry the declared output columns: the Arrow
@@ -426,22 +439,34 @@ def streaming_neardup_pairs(
             # zero-column frame would raise at runtime.
             yield empty
             return
+        prev_ms = 0
         if state.exists:
-            (first,) = state.get
+            (first, prev_ms) = state.get
         else:
             first = ids[0]
-            state.update((first,))
+        evt_ms = prev_ms
+        if event_mode and ts_max is not None:
+            ts = pd.Timestamp(ts_max)
+            if ts.tzinfo is None:
+                ts = ts.tz_localize(
+                    session_tz, ambiguous=False, nonexistent="shift_forward"
+                )
+            evt_ms = max(evt_ms, int(ts.value // 10**6))
+        if not state.exists or evt_ms != prev_ms:
+            state.update((first, evt_ms))
         if ttl_ms is not None:
             # re-arm on every batch that touches the key: TTL measures
             # idleness, not age
             if event_mode:
-                # evict when the WATERMARK passes last-seen event time +
-                # TTL (replay-safe); the engine requires the timeout
-                # timestamp to sit beyond the current watermark
-                evt_ms = int(pd.Timestamp(ts_max).value // 10**6)
-                state.setTimeoutTimestamp(
-                    max(evt_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
-                )
+                # evict when the WATERMARK passes the max event time this
+                # key has EVER seen + TTL (replay-safe, monotonic); if the
+                # batch carried only null timestamps and none were stored,
+                # fall back to arming from the current watermark. The
+                # engine requires the timestamp to sit beyond the current
+                # watermark.
+                wm = state.getCurrentWatermarkMs()
+                base_ms = evt_ms if evt_ms > 0 else wm
+                state.setTimeoutTimestamp(max(base_ms + ttl_ms, wm + 1))
             else:
                 state.setTimeoutDuration(ttl_ms)
         rows = [
