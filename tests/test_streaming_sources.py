@@ -489,3 +489,49 @@ def test_streaming_neardup_event_time_ttl(spark):
         firsts = {r.value.groupState.first for r in st.collect()}
         assert 1 not in firsts and 7 not in firsts
         assert 9 in firsts
+
+
+def test_streaming_neardup_event_ttl_nonutc_session(spark):
+    """The event-time timeout must be armed at the true UTC epoch of
+    last-seen-event + TTL even when the session timezone is not UTC
+    (applyInPandasWithState hands the worker tz-NAIVE session-local
+    timestamps, while GroupState timeouts are UTC epoch ms — interpreting
+    local wall-clock as UTC shifts eviction by the UTC offset)."""
+    import datetime
+
+    from vectorchord_spark.streaming import streaming_neardup_pairs
+
+    tz = "America/New_York"  # UTC-5 (winter)
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", tz)
+    try:
+        # tz-AWARE instant (unambiguous): 2026-01-01T10:00:00Z. The worker
+        # receives it converted to the session tz and made tz-naive
+        # (05:00 NY wall clock); unlocalized naive-as-UTC arithmetic would
+        # arm the timeout 5h early (05:01Z instead of 10:01Z).
+        t0 = datetime.datetime(
+            2026, 1, 1, 10, 0, 0, tzinfo=datetime.timezone.utc
+        )
+        utc_epoch_ms = 1_767_261_600_000  # 2026-01-01T10:00:00Z
+        ttl = 60.0
+        schema = "doc_id long, text string, ts timestamp"
+        with tempfile.TemporaryDirectory() as tmp:
+            src = f"{tmp}/in"
+            os.makedirs(src)
+            spark.createDataFrame(
+                [(1, "a b c d e f g h i j", t0)], schema
+            ).write.mode("append").parquet(src)
+            q = streaming_neardup_pairs(
+                spark, src, f"{tmp}/ckpt", f"{tmp}/out",
+                schema=schema, state_ttl_seconds=ttl,
+                event_time_col="ts", watermark_delay="0 seconds",
+                available_now=True,
+            )
+            assert q.awaitTermination(120)
+            st = spark.read.format("statestore").load(f"{tmp}/ckpt")
+            touts = {r.value.timeoutTimestamp for r in st.collect()}
+            # every band key armed at exactly event-UTC + TTL — a naive
+            # epoch read would be 5h (18,000,000 ms) early
+            assert touts == {utc_epoch_ms + int(ttl * 1000)}, touts
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)

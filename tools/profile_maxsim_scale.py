@@ -150,6 +150,34 @@ def main() -> None:
         )
         queries.append(np.asarray(q, np.float64))
 
+    # ---- STAGES=1: per-stage serve decomposition only (no oracle) ----
+    if os.environ.get("STAGES") == "1":
+        from vectorchord_spark.operators.maxsim import maxsim_search
+
+        for qi, q in enumerate(queries[: min(3, n_q)]):
+            tokens_f = [list(map(float, t)) for t in q]
+            t0 = time.perf_counter()
+            n_cand = index.search_batch(
+                tokens_f, k=100, probes=[probes], rerank_factor=None
+            ).count()
+            t_cand = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            maxsim_search(
+                index, query_tokens=q, k=k,
+                per_token_candidates=100, probes=[probes],
+            ).collect()
+            t_full = time.perf_counter() - t0
+            print(
+                f"stage split q{qi}: candidate job (one batched codes "
+                f"scan for all {n_tok} tokens -> {n_cand} rows) "
+                f"{t_cand:.2f}s; full maxsim {t_full:.2f}s -> estimation "
+                f"collect + groupBy-min-sum + top-k = {t_full - t_cand:.2f}s",
+                flush=True,
+            )
+        print(f"canary post: {canary(dim)}")
+        spark.stop()
+        return
+
     # ---- exact brute-force oracle: one linear pass per query ----
     def bf_topk(q: np.ndarray) -> list[int]:
         bq = spark.sparkContext.broadcast(q.astype(np.float32))
