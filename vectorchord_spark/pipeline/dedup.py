@@ -362,12 +362,19 @@ def contamination(
     shingle set is broadcast by default (eval sets are small next to a
     100 TB corpus; pass ``broadcast_benchmark=False`` to let the
     optimizer choose when it is not)."""
+    # explode_outer, not explode: for a plain explode the optimizer infers
+    # a `size(sh) > 0 AND isnotnull(sh)` filter below the generate and
+    # inlines the FULL shingle expression into it — the per-row shingling
+    # runs twice (measured 2.0x on the sf0.1 corpus side). shingles()
+    # always returns a non-null array of >= 1 element (short docs shingle
+    # to array(text)), so the outer variant emits exactly the same rows —
+    # and a [null] element (null text) behaves identically under both.
     c = corpus.select(
         F.col(id_col).alias(id_col), shingles(text_col, n).alias("sh")
-    ).select(id_col, F.explode("sh").alias("s"))
+    ).select(id_col, F.explode_outer("sh").alias("s"))
     bset = (
         benchmark.select(shingles(text_col, n).alias("sh"))
-        .select(F.explode("sh").alias("s"))
+        .select(F.explode_outer("sh").alias("s"))
         .distinct()
     )
     if broadcast_benchmark:
@@ -408,7 +415,10 @@ def minhash_signatures(
     """MinHash signature per document: min of the md5 hash family over the
     shingle set, one column per hash."""
     sh = df.select(F.col(id_col).alias("_id"), shingles(text_col, n).alias("sh"))
-    ex = sh.select("_id", F.explode("sh").alias("s"))
+    # explode_outer: skips the optimizer's inferred not-empty filter that
+    # would re-evaluate the shingle expression per row (see contamination);
+    # identical rows because shingles() never yields a null/empty array
+    ex = sh.select("_id", F.explode_outer("sh").alias("s"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"mh{j}")
         for j in range(num_hashes)

@@ -132,18 +132,23 @@ def score_dsir(
             "bucket int, _lw long",
         )
     )
-    feats = quality_features(
+    from vectorchord_spark.pipeline.quality_model import _token_buckets
+
+    toks = _token_buckets(
         df, text_col=text_col, id_col=id_col,
         dim=model["dim"], bigrams=model["bigrams"],
     )
+    # token-level scoring (see quality_model._token_buckets): the
+    # per-token broadcast probe folds straight into the groupBy(id), so
+    # the (id, bucket) posting shuffle is gone (2 exchanges -> 1) and the
+    # int64 milli-nat sums are unchanged
     agg = (
-        feats.join(wtab, "bucket", "left")
+        toks.join(wtab, "bucket", "left")
         .groupBy(id_col)
         .agg(
-            F.sum("weight").cast("bigint").alias("n_terms"),
-            F.sum(
-                F.col("weight") * F.coalesce(F.col("_lw"), F.lit(0))
-            ).cast("bigint").alias("_milli"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum(F.coalesce(F.col("_lw"), F.lit(0)))
+            .cast("bigint").alias("_milli"),
         )
     )
     return agg.select(

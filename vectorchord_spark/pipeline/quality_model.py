@@ -83,6 +83,36 @@ def quality_features(
     return hash_embed_terms(src, "_t", id_col=id_col, dim=dim, signed=False)
 
 
+def _token_buckets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int,
+    bigrams: bool,
+) -> DataFrame:
+    """One (id, bucket) row per token — the scoring-path featurization.
+
+    Same md5 hash family (and bigram augmentation) as
+    :func:`quality_features`, minus the (id, bucket) pre-aggregation: a
+    scorer that only needs per-document SUMS over bucket weights can fold
+    tokens straight into its final ``groupBy(id)``, so the posting-row
+    shuffle disappears (one exchange instead of two). Per-token weight is
+    implicitly 1; summing a broadcast-joined bucket weight per token is
+    int-exactly the posting path's ``sum(weight * w_bucket)``.
+    """
+    from vectorchord_spark.pipeline.sparse import _hash_bucket
+
+    src = df.select(F.col(id_col), F.col(text_col).alias("_t"))
+    if bigrams:
+        src = src.select(
+            id_col,
+            F.concat_ws(" ", F.col("_t"), bigram_text(F.col("_t"))).alias("_t"),
+        )
+    return src.select(id_col, F.explode(words("_t")).alias("_w")).select(
+        id_col, _hash_bucket(F.col("_w"), dim).alias("bucket")
+    )
+
+
 def train_quality_classifier(
     df: DataFrame,
     label_col: str,
@@ -186,21 +216,24 @@ def score_quality(
         ),
         "bucket int, _w bigint",
     )
-    feats = quality_features(
+    toks = _token_buckets(
         df,
         text_col=text_col,
         id_col=id_col,
         dim=model["dim"],
         bigrams=model["bigrams"],
     )
+    # token-level scoring: one broadcast probe per token folded directly
+    # into the per-document aggregate — removes the (id, bucket) posting
+    # shuffle the old quality_features path paid before this groupBy
+    # (2 exchanges -> 1; int-exactly the same sums)
     scored = (
-        feats.join(F.broadcast(wdf), "bucket", "left")
+        toks.join(F.broadcast(wdf), "bucket", "left")
         .groupBy(id_col)
         .agg(
-            F.sum("weight").cast("bigint").alias("n_terms"),
-            F.sum(
-                F.coalesce(F.col("_w"), F.lit(0)) * F.col("weight")
-            ).cast("bigint").alias("dot"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum(F.coalesce(F.col("_w"), F.lit(0)))
+            .cast("bigint").alias("dot"),
         )
     )
     logit = (

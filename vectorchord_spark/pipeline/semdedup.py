@@ -48,6 +48,16 @@ from pyspark.sql.types import (
 
 _KEEP_ORDERS = ("least_typical", "most_typical", "min_id")
 
+#: bounded cache registry (the repo's latest-only pattern): the LPT path
+#: of :func:`semdedup_flags` consumes the assignment frame twice — the
+#: cluster-size aggregation and the flag pass itself. Without a persist
+#: the whole assignment pass (at the paper's k the dominant routing GEMM)
+#: runs twice per call. Only the latest call keeps its pin; the lock
+#: guards list mutation only (single-threaded-driver assumption, as
+#: documented on the dedup/dsir registries).
+_PERSISTED: "list[DataFrame]" = []
+_REG_LOCK = __import__("threading").Lock()
+
 
 #: above this cluster count the fit runs as a Spark job: the paper
 #: operates at k=50 000 where a quality driver sample alone (k · a few
@@ -310,6 +320,18 @@ def semdedup_flags(
         return joined.groupBy("cluster_id").applyInPandas(per_cluster, schema)
     from vectorchord_spark.operators.scheduling import lpt_grouped_apply
 
+    # the sizes aggregation below and the flag pass both consume
+    # ``assigned`` — pin it so the assignment pass (the dominant routing
+    # GEMM when it comes from assign_clusters) computes once per call,
+    # not twice; narrow (id, cluster, sim) rows, spillable at scale
+    with _REG_LOCK:
+        while _PERSISTED:
+            _PERSISTED.pop().unpersist()
+        assigned = assigned.persist()
+        _PERSISTED.append(assigned)
+    joined = assigned.join(
+        df.select(F.col(id_col), F.col(vec_col)), id_col
+    ).select(id_col, "cluster_id", "centroid_sim", vec_col)
     sizes = {
         r[0]: float(r[1]) ** 2  # quadratic cost proxy
         for r in assigned.groupBy("cluster_id")

@@ -1375,7 +1375,6 @@ def _minhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = capped_band_pairs(
         banded, ["band", "key"], "doc_id", LSH_MAX_BUCKET, "dedup_minhash_lsh"
     )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     common = (
         sh.select(F.col("doc_id").alias("ida"), F.col("shingles").alias("sha"))
         .join(cand, "ida")
@@ -1385,15 +1384,14 @@ def _minhash_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("n_common", F.size(F.array_intersect("sha", "shb")))
     )
+    # shingle-set sizes come straight off the already-joined arrays —
+    # the former two broadcast size-joins carried size(shingles) per side,
+    # a column F.size(sha)/F.size(shb) yields identically for free
+    # (4 joins -> 2 in the verify stage)
     return (
-        common.join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("ida"), F.col("n_sh").alias("na"))),
-            "ida",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("idb"), F.col("n_sh").alias("nb"))),
-            "idb",
-        )
+        common
+        .withColumn("na", F.size("sha"))
+        .withColumn("nb", F.size("shb"))
         .withColumn(
             "jac",
             F.col("n_common").cast("double")
