@@ -769,9 +769,7 @@ def embedding_lsh_pairs(
     never emit a wrong pair — only miss redundant within-clique edges.
     Pass ``None`` for the uncapped self-join.
     """
-    from typing import Iterator
-
-    import pandas as pd
+    from typing import Iterator  # noqa: F401 (annotation in band())
 
     from vectorchord_spark.functions import distances as D
 
@@ -781,34 +779,50 @@ def embedding_lsh_pairs(
     bc_planes = spark.sparkContext.broadcast(planes)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
 
-    def band(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # one matmul per batch instead of n_tables*n_planes fold
-        # expressions (whose codegen alone dominates at small scale); sign
-        # boundaries agree with the oracle's fold chains except when
-        # |dot| < ~1e-13, which only perturbs *candidate* membership — the
-        # verified similarity below stays bit-exact
+    def band(batches) -> "Iterator":
+        # mapInArrow: the list<float> column flattens to ONE contiguous
+        # values buffer per batch (the assign_clusters/IVF-encode
+        # pattern — the former mapInPandas per-row np.asarray loop cost
+        # more than the matmul itself); one matmul per batch instead of
+        # n_tables*n_planes fold expressions (whose codegen alone
+        # dominates at small scale). Sign boundaries agree with the
+        # oracle's fold chains except when |dot| < ~1e-13, which only
+        # perturbs *candidate* membership — the verified similarity
+        # below stays bit-exact. The f32→f64 widening here is exact, so
+        # the signs match the former pandas path bit-for-bit.
+        import pyarrow as pa
+
         pl = bc_planes.value.reshape(-1, dim)  # (T*P, dim)
-        for pdf in batches:
-            if not len(pdf):
+        tcol = np.arange(n_tables, dtype=np.int32)
+        for rb in batches:
+            m = rb.num_rows
+            if not m:
                 continue
-            mat = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])
+            ids_arr = rb.column(0)
+            if ids_arr.type != pa.int64():
+                ids_arr = ids_arr.cast(pa.int64())
+            ids = np.asarray(ids_arr)
+            flat = rb.column(1).flatten()
+            if flat.type != pa.float64():
+                flat = flat.cast(pa.float64())
+            mat = np.asarray(flat).reshape(m, dim)
             signs = (mat @ pl.T) >= 0  # (m, T*P)
-            signs = signs.reshape(len(mat), n_tables, n_planes)
+            signs = signs.reshape(m, n_tables, n_planes)
             buckets = (signs * weights).sum(axis=2)  # (m, T)
-            ids = pdf[id_col].to_numpy(np.int64)
-            yield pd.DataFrame(
-                {
-                    "_id": np.repeat(ids, n_tables),
-                    "t": np.tile(np.arange(n_tables, dtype=np.int32), len(mat)),
-                    "bucket": buckets.reshape(-1),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(ids, n_tables), pa.int64()),
+                    pa.array(np.tile(tcol, m), pa.int32()),
+                    pa.array(buckets.reshape(-1), pa.int64()),
+                ],
+                ["_id", "t", "bucket"],
             )
 
     # candidate generation on narrow (id, bucket) rows; vectors re-joined
     # once per *distinct* pair — buckets are coarse, so keeping the arrays
     # out of the bucket join/distinct is the difference between shuffling
     # ids and shuffling the whole embedding table many times over
-    banded = df.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)).mapInPandas(
+    banded = df.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)).mapInArrow(
         band, "_id long, t int, bucket long"
     )
     cand = capped_band_pairs(
