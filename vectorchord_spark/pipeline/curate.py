@@ -330,8 +330,14 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
             max_bucket=cfg.minhash_max_bucket,
         )
         comp = connected_components(pairs)
-        q = survivors.select(
-            F.col(idc).alias("id"), quality_score(txt).alias("_q")
+        # score only cluster members: the ranking is consumed through an
+        # inner join with comp, so computing the quality expression over
+        # every survivor (most of which are in no duplicate cluster) was
+        # wasted work; the semi-join restricts it first (same result)
+        q = (
+            survivors.select(F.col(idc).alias("id"), F.col(txt))
+            .join(comp.select("id"), "id", "left_semi")
+            .select("id", quality_score(txt).alias("_q"))
         )
         ranked = comp.join(q, "id").withColumn(
             "_rn",

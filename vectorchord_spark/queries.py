@@ -1906,8 +1906,15 @@ def _dedup_keep_best_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _dedup_ngram_fn(spark, sf_dir).select("ida", "idb")
     comp = connected_components(pairs)
     docs = _read(spark, sf_dir, "documents")
-    q = docs.select(
-        F.col("doc_id").alias("id"), quality_score("text").alias("quality")
+    # score only the clustered docs: the ranking is consumed through an
+    # inner join with comp, so the quality expression over NON-clustered
+    # docs (the overwhelming majority of a deduped corpus) was computed
+    # and discarded; the semi-join restricts the expensive projection
+    # to cluster members first (identical result by the join algebra)
+    q = (
+        docs.select(F.col("doc_id").alias("id"), "text")
+        .join(comp.select("id"), "id", "left_semi")
+        .select("id", quality_score("text").alias("quality"))
     )
     ranked = comp.join(q, "id").withColumn(
         "rn",
