@@ -159,26 +159,23 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
         )
     rep_cols: list[str] = []
     if cfg.max_top_2gram_frac is not None or cfg.max_dup_3gram_frac is not None:
-        # repetition_stats is a pure per-row projection — compute the stat
-        # columns inline instead of joining them back on id (the join-back
-        # shape scanned the corpus twice and paid a broadcast build for
-        # columns the scan can carry for free; measured 1.3x at sf0.1).
-        # A caller frame that already uses one of the stat names would be
-        # overwritten by the inline withColumns — keep the join for those.
-        stat_cols = {"n_words", "max_2gram_count", "dup_3gram_count",
-                     "top_2gram_frac", "dup_3gram_frac"}
-        if stat_cols & set(docs.columns):
-            rep = repetition_stats(docs.select(idc, txt), txt)
-            docs = docs.join(
-                rep.select(F.col(idc), "top_2gram_frac", "dup_3gram_frac"),
-                idc,
-            )
-            rep_cols = ["top_2gram_frac", "dup_3gram_frac"]
-        else:
-            docs = repetition_stats(docs, txt).drop(
-                "n_words", "max_2gram_count", "dup_3gram_count"
-            )
-            rep_cols = ["top_2gram_frac", "dup_3gram_frac"]
+        # KEEP the join-back shape: repetition_stats is a pure per-row
+        # projection, so inlining its columns looks like it should remove
+        # this self-join — but the stat expressions are referenced several
+        # times downstream (the failure-CASE chain and both the audit and
+        # kept consumers), and inlined they re-evaluate per reference
+        # while the joined columns are computed ONCE into a broadcast
+        # build that every consumer reuses. Measured (interleaved
+        # old-vs-new, sf0.1): inline regressed the row-filter stage
+        # 1.80 -> 2.20s and full curate 1.92 -> 3.07s. The join stays.
+        rep = repetition_stats(docs.select(idc, txt), txt)
+        docs = docs.join(
+            rep.select(
+                F.col(idc), "top_2gram_frac", "dup_3gram_frac"
+            ),
+            idc,
+        )
+        rep_cols = ["top_2gram_frac", "dup_3gram_frac"]
         cond = F.lit(True)
         if cfg.max_top_2gram_frac is not None:
             cond = cond & (F.col("top_2gram_frac") <= cfg.max_top_2gram_frac)
@@ -330,20 +327,26 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
             max_bucket=cfg.minhash_max_bucket,
         )
         comp = connected_components(pairs)
-        # score only cluster members: the ranking is consumed through an
-        # inner join with comp, so computing the quality expression over
-        # every survivor (most of which are in no duplicate cluster) was
-        # wasted work; the semi-join restricts it first (same result)
-        q = (
-            survivors.select(F.col(idc).alias("id"), F.col(txt))
-            .join(comp.select("id"), "id", "left_semi")
-            .select("id", quality_score(txt).alias("_q"))
-        )
-        ranked = comp.join(q, "id").withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("component").orderBy(F.desc("_q"), "id")
-            ),
+        # join FIRST, score after: the ranking only ever reads quality for
+        # cluster members, but a projection below the join would compute
+        # the expensive quality expression for every survivor (and a
+        # semi-join pre-restriction pays an extra join over the corpus —
+        # measured slower at gate scale). Joining the tiny component
+        # frame to the texts and projecting quality on the joined rows
+        # scores members only, with no extra pass (A/B: 0.91/1.23/0.83s
+        # for all/semi/join-first; identical rows asserted)
+        ranked = (
+            comp.join(
+                survivors.select(F.col(idc).alias("id"), F.col(txt)), "id"
+            )
+            .withColumn("_q", quality_score(txt))
+            .drop(txt)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("component").orderBy(F.desc("_q"), "id")
+                ),
+            )
         )
         keepers = ranked.where(F.col("_rn") == 1).select(
             F.col("component").alias("_kc"), F.col("id").alias("_kid")
