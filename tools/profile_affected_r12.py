@@ -24,7 +24,7 @@ def main() -> None:
     from vectorchord_spark.session import get_spark
 
     spark = get_spark(app_name="profile-affected-r12")
-    fns = {n: q.fn for n, q in catalog().items() if q.headline}
+    fns = {n: q.fn for n, q in catalog().items()}
     fns.update({n: f for n, f in serving_overrides().items() if n in fns})
     fns.update(extra_fns())
     names = sys.argv[1:] or [
