@@ -274,9 +274,10 @@ def semdedup_flags(
     if keep not in _KEEP_ORDERS:
         raise ValueError(f"keep must be one of {_KEEP_ORDERS}, got {keep!r}")
 
-    joined = assigned.join(
-        df.select(F.col(id_col), F.col(vec_col)), id_col
-    ).select(id_col, "cluster_id", "centroid_sim", vec_col)
+    def _join_vectors(a: DataFrame) -> DataFrame:
+        return a.join(
+            df.select(F.col(id_col), F.col(vec_col)), id_col
+        ).select(id_col, "cluster_id", "centroid_sim", vec_col)
 
     schema = StructType(
         [
@@ -317,7 +318,9 @@ def semdedup_flags(
         )
 
     if not lpt:
-        return joined.groupBy("cluster_id").applyInPandas(per_cluster, schema)
+        return _join_vectors(assigned).groupBy("cluster_id").applyInPandas(
+            per_cluster, schema
+        )
     from vectorchord_spark.operators.scheduling import lpt_grouped_apply
 
     # the sizes aggregation below and the flag pass both consume
@@ -329,9 +332,7 @@ def semdedup_flags(
             _PERSISTED.pop().unpersist()
         assigned = assigned.persist()
         _PERSISTED.append(assigned)
-    joined = assigned.join(
-        df.select(F.col(id_col), F.col(vec_col)), id_col
-    ).select(id_col, "cluster_id", "centroid_sim", vec_col)
+    joined = _join_vectors(assigned)
     sizes = {
         r[0]: float(r[1]) ** 2  # quadratic cost proxy
         for r in assigned.groupBy("cluster_id")
