@@ -2,7 +2,7 @@
 
 Usage: python tools/capture_plans.py <suffix> [names...]
 
-Writes plans/r12/<name>_<suffix>.txt for each headline catalog entry (the
+Writes plans/$VC_PLANS_ROUND (default r13)/<name>_<suffix>.txt for each headline catalog entry (the
 serving-override variant when one exists — the shape bench.py times) plus
 the five bench-only extras (semdedup, quality_learned, curate,
 perplexity_lm, dsir_resample), reconstructed with the same configuration
@@ -103,7 +103,7 @@ def main() -> None:
 
     spark = get_spark(app_name="capture-plans")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    outdir = os.path.join(here, "plans", "r12")
+    outdir = os.path.join(here, "plans", os.environ.get("VC_PLANS_ROUND", "r13"))
     os.makedirs(outdir, exist_ok=True)
 
     fns = {n: q.fn for n, q in catalog().items() if q.headline}
