@@ -172,11 +172,17 @@ def test_graph_shard_routing(spark, vec_df):
         got = [r.id for r in res.collect()]
         recall = len(set(got) & set(exact)) / 10.0
         assert recall >= 0.9, f"routed recall {recall}"
-        # IO assertion: the single graph scan (the shard task emits
-        # fold-exact distances, so there is no second rescore scan since
-        # r09) is partition-pruned on `shard`
-        parts = P.partition_filters(res)
-        assert sum("shard" in p for p in parts) >= 1, parts
+        # IO assertion (r13 shape): the serve plan carries NO parquet
+        # scan and NO exchange — each task reads its own probed shard's
+        # directory via pyarrow (candidates move, graph payloads don't);
+        # the legacy grouped path's FlatMapGroupsInPandas is gone too
+        txt = P.explain_str(res)
+        # graph rows never enter the plan, so no exchange can carry them;
+        # the only exchange left (if any) dedupes the tiny candidate rows
+        assert "Scan parquet" not in txt, txt
+        assert "FlatMapGroupsInPandas" not in txt, txt
+        assert "MapInPandas" in txt, txt
+        assert "ExistingRDD" in txt, txt
 
 
 def test_graph_quantized_traversal_payload(spark, vec_df):
@@ -189,6 +195,44 @@ def test_graph_quantized_traversal_payload(spark, vec_df):
         )
         row = spark.read.parquet(idx.graph_path).select("code").first()
         assert len(row.code) == 16 // 2  # 16 dims, 2 bits → nibble-packed
+
+
+def test_graph_serve_path_equivalence(spark, vec_df, monkeypatch):
+    """The r13 zero-exchange per-shard-directory serve returns exactly the
+    rows of the legacy grouped-exchange path (search AND search_batch),
+    and stays identical after prewarm (the cached per-shard frames)."""
+    rng = np.random.default_rng(17)
+    q = [float(x) for x in rng.uniform(-1, 1, 16)]
+    qs = [[float(x) for x in rng.uniform(-1, 1, 16)] for _ in range(3)]
+    with tempfile.TemporaryDirectory() as tmp:
+        idx = VamanaIndex.build(
+            spark, vec_df, "id", "vec", os.path.join(tmp, "g"),
+            VamanaOptions(metric="l2", m=24, ef_construction=48, n_shards=4),
+        )
+
+        def srch():
+            return [
+                (r.id, r.dist)
+                for r in idx.search(q, k=10, ef_search=64, probe_shards=2).collect()
+            ]
+
+        def bsrch():
+            return sorted(
+                (r.qid, r.id, r.dist, r.rank)
+                for r in idx.search_batch(
+                    qs, k=10, ef_search=64, probe_shards=2
+                ).collect()
+            )
+
+        new_s, new_b = srch(), bsrch()
+        monkeypatch.setenv("VC_GRAPH_SERVE_EXCHANGE", "1")
+        assert srch() == new_s
+        assert bsrch() == new_b
+        monkeypatch.delenv("VC_GRAPH_SERVE_EXCHANGE")
+        # prewarm reads through the same per-shard reader; results stable
+        assert idx.prewarm() >= 3000
+        assert srch() == new_s
+        assert bsrch() == new_b
 
 
 def test_graph_search_batch(spark, vec_df):

@@ -1,5 +1,5 @@
 """Opportunistic clean-window hunter + auto-banker (r10/r11 protocol,
-r12 instance).
+r12 instance; round label via ROUND env, default r13).
 
 Probes parallel capacity (tools/window_probe.py) every ~5 minutes and
 appends one JSON line per probe to docs/window_hunt_r12.jsonl. The first
@@ -27,8 +27,9 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GATE = float(os.environ.get("GATE", "5"))
 PERIOD_S = float(os.environ.get("PERIOD_S", "300"))
 DEADLINE_S = float(os.environ.get("DEADLINE_S", str(5 * 3600)))
-LOG = os.path.join(ROOT, "docs", "window_hunt_r12.jsonl")
-BANK = os.path.join(ROOT, "docs", "WINDOW_BANK_r12.md")
+ROUND = os.environ.get("ROUND", "r13")
+LOG = os.path.join(ROOT, "docs", f"window_hunt_{ROUND}.jsonl")
+BANK = os.path.join(ROOT, "docs", f"WINDOW_BANK_{ROUND}.md")
 
 
 def probe() -> dict:
@@ -78,7 +79,7 @@ def bank(p0: dict) -> None:
     ))
     sections.append(("post-bank probe", json.dumps(safe_probe())))
     with open(BANK, "w") as f:
-        f.write("# WINDOW_BANK r12 — certified-window banking runs\n\n")
+        f.write(f"# WINDOW_BANK {ROUND} — certified-window banking runs\n\n")
         f.write(f"Gate: parallel_scale_24t >= {GATE} (clean host 18-22x).\n\n")
         for title, body in sections:
             f.write(f"## {title}\n\n```\n{body}\n```\n\n")

@@ -142,6 +142,28 @@ _TRAVERSE_COLS_2BIT = [
     "ext_dis_u_2", "ext_nol", "code",
 ]
 
+def _make_shard_reader(graph_path: str, columns: list, body):
+    """mapInPandas runner over a seed frame of probed shard ids: each
+    task reads its own shard's hive directory with pyarrow (columns
+    pruned to the serve set) and hands the WHOLE shard to ``body`` — the
+    invariant applyInPandas used to provide via the (removed) hash
+    exchange. Local paths here; a distributed deployment points pyarrow
+    at the same store through its filesystem layer (HDFS/S3)."""
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for s in b["shard"]:
+                shard = int(s)
+                grp = pq.read_table(
+                    os.path.join(graph_path, f"shard={shard}"), columns=columns
+                ).to_pandas()
+                if len(grp):
+                    yield body(grp, shard)
+
+    return run
+
 
 @dataclass
 class VamanaOptions:
@@ -1738,6 +1760,57 @@ class VamanaIndex(QuerySampling):
             df = df.where(F.col("shard").isin(shards))
         return df.select(*cols)
 
+    def _shard_candidates(self, shards: list[int], body, out_schema: str) -> DataFrame:
+        """Per-shard candidate generation with NO serve-time exchange.
+
+        The graph table is hive-partitioned by shard, so each probed
+        shard is its own directory. A seed frame of the probed shard ids
+        (one id per partition) is mapped through a task that reads ITS
+        shard's directory with pyarrow and runs the beam search in place
+        (guide §8 "co-locate instead of join": the task reads its own
+        slice from storage) — one stage, one task per probed shard, and
+        only the ≤ef candidate ids ever move. The former
+        groupBy("shard").applyInPandas shipped every probed graph row —
+        vec + neighbors + codes — through a hash exchange per cold query.
+        (A union of per-directory coalesce(1) scans was measured first
+        and rejected: the optimizer hoists the Coalesce above the Union,
+        collapsing all probed shards into ONE serial task.)
+
+        The task-side read also guarantees the whole-shard invariant the
+        exchange used to provide (positional row_no indexing needs the
+        full shard in one frame), with no file-split hazard.
+
+        ``body(grp, shard) -> pdf`` is the per-shard search.
+        VC_GRAPH_SERVE_EXCHANGE=1 forces the legacy exchange path (A/B
+        harness)."""
+        if os.environ.get("VC_GRAPH_SERVE_EXCHANGE") == "1":
+
+            def grouped(grp: pd.DataFrame) -> pd.DataFrame:
+                return body(grp, int(grp["shard"].iloc[0]))
+
+            return (
+                self._traverse_src(shards)
+                .groupBy("shard")
+                .applyInPandas(grouped, out_schema)
+            )
+        bits = self.meta.get("bits", 1)
+        cols = _TRAVERSE_COLS_1BIT if bits == 1 else _TRAVERSE_COLS_2BIT
+        ser_cols = [c for c in cols if c != "shard"]
+        live = [
+            int(s)
+            for s in shards
+            if os.path.isdir(os.path.join(self.graph_path, f"shard={int(s)}"))
+        ]
+        if not live:
+            return self.spark.createDataFrame([], out_schema)
+        sc = self.spark.sparkContext
+        seed = self.spark.createDataFrame(
+            sc.parallelize([(s,) for s in live], len(live)), "shard int"
+        )
+        return seed.mapInPandas(
+            _make_shard_reader(self.graph_path, ser_cols, body), out_schema
+        )
+
     def search(
         self,
         query: "np.ndarray | list[float]",
@@ -1779,10 +1852,10 @@ class VamanaIndex(QuerySampling):
 
         internal = "l2" if metric == "l2" else "dot"
 
-        def shard_search(grp: pd.DataFrame) -> pd.DataFrame:
-            # applyInPandas delivers the WHOLE shard (mapInPandas could see
-            # a shard split across input partitions when a file exceeds
-            # maxPartitionBytes, corrupting positional row_no indexing)
+        def shard_search(grp: pd.DataFrame, _shard: int) -> pd.DataFrame:
+            # the caller guarantees grp is the WHOLE shard (a split shard
+            # would corrupt positional row_no indexing) — via the grouped
+            # exchange or the coalesce(1) per-directory scan
             grp = grp.sort_values("row_no")
             adj = _adj_from_bin(grp["neighbors"])
             medoid = int(grp["medoid_row"].iloc[0])
@@ -1804,11 +1877,7 @@ class VamanaIndex(QuerySampling):
                 }
             )
 
-        cand = (
-            self._traverse_src(shards)
-            .groupBy("shard")
-            .applyInPandas(shard_search, "id long, dist double")
-        )
+        cand = self._shard_candidates(shards, shard_search, "id long, dist double")
         # tombstoned ids are filtered from the RESULT, not the traversal
         # (the reference keeps the vertex as a waypoint until vacuum);
         # replica candidates are exact-duplicate (id, dist) rows —
@@ -1862,9 +1931,8 @@ class VamanaIndex(QuerySampling):
 
         internal = "l2" if metric == "l2" else "dot"
 
-        def shard_search(grp: pd.DataFrame) -> pd.DataFrame:
+        def shard_search(grp: pd.DataFrame, shard: int) -> pd.DataFrame:
             grp = grp.sort_values("row_no")
-            shard = int(grp["shard"].iloc[0])
             adj = _adj_from_bin(grp["neighbors"])
             medoid = int(grp["medoid_row"].iloc[0])
             ids = grp["id"].to_numpy(np.int64)
@@ -1891,10 +1959,8 @@ class VamanaIndex(QuerySampling):
                 }
             )
 
-        cand = (
-            self._traverse_src(shards)
-            .groupBy("shard")
-            .applyInPandas(shard_search, "qid int, id long, dist double")
+        cand = self._shard_candidates(
+            shards, shard_search, "qid int, id long, dist double"
         )
         tomb = self._tombstones_df()
         if tomb is not None:
@@ -1935,6 +2001,17 @@ class VamanaIndex(QuerySampling):
         return len(ann_ids & accu_ids) / float(len(accu_ids))
 
     def prewarm(self) -> int:
-        df = self.spark.read.parquet(self.graph_path)
-        df.cache()
-        return df.count()
+        """Warm the serve path (S11/S12 vchordg_prewarm) and return the
+        total graph row count: one task per shard reads its directory's
+        serve columns through the SAME per-shard reader the search uses,
+        pulling the shard bytes into the executors' page cache (the
+        zero-exchange serve no longer scans through Spark's block
+        cache, so a whole-table ``.cache()`` would warm nothing it
+        reads)."""
+
+        def count_body(grp: pd.DataFrame, shard: int) -> pd.DataFrame:
+            return pd.DataFrame({"n": [len(grp)]})
+
+        shards = list(range(int(self.meta["n_shards"])))
+        rows = self._shard_candidates(shards, count_body, "n long").collect()
+        return int(sum(r.n for r in rows))
