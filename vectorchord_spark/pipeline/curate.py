@@ -139,7 +139,47 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
     )
 
     # ---- stages 1-4: one projection pass, first failing stage wins ----
-    n_words = F.size(words(txt)).cast("bigint")
+    #
+    # EVERY expensive per-row expression (word count, language id when
+    # detected, heuristic quality, the Gopher repetition stats) is
+    # computed ONCE into one NARROW stats frame joined back by id; the
+    # failure-CASE chain references only the joined columns. r12 kept
+    # the join for the repetition stats alone ("inline regressed
+    # 1.80->2.20s") — the r13 finding is WHY: the join is a predicate-
+    # pushdown BARRIER. A chain built over inline expressions (or over a
+    # protected intermediate projection — measured, same outcome) gets
+    # its aliases substituted into every downstream filter, so the
+    # quality/word-count expressions re-evaluated per consumer (plan
+    # audit: size(split(text)) x11, array_distinct x3 per projection).
+    # With the expressions in the join's build side they run once per
+    # action, and all references above the join are cheap column reads.
+    # Interleaved in-context A/B (sf0.1, old vs new module, kept+audit
+    # equality asserted): see OPTIMIZATION_r13.md (curate).
+    stats_cols: list = [F.size(words(txt)).cast("bigint").alias("_cr_nw")]
+    aux_names: list[str] = ["_cr_nw"]
+    rep_cols: list[str] = []
+    rep_on = (
+        cfg.max_top_2gram_frac is not None or cfg.max_dup_3gram_frac is not None
+    )
+    lang_detected = cfg.langs is not None and cfg.lang_col not in docs.columns
+    if lang_detected:
+        stats_cols.append(
+            detect_language(txt, cfg.lang_profiles).alias("_cr_lang")
+        )
+        aux_names.append("_cr_lang")
+    if cfg.min_quality is not None:
+        stats_cols.append(quality_score(txt).alias("_cr_q"))
+        aux_names.append("_cr_q")
+    src = docs.select(idc, txt)
+    if rep_on:
+        # repetition_stats appends 5 stat columns; only the two fracs
+        # are consumed downstream
+        src = repetition_stats(src, txt)
+        rep_cols = ["top_2gram_frac", "dup_3gram_frac"]
+    stats = src.select(F.col(idc), *rep_cols, *stats_cols)
+    docs = docs.join(stats, idc)
+
+    n_words = F.col("_cr_nw")
     checks: list[tuple[str, F.Column, F.Column]] = []
     checks.append(
         (
@@ -149,33 +189,11 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
         )
     )
     if cfg.langs is not None:
-        lang = (
-            F.col(cfg.lang_col)
-            if cfg.lang_col in docs.columns
-            else detect_language(txt, cfg.lang_profiles)
-        )
+        lang = F.col("_cr_lang") if lang_detected else F.col(cfg.lang_col)
         checks.append(
             ("language", lang.isin(*cfg.langs), F.coalesce(lang, F.lit("?")))
         )
-    rep_cols: list[str] = []
-    if cfg.max_top_2gram_frac is not None or cfg.max_dup_3gram_frac is not None:
-        # KEEP the join-back shape: repetition_stats is a pure per-row
-        # projection, so inlining its columns looks like it should remove
-        # this self-join — but the stat expressions are referenced several
-        # times downstream (the failure-CASE chain and both the audit and
-        # kept consumers), and inlined they re-evaluate per reference
-        # while the joined columns are computed ONCE into a broadcast
-        # build that every consumer reuses. Measured (interleaved
-        # old-vs-new, sf0.1): inline regressed the row-filter stage
-        # 1.80 -> 2.20s and full curate 1.92 -> 3.07s. The join stays.
-        rep = repetition_stats(docs.select(idc, txt), txt)
-        docs = docs.join(
-            rep.select(
-                F.col(idc), "top_2gram_frac", "dup_3gram_frac"
-            ),
-            idc,
-        )
-        rep_cols = ["top_2gram_frac", "dup_3gram_frac"]
+    if rep_on:
         cond = F.lit(True)
         if cfg.max_top_2gram_frac is not None:
             cond = cond & (F.col("top_2gram_frac") <= cfg.max_top_2gram_frac)
@@ -193,7 +211,7 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
             )
         )
     if cfg.min_quality is not None:
-        q = quality_score(txt)
+        q = F.col("_cr_q")
         checks.append(
             ("quality", q >= cfg.min_quality, F.round(q, 4).cast("string"))
         )
@@ -237,7 +255,7 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
         ))
     ]
     survivors = flagged.where(F.col("_stage").isNull()).drop(
-        "_stage", "_detail", *rep_cols
+        "_stage", "_detail", *rep_cols, *aux_names
     )
 
     # optional learned quality bound (one broadcast join + groupBy)
