@@ -123,4 +123,10 @@ def test_scoring_plan_is_jvm_only(spark, docs):
     for marker in ("FlatMapGroupsInPandas", "MapInPandas", "ArrowEvalPython",
                    "BatchEvalPython"):
         assert marker not in plan, marker
-    assert "BroadcastHashJoin" in plan, plan
+    # r13: the broadcast (bucket, weight) join was replaced by a
+    # constant-folded dense weight-array literal probed with element_at —
+    # the scoring plan has NO join and exactly one exchange (the groupBy)
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert "element_at" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -123,6 +123,19 @@ def main() -> None:
             )
         except Exception as e:  # capture what failed rather than dying
             plan = f"ERROR capturing plan: {e!r}\n"
+        # compress constant-folded dense weight-array literals (r13 token
+        # scoring): runs of >24 comma-separated ints collapse to a marker
+        # so the committed plan stays readable
+        import re
+
+        plan = re.sub(
+            r"(-?\d+(?:,-?\d+){24,})",
+            lambda m: (
+                f"{','.join(m.group(1).split(',')[:4])}"
+                f",…<{m.group(1).count(',') + 1} ints folded>…"
+            ),
+            plan,
+        )
         with open(os.path.join(outdir, f"{name}_{suffix}.txt"), "w") as f:
             f.write(plan)
         print(f"wrote {name}_{suffix}.txt ({len(plan)} chars)")

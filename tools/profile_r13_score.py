@@ -58,6 +58,80 @@ def v1_token_buckets(df, text_col, id_col, dim, bigrams):
     )
 
 
+def v3_fold_score(df, model, text_col="text", id_col="doc_id"):
+    """Per-row integer fold over a dense weight-array literal: tokens
+    never leave their row — no explode, no join, no groupBy, zero
+    exchanges. Integer sums are order-exact, so dot/n_terms/logit are
+    bit-identical to the production path."""
+    from vectorchord_spark.pipeline.quality_model import (
+        _SCALE,
+        bigram_text,
+    )
+    from vectorchord_spark.pipeline.sparse import _hash_bucket
+    from vectorchord_spark.pipeline.text import words
+
+    import json
+
+    w = np.asarray(model["w"], np.float64)
+    wq = np.rint(w * _SCALE).astype(np.int64)
+    # true array literal: from_json on a literal string constant-folds
+    # into one Literal(ArrayData); F.lit(list) would instead build a
+    # CreateArray with dim children evaluated per row
+    W = F.from_json(F.lit(json.dumps(wq.tolist())), "array<bigint>")
+    dim = model["dim"]
+
+    src = df.select(F.col(id_col), F.col(text_col).alias("_t"))
+    if model["bigrams"]:
+        src = src.select(
+            id_col,
+            F.concat_ws(" ", F.col("_t"), bigram_text(F.col("_t"))).alias("_t"),
+        )
+    toks = words(F.col("_t"))
+    dot = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, tok: acc + F.element_at(W, _hash_bucket(tok, dim) + 1),
+    )
+    out = src.select(
+        id_col,
+        F.size(toks).cast("bigint").alias("n_terms"),
+        dot.alias("dot"),
+    ).where(F.col("n_terms") > 0)
+    logit = (
+        F.col("dot").cast("double")
+        / (F.lit(float(_SCALE)) * F.col("n_terms").cast("double"))
+        + F.lit(float(model["b"]))
+    )
+    return out.select(id_col, "n_terms", "dot", logit.alias("logit"))
+
+
+def v4_elementat_score(df, model, text_col="text", id_col="doc_id"):
+    """Explode + groupBy kept (codegen path, one exchange), but the
+    broadcast weight join is replaced by element_at on the dense
+    weight-array literal."""
+    from vectorchord_spark.pipeline.quality_model import (
+        _SCALE,
+        _token_buckets,
+    )
+
+    import json
+
+    w = np.asarray(model["w"], np.float64)
+    wq = np.rint(w * _SCALE).astype(np.int64)
+    W = F.from_json(F.lit(json.dumps(wq.tolist())), "array<bigint>")
+    toks = _token_buckets(df, text_col, id_col, model["dim"], model["bigrams"])
+    scored = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum(F.element_at(W, F.col("bucket") + 1)).cast("bigint").alias("dot"),
+    )
+    logit = (
+        F.col("dot").cast("double")
+        / (F.lit(float(_SCALE)) * F.col("n_terms").cast("double"))
+        + F.lit(float(model["b"]))
+    )
+    return scored.select(id_col, "n_terms", "dot", logit.alias("logit"))
+
+
 def score_with(tb_fn, df, model, text_col="text", id_col="doc_id"):
     from vectorchord_spark.pipeline.quality_model import _SCALE
 
@@ -121,41 +195,29 @@ def main() -> None:
     model = {"w": w, "b": 0.125, "dim": dim, "bigrams": True}
 
     v0 = score_quality(docs, model)
-    v1 = score_with(v1_token_buckets, docs, model)
     a = sorted(map(tuple, v0.collect()))
-    b = sorted(map(tuple, v1.collect()))
-    assert a == b, f"rows differ: {len(a)} vs {len(b)}"
-    print(f"equality OK ({len(a)} rows)")
+    for name, frame in (
+        ("v3", v3_fold_score(docs, model)),
+        ("v4", v4_elementat_score(docs, model)),
+    ):
+        b = sorted(map(tuple, frame.collect()))
+        assert a == b, f"{name} rows differ: {len(a)} vs {len(b)}"
+        print(f"{name} equality OK ({len(a)} rows)")
 
-    # token-stream equality too (order-insensitive multiset)
-    t0 = (
-        _token_buckets(docs, "text", "doc_id", dim, True)
-        .groupBy("doc_id", "bucket").count()
-    )
-    t1 = (
-        v1_token_buckets(docs, "text", "doc_id", dim, True)
-        .groupBy("doc_id", "bucket").count()
-    )
-    assert sorted(map(tuple, t0.collect())) == sorted(map(tuple, t1.collect()))
-    print("token multiset equality OK")
-
-    times: dict[str, list[float]] = {"v0": [], "v1": [], "v2": []}
+    times: dict[str, list[float]] = {"v0": [], "v3": [], "v4": []}
     for i in range(runs):
-        spark.sparkContext.setJobDescription(f"v0 string-roundtrip {i}")
+        spark.sparkContext.setJobDescription(f"v0 token-join {i}")
         t = time.perf_counter()
         noop(score_quality(docs, model))
         times["v0"].append(time.perf_counter() - t)
-        spark.sparkContext.setJobDescription(f"v1 direct-array {i}")
+        spark.sparkContext.setJobDescription(f"v3 dense-literal fold {i}")
         t = time.perf_counter()
-        noop(score_with(v1_token_buckets, docs, model))
-        times["v1"].append(time.perf_counter() - t)
-        spark.sparkContext.setJobDescription(f"v2 explode-count-only {i}")
+        noop(v3_fold_score(docs, model))
+        times["v3"].append(time.perf_counter() - t)
+        spark.sparkContext.setJobDescription(f"v4 element_at groupBy {i}")
         t = time.perf_counter()
-        noop(
-            v1_token_buckets(docs, "text", "doc_id", dim, True)
-            .groupBy("doc_id").count()
-        )
-        times["v2"].append(time.perf_counter() - t)
+        noop(v4_elementat_score(docs, model))
+        times["v4"].append(time.perf_counter() - t)
     for k, v in times.items():
         print(f"{k}: {['%.3f' % x for x in v]} median {statistics.median(v):.3f}")
     print(f"window after: {probe()}")

@@ -121,35 +121,29 @@ def score_dsir(
 ) -> DataFrame:
     """Per-document importance log-weight: (id, n_terms, logw).
 
-    Pure JVM: posting rows → broadcast (bucket, int-milli-weight) join →
-    one groupBy; ``logw`` = int-exact milli-nat sum rescaled to f64.
+    Pure JVM: per-token ``element_at`` into one dense constant-folded
+    (dim-sized) int-milli-weight array literal, folded into one groupBy;
+    ``logw`` = int-exact milli-nat sum rescaled to f64.
     """
-    spark = df.sparkSession
     lw_q = _quantize_lw(model["lw"])
-    wtab = F.broadcast(
-        spark.createDataFrame(
-            [(int(b), int(w)) for b, w in enumerate(lw_q) if w != 0],
-            "bucket int, _lw long",
-        )
+    from vectorchord_spark.pipeline.quality_model import (
+        _dense_weight_literal,
+        _token_buckets,
     )
-    from vectorchord_spark.pipeline.quality_model import _token_buckets
 
+    wlit = _dense_weight_literal(lw_q)
     toks = _token_buckets(
         df, text_col=text_col, id_col=id_col,
         dim=model["dim"], bigrams=model["bigrams"],
     )
-    # token-level scoring (see quality_model._token_buckets): the
-    # per-token broadcast probe folds straight into the groupBy(id), so
-    # the (id, bucket) posting shuffle is gone (2 exchanges -> 1) and the
-    # int64 milli-nat sums are unchanged
-    agg = (
-        toks.join(wtab, "bucket", "left")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-            F.sum(F.coalesce(F.col("_lw"), F.lit(0)))
-            .cast("bigint").alias("_milli"),
-        )
+    # token-level scoring (see quality_model._token_buckets) folded
+    # straight into the groupBy(id); the dense literal replaces the
+    # former broadcast (bucket, milli-weight) join — O(1) array load per
+    # token, no BroadcastExchange, int64 milli-nat sums unchanged
+    agg = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum(F.element_at(wlit, F.col("bucket") + 1))
+        .cast("bigint").alias("_milli"),
     )
     return agg.select(
         id_col,

@@ -37,6 +37,19 @@ from vectorchord_spark.pipeline.text import words
 _SCALE = 1_000_000  # fixed-point factor for int-exact JVM scoring
 
 
+def _dense_weight_literal(wq: "np.ndarray") -> Column:
+    """A dim-sized int64 weight vector as ONE array literal column.
+
+    ``from_json`` on a literal string is constant-folded by the optimizer
+    into a single ``Literal(ArrayData)``, so per-row lookups are O(1)
+    array loads. (``F.lit(list)`` would instead build a ``CreateArray``
+    with dim child literals re-evaluated per row — measured 10x slower.)
+    The module caps ``dim`` at 2^18, so the folded literal is ≤2 MB."""
+    import json
+
+    return F.from_json(F.lit(json.dumps(wq.tolist())), "array<bigint>")
+
+
 def bigram_text(text: Column | str) -> Column:
     """The document's word bigrams joined as a single space-separated
     string of ``w1_w2`` tokens, so bigram features flow through the same
@@ -195,27 +208,15 @@ def score_quality(
 ) -> DataFrame:
     """Score every document: (id, n_terms, dot, logit).
 
-    Pure JVM: the model's non-zero weights become a broadcast
-    (bucket, 1e6-scaled int weight) frame joined to the posting rows;
-    ``dot`` is the exact int64 weighted term-frequency sum and
-    ``logit = dot / (1e6 · n_terms) + b`` — one IEEE division and one
-    addition, bit-reproducible across engines. Filter ``logit > t`` (or
-    apply a sigmoid) downstream.
+    Pure JVM: the model's 1e6-scaled int weights become one dense
+    constant-folded array literal indexed per token with ``element_at``
+    inside the per-document aggregate; ``dot`` is the exact int64
+    weighted term-frequency sum and ``logit = dot / (1e6 · n_terms) + b``
+    — one IEEE division and one addition, bit-reproducible across
+    engines. Filter ``logit > t`` (or apply a sigmoid) downstream.
     """
     w = np.asarray(model["w"], np.float64)
-    nz = np.flatnonzero(w)
-    spark = df.sparkSession
-    import pandas as pd
-
-    wdf = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "bucket": nz.astype(np.int32),
-                "_w": np.rint(w[nz] * _SCALE).astype(np.int64),
-            }
-        ),
-        "bucket int, _w bigint",
-    )
+    wlit = _dense_weight_literal(np.rint(w * _SCALE).astype(np.int64))
     toks = _token_buckets(
         df,
         text_col=text_col,
@@ -223,18 +224,16 @@ def score_quality(
         dim=model["dim"],
         bigrams=model["bigrams"],
     )
-    # token-level scoring: one broadcast probe per token folded directly
-    # into the per-document aggregate — removes the (id, bucket) posting
-    # shuffle the old quality_features path paid before this groupBy
-    # (2 exchanges -> 1; int-exactly the same sums)
-    scored = (
-        toks.join(F.broadcast(wdf), "bucket", "left")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-            F.sum(F.coalesce(F.col("_w"), F.lit(0)))
-            .cast("bigint").alias("dot"),
-        )
+    # token-level scoring folded directly into the per-document
+    # aggregate (one exchange); the dense literal replaces the former
+    # broadcast (bucket, weight) join — an O(1) array load per token
+    # instead of a hash probe, no BroadcastExchange to build, and
+    # int-exactly the same sums (zero-weight buckets contribute 0, as
+    # the old left join's coalesce(_w, 0) did)
+    scored = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum(F.element_at(wlit, F.col("bucket") + 1))
+        .cast("bigint").alias("dot"),
     )
     logit = (
         F.col("dot").cast("double")
