@@ -314,8 +314,21 @@ def jaccard_similarity_join(
         "_id", F.xxhash64("s").alias("s")
     )
     if max_doc_freq is not None:
-        freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        ex = ex.join(freq.where(F.col("df") <= max_doc_freq), "s", "left_semi")
+        # window count over the exploded frame instead of a separate
+        # groupBy + semi-join: one hash exchange on the shingle (which the
+        # downstream a⋈b self-join on the same key then reuses) instead of
+        # two shuffles of the exploded rows; same rows kept (the window
+        # count per shingle IS the doc frequency — shingles() emits
+        # array_distinct arrays, one row per (doc, shingle))
+        from pyspark.sql import Window
+
+        ex = (
+            ex.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+            )
+            .where(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
     a = ex.select(F.col("_id").alias("ida"), "s")
     b = ex.select(F.col("_id").alias("idb"), "s")
     pairs = (
