@@ -818,6 +818,14 @@ def embedding_lsh_pairs(
             flat = rb.column(1).flatten()
             if flat.type != pa.float64():
                 flat = flat.cast(pa.float64())
+            if len(flat) != m * dim:  # null or ragged vectors would make
+                # ListArray.flatten() drop values and surface as an opaque
+                # reshape error — name the real problem instead
+                raise ValueError(
+                    f"embedding_lsh_pairs: vector column must be non-null "
+                    f"and exactly {dim}-dimensional (batch of {m} rows "
+                    f"flattened to {len(flat)} values, expected {m * dim})"
+                )
             mat = np.asarray(flat).reshape(m, dim)
             signs = (mat @ pl.T) >= 0  # (m, T*P)
             signs = signs.reshape(m, n_tables, n_planes)

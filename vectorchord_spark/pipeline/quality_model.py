@@ -76,6 +76,22 @@ def bigram_text(text: Column | str) -> Column:
     )
 
 
+def _augmented_text(
+    df: DataFrame, text_col: str, id_col: str, bigrams: bool
+) -> DataFrame:
+    """(id, _t) with the optional bigram tokens appended to the text —
+    the ONE featurization preamble shared by the train path
+    (:func:`quality_features`) and the score path (:func:`_token_buckets`)
+    so the two can never silently diverge."""
+    src = df.select(F.col(id_col), F.col(text_col).alias("_t"))
+    if bigrams:
+        src = src.select(
+            id_col,
+            F.concat_ws(" ", F.col("_t"), bigram_text(F.col("_t"))).alias("_t"),
+        )
+    return src
+
+
 def quality_features(
     df: DataFrame,
     text_col: str = "text",
@@ -87,12 +103,7 @@ def quality_features(
     term frequencies — the classifier input. Exact integers; one
     map-side-combined groupBy; bigrams hash through the same md5 family
     so the scoring join needs no second feature table."""
-    src = df.select(F.col(id_col), F.col(text_col).alias("_t"))
-    if bigrams:
-        src = src.select(
-            id_col,
-            F.concat_ws(" ", F.col("_t"), bigram_text(F.col("_t"))).alias("_t"),
-        )
+    src = _augmented_text(df, text_col, id_col, bigrams)
     return hash_embed_terms(src, "_t", id_col=id_col, dim=dim, signed=False)
 
 
@@ -115,12 +126,7 @@ def _token_buckets(
     """
     from vectorchord_spark.pipeline.sparse import _hash_bucket
 
-    src = df.select(F.col(id_col), F.col(text_col).alias("_t"))
-    if bigrams:
-        src = src.select(
-            id_col,
-            F.concat_ws(" ", F.col("_t"), bigram_text(F.col("_t"))).alias("_t"),
-        )
+    src = _augmented_text(df, text_col, id_col, bigrams)
     return src.select(id_col, F.explode(words("_t")).alias("_w")).select(
         id_col, _hash_bucket(F.col("_w"), dim).alias("bucket")
     )

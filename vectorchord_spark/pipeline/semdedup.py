@@ -258,6 +258,13 @@ def semdedup_flags(
 ) -> DataFrame:
     """Per-row SemDeDup keep flags from a cluster assignment.
 
+    Caching note (LPT path): each call pins its ``assigned`` frame and
+    unpersists the PREVIOUS call's — the repo's latest-only registry for
+    a single-threaded driver. Interleaving lazy result frames from two
+    calls stays correct, but the earlier frame silently recomputes its
+    assignment pass when re-read; the last call's pin is held until the
+    next call (or session end).
+
     ``assigned`` is the (id, cluster_id, centroid_sim) frame from
     :func:`assign_clusters`; ``df`` supplies the vectors. One shuffle
     (groupBy cluster_id), then the blocked triangular pass per cluster.
