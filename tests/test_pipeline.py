@@ -88,6 +88,20 @@ def test_simhash_near_pairs(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_embedding_lsh_null_vector_names_contract(spark):
+    """A null embedding must fail with the column-contract message, not an
+    opaque numpy reshape error (r13 advisor note)."""
+    import pytest
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.1, 0.2]), Row(vec_id=2, embedding=None)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="non-null"):
+        dedup.embedding_lsh_pairs(df, threshold=0.5, dim=2).collect()
+
+
 def test_embedding_lsh_vs_bruteforce(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     pdf = emb.toPandas()
