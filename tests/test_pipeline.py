@@ -318,6 +318,79 @@ def test_multimodal_real_png_decode(spark):
         multimodal.resize_image(bad, strict=True).collect()
 
 
+def test_decode_png_all_filter_types():
+    """The decoder handles every PNG filter type (0 None / 1 Sub / 2 Up /
+    3 Average / 4 Paeth) and mixed streams — the all-zero fast path must
+    not change what mixed-filter streams decode to. The writer below
+    forward-filters with explicit per-scanline types (encode_png only
+    emits filter 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def png_with_filters(pixels, filters):
+        pixels = np.ascontiguousarray(pixels, np.uint8)
+        if pixels.ndim == 2:
+            pixels = pixels[:, :, None]
+        h, w, ch = pixels.shape
+        color = {1: 0, 3: 2, 4: 6}[ch]
+        stride = w * ch
+        flat = pixels.reshape(h, stride).astype(np.int64)
+        rows = []
+        prev = np.zeros(stride, np.int64)
+        for y in range(h):
+            f = filters[y % len(filters)]
+            cur = flat[y]
+            enc = cur.copy()
+            if f == 1:
+                for x in range(ch, stride):
+                    enc[x] = (cur[x] - cur[x - ch]) & 0xFF
+            elif f == 2:
+                enc = (cur - prev) & 0xFF
+            elif f == 3:
+                for x in range(stride):
+                    a = cur[x - ch] if x >= ch else 0
+                    enc[x] = (cur[x] - ((a + prev[x]) >> 1)) & 0xFF
+            elif f == 4:
+                for x in range(stride):
+                    a = cur[x - ch] if x >= ch else 0
+                    b = prev[x]
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[x] = (cur[x] - pr) & 0xFF
+            rows.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+            prev = cur
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data))
+                + typ
+                + data
+                + struct.pack(">I", zlib.crc32(typ + data))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(7)
+    for chn in (1, 3, 4):
+        px = rng.integers(0, 256, size=(17, 13, chn)).astype(np.uint8)
+        for filters in ([0], [1], [2], [3], [4], [0, 2], [4, 3, 1, 0, 2]):
+            got = multimodal._decode_png(png_with_filters(px, filters))
+            assert got is not None, filters
+            w, h, out = got
+            assert (w, h) == (13, 17)
+            assert np.array_equal(out, px), (chn, filters)
+
+
 def test_multimodal_real_video_decode(spark):
     """The REAL video branch: a concatenated-PNG image sequence (the
     MJPEG shape with a stdlib-decodable codec) splits into actual frames;

@@ -107,15 +107,24 @@ def _decode_png(buf: bytes) -> "tuple[int, int, np.ndarray] | None":
         stride = w * ch
         if len(raw) < h * (stride + 1):
             return None
+        arr = np.frombuffer(raw, np.uint8, count=h * (stride + 1)).reshape(
+            h, stride + 1
+        )
+        flts = arr[:, 0]
+        if not flts.any():
+            # Every scanline is filter 0 (None): the stream needs no
+            # unfiltering, so one contiguous slice-copy replaces the
+            # per-scanline loop (filter-0 is what encode_png and most
+            # synthetic fixtures emit; real mixed-filter streams take the
+            # loop below).
+            return int(w), int(h), np.ascontiguousarray(arr[:, 1:]).reshape(
+                h, w, ch
+            )
         out = np.zeros((h, stride), np.uint8)
         prev = np.zeros(stride, np.uint8)
-        pos2 = 0
         for y in range(h):
-            flt = raw[pos2]
-            line = np.frombuffer(
-                raw[pos2 + 1 : pos2 + 1 + stride], np.uint8
-            ).copy()
-            pos2 += 1 + stride
+            flt = int(flts[y])
+            line = arr[y, 1:].copy()
             if flt == 1:  # Sub
                 for x in range(ch, stride):
                     line[x] = (int(line[x]) + int(line[x - ch])) & 0xFF
