@@ -353,25 +353,24 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
         # frame to the texts and projecting quality on the joined rows
         # scores members only, with no extra pass (A/B: 0.91/1.23/0.83s
         # for all/semi/join-first; identical rows asserted)
+        # keeper id via first(id) over the SAME window that ranks: the
+        # default frame (unbounded preceding → current row) makes first()
+        # the top-ranked id for every cluster member, so one WindowExec
+        # computes rank and keeper together and the former rn==1
+        # self-join is gone (A/B at sf0.1, identical rows asserted:
+        # 0.648 → 0.448s — tools/profile_keepbest_r13.py)
+        _w6 = Window.partitionBy("component").orderBy(F.desc("_q"), "id")
         ranked = (
             comp.join(
                 survivors.select(F.col(idc).alias("id"), F.col(txt)), "id"
             )
             .withColumn("_q", quality_score(txt))
             .drop(txt)
-            .withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy("component").orderBy(F.desc("_q"), "id")
-                ),
-            )
-        )
-        keepers = ranked.where(F.col("_rn") == 1).select(
-            F.col("component").alias("_kc"), F.col("id").alias("_kid")
+            .withColumn("_rn", F.row_number().over(_w6))
+            .withColumn("_kid", F.first("id").over(_w6))
         )
         losers = _pin(
             ranked.where(F.col("_rn") > 1)
-            .join(keepers, F.col("component") == F.col("_kc"))
             .select(
                 F.col("id"),
                 F.lit("near_dup").alias("stage"),
