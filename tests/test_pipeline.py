@@ -650,6 +650,35 @@ def test_repetition_stats(spark):
     assert (rows[3].max_2gram_count, rows[3].dup_3gram_count) == (0, 0)
 
 
+def test_repetition_stats_split_edge_cases(spark):
+    """The r13 mapInArrow gram kernel must reproduce Spark split(" ", -1)
+    semantics exactly: empty parts from leading/trailing/consecutive
+    spaces count as words (and form grams), NULL text takes the
+    size(split(NULL)) = -1 sentinel with zero gram counts, and the empty
+    string is one empty word. Fractions keep the JVM op order
+    ((2*max2)/n, min((3*dup3)/n, 1))."""
+    docs = spark.createDataFrame(
+        [
+            (1, None),              # -> (-1, 0, 0)
+            (2, ""),                # [''] -> (1, 0, 0)
+            (3, "a  a  a"),         # ['a','','a','','a']: 'a '/' a' x2 -> max2=2
+            (4, " x "),             # ['','x',''] -> 3 words, max2=1
+            (5, "b b b b"),         # 'b b' x3; 'b b b' x2 -> dup3=2
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.repetition_stats(docs).collect()}
+    assert (rows[1].n_words, rows[1].max_2gram_count, rows[1].dup_3gram_count) == (-1, 0, 0)
+    assert (rows[2].n_words, rows[2].max_2gram_count, rows[2].dup_3gram_count) == (1, 0, 0)
+    assert (rows[3].n_words, rows[3].max_2gram_count) == (5, 2)
+    assert (rows[4].n_words, rows[4].max_2gram_count, rows[4].dup_3gram_count) == (3, 1, 0)
+    assert (rows[5].max_2gram_count, rows[5].dup_3gram_count) == (3, 2)
+    assert rows[5].top_2gram_frac == (2.0 * 3) / 4
+    assert rows[5].dup_3gram_frac == min((3.0 * 2) / 4, 1.0)
+    # null sentinel: 2.0*0/-1.0 = -0.0 like the old JVM expression
+    assert rows[1].top_2gram_frac == 0.0 and rows[1].dup_3gram_frac == 0.0
+
+
 def test_stratified_sample(spark):
     """stratified_sample: per-group rates ~honored, deterministic and
     partition-invariant, growth-stable (a kept row stays kept when the

@@ -145,6 +145,81 @@ def rolling_fingerprints(
     return F.element_at(F.transform(F.array(words(text)), per_words), 1)
 
 
+def _repstats_batch(col):
+    """(n_words, max_2gram_count, dup_3gram_count) int64 numpy arrays for
+    one Arrow string column — EXACT Gopher gram counting, all vectorized
+    native code (guide §4.2): ``pc.split_pattern(col, " ")`` has the same
+    semantics as Java/Python split-on-space with limit -1 (empty parts
+    kept, null text → null list → n_words -1 like ``size(split(NULL))``);
+    ``pc.dictionary_encode`` is an exact C++ factorize (hash on full
+    bytes, NOT a lossy hash — collision-free by construction), so word
+    codes compose into exact integer gram keys and per-(doc, gram) counts
+    come from one ``bincount`` over composed codes. No Python string
+    objects are ever materialized.
+
+    Overflow margin for the composed keys: an Arrow string column caps a
+    batch at 2 GiB of payload, so words-per-batch < ~4e8 < 2^29; every
+    composition here multiplies two factors each bounded by that (word
+    code · vocab, pair code · vocab, doc index · group count), staying
+    far under 2^63."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    n = len(col)
+    max2 = np.zeros(n, dtype=np.int64)
+    dup3 = np.zeros(n, dtype=np.int64)
+    lst = pc.split_pattern(col, " ")
+    lens = lst.value_lengths().to_numpy(zero_copy_only=False)
+    null_mask = np.isnan(lens) if lens.dtype.kind == "f" else None
+    if null_mask is not None:
+        lens = np.where(null_mask, 0, lens)
+    lens = lens.astype(np.int64)
+    n_words = lens.copy()
+    if null_mask is not None:
+        n_words[null_mask] = -1  # size(split(NULL)) = -1
+    total = int(lens.sum())
+    if total == 0:
+        return n_words, max2, dup3
+    flat = lst.flatten()
+    # null lists have zero offset extent, so flatten() stays aligned with
+    # the null-corrected lens; assert the contract rather than assume it
+    assert len(flat) == total, "split flatten misaligned with lengths"
+    enc = pc.dictionary_encode(flat)
+    wcode = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    K = np.int64(len(enc.dictionary))
+    dix = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+    def group_stats(keys, docs, out_max, out_dup):
+        # exact per-(doc, key) counts: compact the keys, compose with the
+        # doc index, factorize the composition, bincount the group ids
+        kc, ku = pd.factorize(keys)
+        comb = docs * np.int64(len(ku)) + kc
+        gid, gu = pd.factorize(comb)
+        cnt = np.bincount(gid).astype(np.int64)
+        gdoc = gu // np.int64(len(ku))
+        np.maximum.at(out_max, gdoc, cnt)
+        m = cnt >= 2
+        np.add.at(out_dup, gdoc[m], cnt[m])
+
+    if total >= 2:
+        same = dix[:-1] == dix[1:]  # adjacent positions in the same doc
+        g2 = (wcode[:-1] * K + wcode[1:])[same]
+        if len(g2):
+            group_stats(g2, dix[:-1][same], max2, np.zeros(n, np.int64))
+        if total >= 3 and len(g2):
+            p2, _ = pd.factorize(g2)  # compact pair codes, exact
+            pair_full = np.full(total - 1, -1, dtype=np.int64)
+            pair_full[same] = p2
+            same3 = same[:-1] & same[1:]
+            g3 = (pair_full[:-1] * K + wcode[2:])[same3]
+            if len(g3):
+                group_stats(
+                    g3, dix[:-2][same3], np.zeros(n, np.int64), dup3
+                )
+    return n_words, max2, dup3
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition filters (published pre-training heuristics,
     Rae et al. 2021 §A1.1: drop docs dominated by a repeated n-gram or by
@@ -156,118 +231,63 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``top_2gram_frac`` / ``dup_3gram_frac``: the corresponding word
       fractions (2·max/n_words, min(1, 3·dup/n_words))
 
-    Pure JVM array expressions per row (no explode/shuffle); counting is
-    sort-based: the gram array is ``array_sort``ed once and run lengths
-    are folded in ONE ``aggregate`` pass, so the per-row cost is
-    O(grams·log grams) even for high-entropy 100k-word outliers (the
-    previous per-distinct ``filter`` count was O(distinct·grams), i.e.
-    quadratic on such docs). The split and each gram array are bound to
-    lambda variables (the ``shingles`` fix): referencing a computed gram
-    EXPRESSION inside a lambda re-derives it — split included — per
-    element, which is O(words³) on long documents."""
+    One ``mapInArrow`` pass (zero shuffle, embarrassingly parallel): gram
+    counting runs in vectorized native code per Arrow batch
+    (``_repstats_batch``). The r13 A/B vs the previous pure-JVM
+    sort+fold expression tree (interleaved at sf0.1, results asserted
+    identical): 1.121 → 0.321s — higher-order functions evaluate
+    interpreted per element in the JVM, while split/factorize/bincount
+    are C loops. Output columns are appended in the same order as before;
+    a pre-existing column with a stat name is replaced (old
+    ``withColumns`` semantics), now at the appended position. All input
+    columns pass through the Arrow node — select only what you need
+    before calling (the callers here pass (id, text))."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    def grams(w: Column, n_w: Column, k: int) -> Column:
-        return F.when(
-            n_w >= k,
-            F.transform(
-                F.sequence(F.lit(1), n_w - (k - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(w, i + j) for j in range(k)]
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    stat_names = (
+        "n_words",
+        "max_2gram_count",
+        "dup_3gram_count",
+        "top_2gram_frac",
+        "dup_3gram_frac",
+    )
+    base = df.drop(*[c for c in stat_names if c in df.columns])
+    ti = base.columns.index(text_col)
+    fields = list(base.schema.fields) + [
+        StructField("n_words", LongType()),
+        StructField("max_2gram_count", LongType()),
+        StructField("dup_3gram_count", LongType()),
+        StructField("top_2gram_frac", DoubleType()),
+        StructField("dup_3gram_frac", DoubleType()),
+    ]
+    names = [f.name for f in fields]
 
-    # Run-length folds over the SORTED gram array: acc = (prev gram,
-    # current run length, folded stat). `g` appears only as aggregate's
-    # input (a non-lambda argument slot — evaluated once per row), never
-    # inside a lambda body, so the binding rule holds by construction.
+    def batches(it):
+        import numpy as np
+        import pyarrow as pa
 
-    def max_run(g: Column) -> Column:
-        # max run length = most frequent gram's count
-        return F.aggregate(
-            F.array_sort(g),
-            F.struct(
-                F.lit(None).cast("string").alias("prev"),
-                F.lit(0).cast("bigint").alias("run"),
-                F.lit(0).cast("bigint").alias("best"),
-            ),
-            lambda a, x: F.struct(
-                x.alias("prev"),
-                F.when(x.eqNullSafe(a["prev"]), a["run"] + F.lit(1))
-                .otherwise(F.lit(1))
-                .cast("bigint")
-                .alias("run"),
-                F.greatest(
-                    a["best"],
-                    F.when(x.eqNullSafe(a["prev"]), a["run"] + F.lit(1)).otherwise(
-                        F.lit(1).cast("bigint")
-                    ),
-                )
-                .cast("bigint")
-                .alias("best"),
-            ),
-            lambda a: a["best"],
-        )
+        for b in it:
+            nw, m2, d3 = _repstats_batch(b.column(ti))
+            # same IEEE op order as the previous JVM expressions:
+            # (2.0 * max2) / nw and min((3.0 * dup3) / nw, 1.0) — results
+            # bit-identical (n_words is never 0: split of non-null text
+            # yields ≥ 1 part, null text takes the -1 sentinel)
+            nwd = nw.astype(np.float64)
+            top2 = 2.0 * m2.astype(np.float64) / nwd
+            d3f = np.minimum(3.0 * d3.astype(np.float64) / nwd, 1.0)
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns)
+                + [
+                    pa.array(nw),
+                    pa.array(m2),
+                    pa.array(d3),
+                    pa.array(top2),
+                    pa.array(d3f),
+                ],
+                names=names,
+            )
 
-    def dup_total(g: Column) -> Column:
-        # total occurrences across grams whose count ≥ 2: close each run
-        # as the gram changes, then close the final run in the finisher
-        return F.aggregate(
-            F.array_sort(g),
-            F.struct(
-                F.lit(None).cast("string").alias("prev"),
-                F.lit(0).cast("bigint").alias("run"),
-                F.lit(0).cast("bigint").alias("tot"),
-            ),
-            lambda a, x: F.struct(
-                x.alias("prev"),
-                F.when(x.eqNullSafe(a["prev"]), a["run"] + F.lit(1))
-                .otherwise(F.lit(1))
-                .cast("bigint")
-                .alias("run"),
-                F.when(x.eqNullSafe(a["prev"]), a["tot"])
-                .otherwise(
-                    a["tot"]
-                    + F.when(a["run"] >= 2, a["run"]).otherwise(F.lit(0))
-                )
-                .cast("bigint")
-                .alias("tot"),
-            ),
-            lambda a: (
-                a["tot"] + F.when(a["run"] >= 2, a["run"]).otherwise(F.lit(0))
-            ).cast("bigint"),
-        )
-
-    def per_words(w: Column) -> Column:
-        n_w = F.size(w)
-        max2 = F.element_at(
-            F.transform(F.array(grams(w, n_w, 2)), lambda g2: max_run(g2)),
-            1,
-        )
-        dup3 = F.element_at(
-            F.transform(F.array(grams(w, n_w, 3)), lambda g3: dup_total(g3)),
-            1,
-        )
-        return F.struct(
-            n_w.cast("bigint").alias("n_words"),
-            max2.alias("max2"),
-            dup3.alias("dup3"),
-        )
-
-    stats = F.element_at(F.transform(F.array(words(text_col)), per_words), 1)
-    out = df.withColumn("_rs", stats)
-    nwd = F.col("_rs.n_words").cast("double")
-    return out.withColumns(
-        {
-            "n_words": F.col("_rs.n_words"),
-            "max_2gram_count": F.col("_rs.max2"),
-            "dup_3gram_count": F.col("_rs.dup3"),
-            "top_2gram_frac": F.lit(2.0) * F.col("_rs.max2").cast("double") / nwd,
-            "dup_3gram_frac": F.least(
-                F.lit(3.0) * F.col("_rs.dup3").cast("double") / nwd, F.lit(1.0)
-            ),
-        }
-    ).drop("_rs")
+    return base.mapInArrow(batches, StructType(fields))
 
 
 #: conservative PII patterns, engine-portable subset (same semantics in

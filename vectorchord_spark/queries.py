@@ -3099,10 +3099,12 @@ def _repetition_stats_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the most frequent 2-gram and total occurrences of duplicated 3-grams
     per doc — the published drop-if-dominated-by-repetition heuristics.
     Integer outputs -> bit-exact oracle (the SQL recomputes the same gram
-    counting via group-by)."""
+    counting via group-by). The explicit narrow select matters: column
+    pruning cannot pass through the opaque mapInArrow gram-counting node
+    (guide §4.1), so project to (doc_id, text) before it."""
     from vectorchord_spark.pipeline.text import repetition_stats
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     return repetition_stats(docs).select(
         "doc_id", "n_words", "max_2gram_count", "dup_3gram_count"
     ).orderBy("doc_id")
