@@ -167,35 +167,29 @@ def test_learned_model_stage(spark, docs):
     assert res.stats == {"quality_model": docs.count()}
 
 
-def test_row_filter_stages_are_one_jvm_pass(spark, docs):
-    """Stages 1-4 (no dedup, no model) must add no row-at-a-time Python
-    evaluation and no extra shuffle beyond the repetition-stats self-join.
-    The ONE vectorized Arrow node (r13: repetition gram counting runs in
-    numpy/pyarrow via mapInArrow — measured 3.5x over the interpreted JVM
-    sort+fold HOFs) is pinned to exactly one occurrence, and only when
-    the repetition stage is on."""
-    res = curate(
-        docs,
-        CurateConfig(
-            min_words=5, exact_dedup=False, near_dedup=False,
-        ),
-    )
-    plan = res.kept._jdf.queryExecution().executedPlan().toString()
-    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
-                   "FlatMapGroupsInPandas"):
-        assert marker not in plan, marker
-    assert plan.count("MapInArrow") == 1
-
-    # with the repetition stage off, the row filters are pure JVM
-    res2 = curate(
-        docs,
+def test_row_filter_stages_are_one_stats_pass(spark, docs):
+    """Stages 1-4 (no dedup, no model) must be ONE vectorized stats pass:
+    exactly one MapInArrow node (r13: every row-filter statistic comes out
+    of text.row_filter_stats — gram counting measured 3.6-10.5x over the
+    interpreted JVM sort+fold HOFs), no row-at-a-time Python evaluation,
+    and NO join — the r12 stats-join (a pushdown barrier that would
+    shuffle the document payload at scale just to attach stats computed
+    from it) is gone; the opaque node provides the same barrier."""
+    for cfg in (
+        CurateConfig(min_words=5, exact_dedup=False, near_dedup=False),
+        # repetition off: the node still carries n_words/quality
         CurateConfig(
             min_words=5, max_top_2gram_frac=None, max_dup_3gram_frac=None,
             exact_dedup=False, near_dedup=False,
         ),
-    )
-    plan2 = res2.kept._jdf.queryExecution().executedPlan().toString()
-    assert "MapInArrow" not in plan2
+    ):
+        res = curate(docs, cfg)
+        plan = res.kept._jdf.queryExecution().executedPlan().toString()
+        for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas",
+                       "FlatMapGroupsInPandas"):
+            assert marker not in plan, marker
+        assert plan.count("MapInArrow") == 1
+        assert "Join" not in plan, "row filters must not join"
 
 
 def test_second_curate_releases_previous_cache(spark, docs):

@@ -131,53 +131,45 @@ def curate(docs: DataFrame, config: CurateConfig | None = None) -> CurateResult:
         while _PERSISTED:
             _PERSISTED.pop().unpersist()
 
-    from vectorchord_spark.pipeline.text import (
-        detect_language,
-        quality_score,
-        repetition_stats,
-        words,
-    )
+    from vectorchord_spark.pipeline.text import quality_score, row_filter_stats
 
-    # ---- stages 1-4: one projection pass, first failing stage wins ----
+    # ---- stages 1-4: one vectorized stats pass, first failing stage wins
     #
-    # EVERY expensive per-row expression (word count, language id when
-    # detected, heuristic quality, the Gopher repetition stats) is
-    # computed ONCE into one NARROW stats frame joined back by id; the
-    # failure-CASE chain references only the joined columns. r12 kept
-    # the join for the repetition stats alone ("inline regressed
-    # 1.80->2.20s") — the r13 finding is WHY: the join is a predicate-
-    # pushdown BARRIER. A chain built over inline expressions (or over a
-    # protected intermediate projection — measured, same outcome) gets
-    # its aliases substituted into every downstream filter, so the
-    # quality/word-count expressions re-evaluated per consumer (plan
-    # audit: size(split(text)) x11, array_distinct x3 per projection).
-    # With the expressions in the join's build side they run once per
-    # action, and all references above the join are cheap column reads.
-    # Interleaved in-context A/B (sf0.1, old vs new module, kept+audit
-    # equality asserted): see OPTIMIZATION_r13.md (curate).
-    stats_cols: list = [F.size(words(txt)).cast("bigint").alias("_cr_nw")]
-    aux_names: list[str] = ["_cr_nw"]
-    rep_cols: list[str] = []
+    # EVERY per-row statistic (word count, language id when detected,
+    # heuristic quality, the Gopher repetition fracs) comes out of ONE
+    # mapInArrow node over the input rows (text.row_filter_stats); the
+    # failure-CASE chain references only the node's output columns.
+    # History of this shape: r12 found that inlining the expressions
+    # regressed (predicate pushdown alias-substitutes them into every
+    # downstream filter — plan audit: size(split(text)) x11), and fixed
+    # it with a narrow stats frame JOINED back by id (the join as a
+    # pushdown barrier). r13 session 9 removes the join too: an opaque
+    # Arrow node's outputs cannot be substituted (same barrier property),
+    # the statistics are computed where the text already is (guide §8 —
+    # at scale the id-join back to the corpus would shuffle the document
+    # payload just to attach stats computed FROM it), and the gram
+    # counting itself runs vectorized native per batch instead of
+    # interpreted JVM HOFs (measured 3.6-10.5x; OPTIMIZATION_r13.md
+    # items 9/10).
     rep_on = (
         cfg.max_top_2gram_frac is not None or cfg.max_dup_3gram_frac is not None
     )
     lang_detected = cfg.langs is not None and cfg.lang_col not in docs.columns
+    aux_names: list[str] = ["_cr_nw"]
     if lang_detected:
-        stats_cols.append(
-            detect_language(txt, cfg.lang_profiles).alias("_cr_lang")
-        )
         aux_names.append("_cr_lang")
     if cfg.min_quality is not None:
-        stats_cols.append(quality_score(txt).alias("_cr_q"))
         aux_names.append("_cr_q")
-    src = docs.select(idc, txt)
-    if rep_on:
-        # repetition_stats appends 5 stat columns; only the two fracs
-        # are consumed downstream
-        src = repetition_stats(src, txt)
-        rep_cols = ["top_2gram_frac", "dup_3gram_frac"]
-    stats = src.select(F.col(idc), *rep_cols, *stats_cols)
-    docs = docs.join(stats, idc)
+    rep_cols: list[str] = (
+        ["top_2gram_frac", "dup_3gram_frac"] if rep_on else []
+    )
+    docs = row_filter_stats(
+        docs,
+        txt,
+        rep=rep_on,
+        quality=cfg.min_quality is not None,
+        lang_profiles=cfg.lang_profiles if lang_detected else None,
+    )
 
     n_words = F.col("_cr_nw")
     checks: list[tuple[str, F.Column, F.Column]] = []

@@ -145,30 +145,31 @@ def rolling_fingerprints(
     return F.element_at(F.transform(F.array(words(text)), per_words), 1)
 
 
-def _repstats_batch(col):
-    """(n_words, max_2gram_count, dup_3gram_count) int64 numpy arrays for
-    one Arrow string column — EXACT Gopher gram counting, all vectorized
-    native code (guide §4.2): ``pc.split_pattern(col, " ")`` has the same
-    semantics as Java/Python split-on-space with limit -1 (empty parts
-    kept, null text → null list → n_words -1 like ``size(split(NULL))``);
-    ``pc.dictionary_encode`` is an exact C++ factorize (hash on full
-    bytes, NOT a lossy hash — collision-free by construction), so word
-    codes compose into exact integer gram keys and per-(doc, gram) counts
-    come from one ``bincount`` over composed codes. No Python string
-    objects are ever materialized.
+def _split_encode(col):
+    """Split one Arrow string column into exact-coded words — the shared
+    preamble of every vectorized text kernel here (guide §4.2):
+    ``pc.split_pattern(col, " ")`` has the same semantics as Java/Python
+    split-on-space with limit -1 (empty parts kept, null text → null list
+    → n_words -1 like ``size(split(NULL))``); ``pc.dictionary_encode`` is
+    an exact C++ factorize (hash on full bytes, NOT a lossy hash —
+    collision-free by construction). No Python string objects are ever
+    materialized.
 
-    Overflow margin for the composed keys: an Arrow string column caps a
-    batch at 2 GiB of payload, so words-per-batch < ~4e8 < 2^29; every
-    composition here multiplies two factors each bounded by that (word
-    code · vocab, pair code · vocab, doc index · group count), staying
-    far under 2^63."""
+    Returns ``(n_words, lens, null_mask, enc, wcode, K, dix, total)``:
+    per-row word counts (with the -1 null sentinel), null-corrected
+    lengths, the dictionary-encoded flat word array (``enc``; None when
+    the batch has no words), int64 word codes, vocab size, the doc index
+    of every word position, and the total word count.
+
+    Overflow margin for downstream composed keys: an Arrow string column
+    caps a batch at 2 GiB of payload, so words-per-batch < ~4e8 < 2^29;
+    every composition here multiplies two factors each bounded by that
+    (word code · vocab, pair code · vocab, doc index · group count),
+    staying far under 2^63."""
     import numpy as np
-    import pandas as pd
     import pyarrow.compute as pc
 
     n = len(col)
-    max2 = np.zeros(n, dtype=np.int64)
-    dup3 = np.zeros(n, dtype=np.int64)
     lst = pc.split_pattern(col, " ")
     lens = lst.value_lengths().to_numpy(zero_copy_only=False)
     null_mask = np.isnan(lens) if lens.dtype.kind == "f" else None
@@ -180,7 +181,8 @@ def _repstats_batch(col):
         n_words[null_mask] = -1  # size(split(NULL)) = -1
     total = int(lens.sum())
     if total == 0:
-        return n_words, max2, dup3
+        empty = np.empty(0, dtype=np.int64)
+        return n_words, lens, null_mask, None, empty, np.int64(0), empty, 0
     flat = lst.flatten()
     # null lists have zero offset extent, so flatten() stays aligned with
     # the null-corrected lens; assert the contract rather than assume it
@@ -189,6 +191,19 @@ def _repstats_batch(col):
     wcode = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     K = np.int64(len(enc.dictionary))
     dix = np.repeat(np.arange(n, dtype=np.int64), lens)
+    return n_words, lens, null_mask, enc, wcode, K, dix, total
+
+
+def _gram_counts(n, wcode, K, dix, total):
+    """(max_2gram_count, dup_3gram_count) int64 arrays over exact-coded
+    words: word codes compose into exact integer gram keys and
+    per-(doc, gram) counts come from one ``bincount`` over composed
+    codes (see ``_split_encode`` for the overflow margin)."""
+    import numpy as np
+    import pandas as pd
+
+    max2 = np.zeros(n, dtype=np.int64)
+    dup3 = np.zeros(n, dtype=np.int64)
 
     def group_stats(keys, docs, out_max, out_dup):
         # exact per-(doc, key) counts: compact the keys, compose with the
@@ -217,6 +232,15 @@ def _repstats_batch(col):
                 group_stats(
                     g3, dix[:-2][same3], np.zeros(n, np.int64), dup3
                 )
+    return max2, dup3
+
+
+def _repstats_batch(col):
+    """(n_words, max_2gram_count, dup_3gram_count) int64 numpy arrays for
+    one Arrow string column — EXACT Gopher gram counting, fully
+    vectorized (``_split_encode`` + ``_gram_counts``)."""
+    n_words, _, _, _, wcode, K, dix, total = _split_encode(col)
+    max2, dup3 = _gram_counts(len(col), wcode, K, dix, total)
     return n_words, max2, dup3
 
 
@@ -288,6 +312,125 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             )
 
     return base.mapInArrow(batches, StructType(fields))
+
+
+def row_filter_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    rep: bool = True,
+    quality: bool = False,
+    lang_profiles: "dict[str, list[str]] | None" = None,
+) -> DataFrame:
+    """Every per-row curation statistic in ONE vectorized Arrow pass,
+    appended to the input columns (which all pass through — select before
+    calling): ``_cr_nw`` (word count, -1 for NULL text), optionally
+    ``_cr_lang`` (wordlist-profile language id, same argmax +
+    lexicographic tie-break as :func:`detect_language`),
+    ``top_2gram_frac``/``dup_3gram_frac`` (the Gopher repetition
+    fractions of :func:`repetition_stats`), and ``_cr_q`` (the
+    :func:`quality_score` heuristic).
+
+    This exists so :func:`curate`'s stages 1–4 need NO corpus-wide
+    stats join: computing the stats where the text already is (guide §8
+    — move decisions to the data, not payloads to the decisions) removes
+    the join that would shuffle the document payload at scale, and an
+    opaque node's outputs cannot be alias-substituted into downstream
+    filters, so each statistic is structurally evaluated once (the
+    r12/r13 duplicated-expression problem cannot re-appear).
+
+    Exactness: integer counting as in ``_repstats_batch``; the language
+    argmax is integer logic with the profile membership evaluated once
+    on the word DICTIONARY (not per token); the two float formulas keep
+    the JVM expressions' IEEE op order, so results are bit-identical —
+    including the NULL-text sentinels (counts -1 → quality
+    (min(-1/100, 1) + (-1)/(-1))/2 = 0.495, language = first profile
+    lexicographically, exactly what the JVM expressions yield)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    langs = sorted(lang_profiles) if lang_profiles is not None else None
+    profiles = (
+        {lg: list(lang_profiles[lg]) for lg in langs} if langs else None
+    )
+    ti = df.columns.index(text_col)
+    fields = list(df.schema.fields) + [StructField("_cr_nw", LongType())]
+    if langs:
+        fields.append(StructField("_cr_lang", StringType()))
+    if rep:
+        fields.append(StructField("top_2gram_frac", DoubleType()))
+        fields.append(StructField("dup_3gram_frac", DoubleType()))
+    if quality:
+        fields.append(StructField("_cr_q", DoubleType()))
+    names = [f.name for f in fields]
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in it:
+            col = b.column(ti)
+            n = len(col)
+            n_words, lens, null_mask, enc, wcode, K, dix, total = (
+                _split_encode(col)
+            )
+            out = list(b.columns) + [pa.array(n_words)]
+            if langs:
+                counts = np.zeros((len(langs), n), dtype=np.int64)
+                if total:
+                    for li, lg in enumerate(langs):
+                        mem = pc.is_in(
+                            enc.dictionary, value_set=pa.array(profiles[lg])
+                        ).to_numpy(zero_copy_only=False)
+                        hit = mem[wcode]
+                        if hit.any():
+                            counts[li] = np.bincount(
+                                dix[hit], minlength=n
+                            )
+                if null_mask is not None:
+                    counts[:, null_mask] = -1  # size(filter(NULL)) = -1
+                # first (sorted) language reaching the max — argmax picks
+                # the lowest index, matching the JVM when-chain tie-break
+                pick = np.argmax(counts, axis=0)
+                out.append(
+                    pa.array(
+                        np.array(langs, dtype=object)[pick],
+                        type=pa.string(),
+                    )
+                )
+            if rep:
+                max2, dup3 = _gram_counts(n, wcode, K, dix, total)
+                nwd = n_words.astype(np.float64)
+                out.append(pa.array(2.0 * max2.astype(np.float64) / nwd))
+                out.append(
+                    pa.array(
+                        np.minimum(
+                            3.0 * dup3.astype(np.float64) / nwd, 1.0
+                        )
+                    )
+                )
+            if quality:
+                distinct = np.full(n, -1, dtype=np.int64)
+                if total:
+                    comb = dix * K + wcode
+                    gid, gu = pd.factorize(comb)
+                    gdoc = gu // K
+                    distinct[: gdoc.max() + 1] = np.bincount(gdoc)
+                    distinct[lens == 0] = -1  # NULL rows keep the sentinel
+                nwd = n_words.astype(np.float64)
+                ls = np.minimum(nwd / 100.0, 1.0)
+                out.append(
+                    pa.array((ls + distinct.astype(np.float64) / nwd) / 2.0)
+                )
+            yield pa.RecordBatch.from_arrays(out, names=names)
+
+    return df.mapInArrow(batches, StructType(fields))
 
 
 #: conservative PII patterns, engine-portable subset (same semantics in
