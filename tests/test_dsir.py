@@ -83,8 +83,12 @@ def test_score_matches_python_and_is_jvm_only(spark, corpora):
         assert got[did] == pytest.approx(_py_logw(text, model), abs=1e-9)
     plan = scored._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
-                   "FlatMapGroupsInPandas", "PythonMapInArrow"):
+                   "FlatMapGroupsInPandas"):
         assert marker not in plan, f"python stage in DSIR scoring: {marker}"
+    # r13 session 9: scoring is ONE vectorized Arrow node; per-document
+    # sums complete inside it, so the plan carries ZERO exchanges
+    assert plan.count("MapInArrow") == 1, plan
+    assert "Exchange hashpartitioning" not in plan, plan
 
 
 def test_resample_prefers_target_like_docs(spark, corpora):

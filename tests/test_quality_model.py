@@ -123,10 +123,11 @@ def test_scoring_plan_is_jvm_only(spark, docs):
     for marker in ("FlatMapGroupsInPandas", "MapInPandas", "ArrowEvalPython",
                    "BatchEvalPython"):
         assert marker not in plan, marker
-    # r13: the broadcast (bucket, weight) join was replaced by a
-    # constant-folded dense weight-array literal probed with element_at —
-    # the scoring plan has NO join and exactly one exchange (the groupBy)
+    # r13 session 9: scoring is ONE vectorized Arrow node — per-document
+    # sums complete inside the node, so the plan has NO join, NO
+    # BroadcastExchange, and ZERO exchanges (the former groupBy(id)
+    # shuffle is gone)
     assert "BroadcastHashJoin" not in plan, plan
     assert "BroadcastExchange" not in plan, plan
-    assert "element_at" in plan, plan
-    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("MapInArrow") == 1, plan
+    assert "Exchange hashpartitioning" not in plan, plan

@@ -126,29 +126,19 @@ def score_dsir(
     ``logw`` = int-exact milli-nat sum rescaled to f64.
     """
     lw_q = _quantize_lw(model["lw"])
-    from vectorchord_spark.pipeline.quality_model import (
-        _dense_weight_literal,
-        _token_buckets,
-    )
+    from vectorchord_spark.pipeline.quality_model import _token_weight_sums
 
-    wlit = _dense_weight_literal(lw_q)
-    toks = _token_buckets(
-        df, text_col=text_col, id_col=id_col,
+    # r13 session 9: one vectorized Arrow scoring node (zero exchange,
+    # md5 once per distinct token per batch — see
+    # quality_model._token_weight_sums); int64 milli-nat sums unchanged
+    agg = _token_weight_sums(
+        df, lw_q, text_col=text_col, id_col=id_col,
         dim=model["dim"], bigrams=model["bigrams"],
-    )
-    # token-level scoring (see quality_model._token_buckets) folded
-    # straight into the groupBy(id); the dense literal replaces the
-    # former broadcast (bucket, milli-weight) join — O(1) array load per
-    # token, no BroadcastExchange, int64 milli-nat sums unchanged
-    agg = toks.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-        F.sum(F.element_at(wlit, F.col("bucket") + 1))
-        .cast("bigint").alias("_milli"),
     )
     return agg.select(
         id_col,
         "n_terms",
-        (F.col("_milli").cast("double") / float(_LW_SCALE)).alias("logw"),
+        (F.col("dot").cast("double") / float(_LW_SCALE)).alias("logw"),
     )
 
 

@@ -13,10 +13,10 @@ weight per hash bucket); the data is not — so the Spark-first split is:
 - **train** collects a BOUNDED labeled sample's posting rows to the
   driver (cap × avg-terms rows, the model-fit pattern used by the IVF
   build) and runs deterministic mini-batch logistic SGD in numpy;
-- **score** is pure JVM: join the posting table to the broadcast
-  (bucket, weight) frame, one partial-aggregable groupBy(id), and emit
-  the L1-normalized logit. No Python in the scoring path, so the 100 TB
-  pass is a broadcast join + one shuffle.
+- **score** is one vectorized Arrow pass (``_token_weight_sums``): md5
+  once per distinct token per batch, exact int64 sums completed per
+  document inside the node, the weight vector shipped as a broadcast.
+  The 100 TB pass is a single scan with ZERO shuffles.
 
 Scores are emitted as ``dot`` (int-exact weighted sum scaled by 1e6) and
 ``logit`` (dot / (1e6 · n_terms) + bias): integer accumulation keeps the
@@ -132,6 +132,121 @@ def _token_buckets(
     )
 
 
+def _token_weight_sums(
+    df: DataFrame,
+    wq: "np.ndarray",
+    text_col: str,
+    id_col: str,
+    dim: int,
+    bigrams: bool,
+) -> DataFrame:
+    """(id, n_terms, dot) — per-document exact int64 weighted token sums
+    in ONE vectorized Arrow pass (guide §4.2), zero shuffle: each
+    document is one row, so its sums complete inside its batch and the
+    former per-document ``groupBy(id)`` exchange disappears.
+
+    Exactly the ``_token_buckets`` + ``sum(element_at(W, bucket+1))``
+    semantics, with one algebraic advantage the JVM expression cannot
+    have: md5 runs once per DISTINCT token per batch (the word/bigram
+    dictionaries from the exact Arrow factorize), not once per token
+    occurrence — web text repeats tokens heavily, so this cuts the md5
+    count by the occurrence/vocabulary ratio. Bucket math is the oracle's
+    (first 3 md5 bytes of 'hb|'+token, mod dim); the weight vector ships
+    once per executor as a Spark broadcast (the plan carries no 2 MB
+    literal). Absent-row semantics match the explode path: with
+    ``bigrams=False`` a NULL text produces no output row; with bigrams,
+    NULL text tokenizes to the single empty-string token (``concat_ws``
+    never returns NULL), n_terms = 1."""
+    from hashlib import md5
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from vectorchord_spark.pipeline.text import _split_encode
+
+    src = df.select(id_col, text_col)
+    out_schema = StructType(
+        [src.schema.fields[0], StructField("n_terms", LongType()),
+         StructField("dot", LongType())]
+    )
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(wq, dtype=np.int64)
+    )
+    empty_bucket = int.from_bytes(md5(b"hb|").digest()[:3], "big") % dim
+    id_name = src.columns[0]  # plain strings only in the closure
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        W = bc.value
+
+        def bucketize(strings):
+            return np.fromiter(
+                (
+                    int.from_bytes(
+                        md5(b"hb|" + s.encode("utf-8")).digest()[:3], "big"
+                    )
+                    % dim
+                    for s in strings
+                ),
+                dtype=np.int64,
+                count=len(strings),
+            )
+
+        for b in it:
+            ids = b.column(0)
+            n = len(ids)
+            _, lens, null_mask, enc, wcode, K, dix, total = _split_encode(
+                b.column(1)
+            )
+            nt = lens.copy()
+            acc = np.zeros(n, dtype=np.int64)
+            if total:
+                ub = bucketize(enc.dictionary.to_pylist())
+                np.add.at(acc, dix, W[ub[wcode]])
+                if bigrams and total >= 2:
+                    same = dix[:-1] == dix[1:]
+                    if same.any():
+                        pk = wcode[:-1][same] * K + wcode[1:][same]
+                        pcodes, puniq = pd.factorize(pk)
+                        d1 = enc.dictionary.take(
+                            pa.array((puniq // K).astype(np.int64))
+                        )
+                        d2 = enc.dictionary.take(
+                            pa.array((puniq % K).astype(np.int64))
+                        )
+                        bg = pc.binary_join_element_wise(
+                            d1.cast(pa.string()), d2.cast(pa.string()), "_"
+                        )
+                        bb = bucketize(bg.to_pylist())
+                        bdoc = dix[:-1][same]
+                        np.add.at(acc, bdoc, W[bb[pcodes]])
+                        nt += np.bincount(bdoc, minlength=n)
+            if bigrams:
+                # NULL text -> _t = "" -> the single empty-string token
+                if null_mask is not None and null_mask.any():
+                    nt[null_mask] = 1
+                    acc[null_mask] = W[empty_bucket]
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array(nt), pa.array(acc)],
+                    names=[id_name, "n_terms", "dot"],
+                )
+            else:
+                # explode(words(NULL)) emits nothing: drop NULL-text rows
+                if null_mask is not None and null_mask.any():
+                    keep = pa.array(~null_mask)
+                    ids = ids.filter(keep)
+                    nt, acc = nt[~null_mask], acc[~null_mask]
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array(nt), pa.array(acc)],
+                    names=[id_name, "n_terms", "dot"],
+                )
+
+    return src.mapInArrow(batches, out_schema)
+
+
 def train_quality_classifier(
     df: DataFrame,
     label_col: str,
@@ -214,32 +329,26 @@ def score_quality(
 ) -> DataFrame:
     """Score every document: (id, n_terms, dot, logit).
 
-    Pure JVM: the model's 1e6-scaled int weights become one dense
-    constant-folded array literal indexed per token with ``element_at``
-    inside the per-document aggregate; ``dot`` is the exact int64
-    weighted term-frequency sum and ``logit = dot / (1e6 · n_terms) + b``
-    — one IEEE division and one addition, bit-reproducible across
-    engines. Filter ``logit > t`` (or apply a sigmoid) downstream.
+    One vectorized Arrow pass (``_token_weight_sums``): the model's
+    1e6-scaled int64 weights ship as a Spark broadcast probed per token
+    inside the node; ``dot`` is the exact int64 weighted term-frequency
+    sum and ``logit = dot / (1e6 · n_terms) + b`` — one IEEE division
+    and one addition, bit-reproducible across engines. Zero shuffle.
+    Filter ``logit > t`` (or apply a sigmoid) downstream.
     """
     w = np.asarray(model["w"], np.float64)
-    wlit = _dense_weight_literal(np.rint(w * _SCALE).astype(np.int64))
-    toks = _token_buckets(
+    # r13 session 9: the scoring pass is one vectorized Arrow node —
+    # per-document sums complete inside the node (zero exchange, the
+    # former groupBy(id) is gone) and md5 runs once per distinct token
+    # per batch instead of per occurrence; int-exactly the same sums as
+    # the explode + element_at(weight literal) aggregate it replaces
+    scored = _token_weight_sums(
         df,
+        np.rint(w * _SCALE).astype(np.int64),
         text_col=text_col,
         id_col=id_col,
         dim=model["dim"],
         bigrams=model["bigrams"],
-    )
-    # token-level scoring folded directly into the per-document
-    # aggregate (one exchange); the dense literal replaces the former
-    # broadcast (bucket, weight) join — an O(1) array load per token
-    # instead of a hash probe, no BroadcastExchange to build, and
-    # int-exactly the same sums (zero-weight buckets contribute 0, as
-    # the old left join's coalesce(_w, 0) did)
-    scored = toks.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
-        F.sum(F.element_at(wlit, F.col("bucket") + 1))
-        .cast("bigint").alias("dot"),
     )
     logit = (
         F.col("dot").cast("double")
